@@ -1,0 +1,175 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vox_serve_tpu.ops.attention import (
+    AttnMetadata,
+    paged_attention_decode,
+    ragged_prefill_attention,
+    write_kv_decode,
+    write_kv_prefill,
+)
+from vox_serve_tpu.ops.kv_cache import KVCacheConfig, PageAllocator, alloc_kv_pages
+from vox_serve_tpu.ops.rope import apply_rope, rope_frequencies
+
+
+def dense_attention(q, k, v, causal_upto=None):
+    """Oracle: q (Tq, H, D) over k/v (Tk, KH, D), optional causal mask."""
+    H, KH = q.shape[1], k.shape[1]
+    k = jnp.repeat(k, H // KH, axis=1)
+    v = jnp.repeat(v, H // KH, axis=1)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum("thd,shd->hts", q * scale, k)
+    if causal_upto is not None:
+        Tq, Tk = q.shape[0], k.shape[0]
+        qpos = jnp.arange(Tq)[:, None] + (Tk - Tq)
+        mask = qpos >= jnp.arange(Tk)[None, :]
+        scores = jnp.where(mask[None], scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("hts,shd->thd", p, v)
+
+
+def test_page_allocator():
+    a = PageAllocator(8)
+    assert a.num_free == 7
+    pages = a.alloc(3)
+    assert 0 not in pages
+    assert a.num_free == 4
+    a.free(pages)
+    assert a.num_free == 7
+    with pytest.raises(Exception):
+        a.alloc(8)
+    with pytest.raises(Exception):
+        a.free([0])
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.key(key), shape, dtype=jnp.float32)
+
+
+def test_prefill_matches_dense_per_segment():
+    T, H, KH, D = 16, 4, 2, 8
+    q = _rand(0, (T, H, D))
+    k = _rand(1, (T, KH, D))
+    v = _rand(2, (T, KH, D))
+    # two segments: tokens 0..9 (req 0), 10..13 (req 1), 14..15 padding
+    seg = jnp.array([0] * 10 + [1] * 4 + [-1] * 2, dtype=jnp.int32)
+    pos = jnp.array(list(range(10)) + list(range(4)) + [0, 0], dtype=jnp.int32)
+    meta = AttnMetadata(
+        is_prefill=True,
+        kv_page_ids=jnp.zeros(T, jnp.int32),
+        kv_page_offsets=jnp.zeros(T, jnp.int32),
+        segment_ids=seg,
+        q_positions=pos,
+    )
+    out = ragged_prefill_attention(q, k, v, meta)
+    ref0 = dense_attention(q[:10], k[:10], v[:10], causal_upto=True)
+    ref1 = dense_attention(q[10:14], k[10:14], v[10:14], causal_upto=True)
+    np.testing.assert_allclose(np.asarray(out[:10]), np.asarray(ref0), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[10:14]), np.asarray(ref1), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_matches_dense():
+    """Write a sequence into pages token by token, decode last token, compare
+    against dense causal attention."""
+    cfg = KVCacheConfig(num_layers=2, num_pages=8, page_size=4, num_kv_heads=2, head_dim=8)
+    k_pages, v_pages = alloc_kv_pages(cfg, None)
+    k_pages = k_pages.astype(jnp.float32)
+    v_pages = v_pages.astype(jnp.float32)
+    alloc = PageAllocator(cfg.num_pages)
+
+    H, KH, D = 4, 2, 8
+    seq_len = 7  # 2 pages: 4 + 3
+    pages = alloc.alloc(2)
+    ks = _rand(3, (seq_len, KH, D))
+    vs = _rand(4, (seq_len, KH, D))
+
+    # write all 7 tokens (simulate prefill write)
+    page_ids = jnp.array([pages[i // cfg.page_size] for i in range(seq_len)], jnp.int32)
+    offsets = jnp.array([i % cfg.page_size for i in range(seq_len)], jnp.int32)
+    meta_w = AttnMetadata(True, page_ids, offsets)
+    for layer in range(2):
+        k_pages, v_pages = write_kv_prefill(k_pages, v_pages, layer, ks, vs, meta_w)
+
+    # decode: batch of 1 (padded to 2 with scratch), query attends all 7
+    q = _rand(5, (2, H, D))
+    block_tables = jnp.array([[pages[0], pages[1], 0], [0, 0, 0]], jnp.int32)
+    seq_lens = jnp.array([seq_len, 1], jnp.int32)
+    meta_d = AttnMetadata(
+        False,
+        kv_page_ids=jnp.zeros(2, jnp.int32),
+        kv_page_offsets=jnp.zeros(2, jnp.int32),
+        block_tables=block_tables,
+        seq_lens=seq_lens,
+    )
+    for layer in range(2):
+        out = paged_attention_decode(q, k_pages, v_pages, layer, meta_d)
+        ref = dense_attention(q[0:1], ks, vs)[0] if layer == 0 else None
+        if layer == 0:
+            np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_write_then_read_roundtrip():
+    """Incremental decode: append one token per step, check attention result
+    evolves exactly like dense attention over the growing sequence."""
+    cfg = KVCacheConfig(num_layers=1, num_pages=6, page_size=2, num_kv_heads=1, head_dim=4)
+    k_pages, v_pages = alloc_kv_pages(cfg)
+    k_pages = k_pages.astype(jnp.float32)
+    v_pages = v_pages.astype(jnp.float32)
+    alloc = PageAllocator(cfg.num_pages)
+    pages = alloc.alloc(3)
+
+    H, D = 2, 4
+    all_k = _rand(6, (5, 1, D))
+    all_v = _rand(7, (5, 1, D))
+    bt = jnp.array([pages + [0]], jnp.int32)  # width 4
+    for t in range(5):
+        meta = AttnMetadata(
+            False,
+            kv_page_ids=jnp.array([pages[t // 2]], jnp.int32),
+            kv_page_offsets=jnp.array([t % 2], jnp.int32),
+            block_tables=bt,
+            seq_lens=jnp.array([t + 1], jnp.int32),
+        )
+        k_pages, v_pages = write_kv_decode(
+            k_pages, v_pages, 0, all_k[t : t + 1], all_v[t : t + 1], meta
+        )
+        q = _rand(100 + t, (1, H, D))
+        out = paged_attention_decode(q, k_pages, v_pages, 0, meta)
+        ref = dense_attention(q, all_k[: t + 1], all_v[: t + 1])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_rope_rotation_invariants():
+    T, H, D = 6, 2, 8
+    inv = rope_frequencies(D)
+    q = _rand(8, (T, H, D))
+    k = _rand(9, (T, H, D))
+    pos = jnp.arange(T, dtype=jnp.int32)
+    q1, k1 = apply_rope(q, k, pos, inv)
+    # norm-preserving
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q1), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1),
+        rtol=1e-5,
+    )
+    # position 0 is identity
+    np.testing.assert_allclose(np.asarray(q1[0]), np.asarray(q[0]), rtol=1e-6)
+    # relative property: dot(q(m), k(n)) depends only on m - n
+    def score(m, n):
+        qm, kn = apply_rope(q[:1], k[:1], jnp.array([m]), inv)[0], \
+                 apply_rope(q[:1], k[:1], jnp.array([n]), inv)[1]
+        return float(jnp.sum(qm[0, 0] * kn[0, 0]))
+    np.testing.assert_allclose(score(5, 3), score(7, 5), rtol=1e-4)
+
+
+def test_rope_llama31_scaling_changes_low_freqs():
+    D = 128
+    base = rope_frequencies(D, theta=500000.0)
+    scaled = rope_frequencies(D, theta=500000.0, llama31_scaling=True)
+    # high-frequency components unchanged, low-frequency scaled down
+    assert np.allclose(np.asarray(base[:8]), np.asarray(scaled[:8]))
+    assert np.all(np.asarray(scaled[-8:]) < np.asarray(base[-8:]))

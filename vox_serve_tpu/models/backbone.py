@@ -1,0 +1,220 @@
+"""Config-driven decoder-only transformer backbone.
+
+TPU-first consolidation: the reference hand-writes one FlashInfer-native
+backbone per family (orpheus.py:15-222, csm.py, zonos.py:76-126,
+glm_voice.py:65-305, cosyvoice2.py:86-317, qwen3_tts.py, chatterbox.py:299-400,
+step_audio_2.py:222-243) — all Llama/Qwen-style decoders differing only in
+dims, biases, qk-norm, RoPE flavor and position-embedding type. Here there is
+exactly ONE implementation, parameterized by ``BackboneConfig``:
+
+  * layers are **stacked** into a single pytree with a leading layer axis and
+    executed with ``jax.lax.scan`` — one compiled layer body regardless of
+    depth (compile time stays flat across 0.5B..9B models);
+  * K/V page pools ride the scan carry, written in place per layer via
+    dynamic indexing;
+  * everything is shape-static; prefill/decode is a trace-time flag on the
+    AttnMetadata.
+
+Tensor-parallel sharding rules for these params live in parallel/sharding.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import (
+    AttnMetadata,
+    paged_attention_decode,
+    ragged_prefill_attention,
+    write_kv_decode,
+    write_kv_prefill,
+)
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_frequencies
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    intermediate_size: int
+    head_dim: Optional[int] = None  # default hidden_size // num_heads
+    rope_theta: float = 10000.0
+    rope_dim: Optional[int] = None  # partial rotary if < head_dim
+    llama31_rope_scaling: bool = False
+    rms_eps: float = 1e-6
+    qkv_bias: bool = False  # Qwen2-style
+    o_bias: bool = False
+    mlp_bias: bool = False
+    qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
+    learned_pos_emb: bool = False  # Chatterbox t3: learned abs. positions, no RoPE
+    max_position_embeddings: int = 8192
+    attn_scale: Optional[float] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def resolved_head_dim(self) -> int:
+        return self.head_dim or (self.hidden_size // self.num_heads)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, dtype, bias=False):
+    w = jax.random.normal(key, (d_in, d_out), dtype=jnp.float32) * (d_in ** -0.5)
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype=dtype)
+    return p
+
+
+def linear(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_backbone_params(cfg: BackboneConfig, key: jax.Array) -> dict:
+    """Random-init stacked params (layer axis leading). Real checkpoints are
+    loaded by weights.py into the same structure."""
+    hd = cfg.resolved_head_dim
+    L = cfg.num_layers
+    keys = jax.random.split(key, 8)
+
+    def stack_init(fn, k):
+        ks = jax.random.split(k, L)
+        return jax.vmap(fn)(ks)
+
+    def layer_attn(k):
+        ks = jax.random.split(k, 4)
+        p = {
+            "q": _init_linear(ks[0], cfg.hidden_size, cfg.num_heads * hd, cfg.dtype, cfg.qkv_bias),
+            "k": _init_linear(ks[1], cfg.hidden_size, cfg.num_kv_heads * hd, cfg.dtype, cfg.qkv_bias),
+            "v": _init_linear(ks[2], cfg.hidden_size, cfg.num_kv_heads * hd, cfg.dtype, cfg.qkv_bias),
+            "o": _init_linear(ks[3], cfg.num_heads * hd, cfg.hidden_size, cfg.dtype, cfg.o_bias),
+        }
+        if cfg.qk_norm:
+            p["q_norm"] = jnp.ones((hd,), dtype=cfg.dtype)
+            p["k_norm"] = jnp.ones((hd,), dtype=cfg.dtype)
+        return p
+
+    def layer_mlp(k):
+        ks = jax.random.split(k, 3)
+        return {
+            "gate": _init_linear(ks[0], cfg.hidden_size, cfg.intermediate_size, cfg.dtype, cfg.mlp_bias),
+            "up": _init_linear(ks[1], cfg.hidden_size, cfg.intermediate_size, cfg.dtype, cfg.mlp_bias),
+            "down": _init_linear(ks[2], cfg.intermediate_size, cfg.hidden_size, cfg.dtype, cfg.mlp_bias),
+        }
+
+    params = {
+        "layers": {
+            "attn": stack_init(layer_attn, keys[0]),
+            "mlp": stack_init(layer_mlp, keys[1]),
+            "input_norm": jnp.ones((L, cfg.hidden_size), dtype=cfg.dtype),
+            "post_norm": jnp.ones((L, cfg.hidden_size), dtype=cfg.dtype),
+        },
+        "final_norm": jnp.ones((cfg.hidden_size,), dtype=cfg.dtype),
+    }
+    if cfg.learned_pos_emb:
+        params["pos_emb"] = (
+            jax.random.normal(keys[2], (cfg.max_position_embeddings, cfg.hidden_size)) * 0.02
+        ).astype(cfg.dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def backbone_forward(
+    params: dict,
+    cfg: BackboneConfig,
+    x: jax.Array,
+    positions: jax.Array,
+    meta: AttnMetadata,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Run the decoder stack.
+
+    x: (T, hidden) token embeddings (embedding lookup / codebook sums are the
+       model wrapper's job — some families sum 17 codebooks, splice audio
+       features, or add conditioning prefixes).
+    positions: (T,) int32 absolute positions.
+    Returns (hidden (T, H), k_pages, v_pages).
+    """
+    hd = cfg.resolved_head_dim
+    H, KH = cfg.num_heads, cfg.num_kv_heads
+    inv_freq = None
+    if not cfg.learned_pos_emb:
+        inv_freq = rope_frequencies(
+            cfg.rope_dim or hd,
+            theta=cfg.rope_theta,
+            llama31_scaling=cfg.llama31_rope_scaling,
+        )
+    else:
+        x = x + jnp.take(params["pos_emb"], positions, axis=0).astype(x.dtype)
+
+    T = x.shape[0]
+
+    def layer_fn(carry, scanned):
+        h, kp, vp = carry
+        lp, layer_idx = scanned
+
+        xin = rms_norm(h, lp["input_norm"], cfg.rms_eps)
+        q = linear(lp["attn"]["q"], xin).reshape(T, H, hd)
+        k = linear(lp["attn"]["k"], xin).reshape(T, KH, hd)
+        v = linear(lp["attn"]["v"], xin).reshape(T, KH, hd)
+
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["attn"]["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["attn"]["k_norm"], cfg.rms_eps)
+
+        if inv_freq is not None:
+            q, k = apply_rope(q, k, positions, inv_freq, rope_dim=cfg.rope_dim)
+
+        if meta.is_prefill:
+            kp = kp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
+                k.astype(kp.dtype), mode="drop")
+            vp = vp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
+                v.astype(vp.dtype), mode="drop")
+            attn_out = ragged_prefill_attention(q, k, v, meta, scale=cfg.attn_scale)
+        else:
+            kp = kp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
+                k.astype(kp.dtype), mode="drop")
+            vp = vp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
+                v.astype(vp.dtype), mode="drop")
+            k_layer = jax.lax.dynamic_index_in_dim(kp, layer_idx, axis=0, keepdims=True)
+            v_layer = jax.lax.dynamic_index_in_dim(vp, layer_idx, axis=0, keepdims=True)
+            attn_out = paged_attention_decode(
+                q, k_layer, v_layer, 0, meta, scale=cfg.attn_scale,
+                use_pallas=use_pallas,
+            )
+
+        h = h + linear(lp["attn"]["o"], attn_out.reshape(T, H * hd))
+
+        xin2 = rms_norm(h, lp["post_norm"], cfg.rms_eps)
+        gated = jax.nn.silu(linear(lp["mlp"]["gate"], xin2)) * linear(lp["mlp"]["up"], xin2)
+        h = h + linear(lp["mlp"]["down"], gated)
+        return (h, kp, vp), None
+
+    L = cfg.num_layers
+    (x, k_pages, v_pages), _ = jax.lax.scan(
+        layer_fn,
+        (x, k_pages, v_pages),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x, k_pages, v_pages

@@ -1,0 +1,211 @@
+"""Attention for continuous batching over the paged KV cache.
+
+This replaces the reference's FlashInfer wrappers (flashinfer_utils.py:11-248)
+with two TPU-shaped primitives, both fully shape-static so every bucketed
+step compiles once:
+
+  * ``ragged_prefill_attention`` — prompts are concatenated token-wise into a
+    single ``[T_bucket]`` ragged batch with segment ids (the analogue of
+    FlashInfer's qo_indptr), and attention is causal *within* each segment.
+    Prefill in this system always starts from an empty KV (new requests), so
+    prefill attention never reads the page pool; K/V are written to pages on
+    the side for the decode phase.
+
+  * ``paged_attention_decode`` — one query per request attends over its block
+    table. The pure-JAX path below gathers pages with ``jnp.take`` (XLA turns
+    this into dynamic-gathers that stream from HBM); a Pallas kernel with
+    manual double-buffered DMA lives in ``pallas_attention.py`` and is
+    selected via ``use_pallas=True`` once batch/KV sizes warrant it.
+
+KV writes are scatter-by-(page, offset): the host computes int32 page ids and
+in-page offsets per new token (the "plan" phase, mirroring FlashInfer's
+plan/run split) and the jitted step scatters. Dead/padded batch slots are
+directed at the reserved scratch page 0, so padding needs no masking
+(reference's scratch-page trick, worker/cuda_graph_worker.py:857-866).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+@dataclasses.dataclass
+class AttnMetadata:
+    """Per-step attention metadata (device arrays, host-planned).
+
+    Decode (one token per request, batch B):
+      block_tables: (B, max_pages) int32 — page ids per request, pad = 0
+      seq_lens:     (B,) int32 — tokens in KV *including* this step's token
+      kv_page_ids / kv_page_offsets: (B,) int32 — where this step's K/V goes
+
+    Prefill (ragged, T tokens total):
+      segment_ids:  (T,) int32 — request index per token; padding = -1
+      q_positions:  (T,) int32 — position of each token within its segment
+      kv_page_ids / kv_page_offsets: (T,) int32 — scatter targets (pad -> 0)
+    """
+
+    is_prefill: bool
+    kv_page_ids: jax.Array
+    kv_page_offsets: jax.Array
+    # decode
+    block_tables: Optional[jax.Array] = None
+    seq_lens: Optional[jax.Array] = None
+    # prefill
+    segment_ids: Optional[jax.Array] = None
+    q_positions: Optional[jax.Array] = None
+
+
+def _meta_flatten(m: "AttnMetadata"):
+    children = (m.kv_page_ids, m.kv_page_offsets, m.block_tables, m.seq_lens,
+                m.segment_ids, m.q_positions)
+    return children, m.is_prefill
+
+
+def _meta_unflatten(is_prefill, children):
+    kv_page_ids, kv_page_offsets, block_tables, seq_lens, segment_ids, q_positions = children
+    return AttnMetadata(
+        is_prefill=is_prefill,
+        kv_page_ids=kv_page_ids,
+        kv_page_offsets=kv_page_offsets,
+        block_tables=block_tables,
+        seq_lens=seq_lens,
+        segment_ids=segment_ids,
+        q_positions=q_positions,
+    )
+
+
+jax.tree_util.register_pytree_node(AttnMetadata, _meta_flatten, _meta_unflatten)
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """(..., KH, D) -> (..., KH*n_rep, D) for grouped-query attention."""
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# KV page writes
+# ---------------------------------------------------------------------------
+
+
+def write_kv_prefill(
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    layer: int,
+    k: jax.Array,
+    v: jax.Array,
+    meta: AttnMetadata,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter T new K/V rows into the page pool at a given layer.
+
+    k, v: (T, KH, D). Padded tokens target scratch page 0.
+    """
+    dtype = k_pages.dtype
+    k_pages = k_pages.at[layer, meta.kv_page_ids, meta.kv_page_offsets].set(
+        k.astype(dtype), mode="drop"
+    )
+    v_pages = v_pages.at[layer, meta.kv_page_ids, meta.kv_page_offsets].set(
+        v.astype(dtype), mode="drop"
+    )
+    return k_pages, v_pages
+
+
+# decode writes share the same signature/semantics (B rows instead of T)
+write_kv_decode = write_kv_prefill
+
+
+# ---------------------------------------------------------------------------
+# prefill: ragged causal self-attention by segment mask
+# ---------------------------------------------------------------------------
+
+
+def ragged_prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    meta: AttnMetadata,
+    scale: float | None = None,
+) -> jax.Array:
+    """q: (T, H, D); k, v: (T, KH, D); returns (T, H, D) float32->q.dtype.
+
+    Causal within segment: token i attends j iff seg[i] == seg[j] >= 0 and
+    pos[i] >= pos[j]. O(T^2) dense with mask — T is the prefill bucket
+    (default 1024), which is well within MXU-friendly range.
+    """
+    T, H, D = q.shape
+    KH = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    k = _repeat_kv(k, H // KH)
+    v = _repeat_kv(v, H // KH)
+
+    qf = q.astype(jnp.float32) * scale
+    scores = jnp.einsum("thd,shd->hts", qf, k.astype(jnp.float32))
+
+    seg = meta.segment_ids
+    pos = meta.q_positions
+    valid = (seg[:, None] == seg[None, :]) & (seg[:, None] >= 0)
+    causal = pos[:, None] >= pos[None, :]
+    mask = valid & causal
+    scores = jnp.where(mask[None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hts,shd->thd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# decode: paged attention (pure-JAX gather path)
+# ---------------------------------------------------------------------------
+
+
+def paged_attention_decode(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    layer: int,
+    meta: AttnMetadata,
+    scale: float | None = None,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """q: (B, H, D); page pools (L, P, page, KH, D); returns (B, H, D).
+
+    Gathers each request's block table (B, maxP*page, KH, D) and does masked
+    attention over it. seq_lens already includes the current token, whose K/V
+    must be written *before* calling this.
+    """
+    if use_pallas:
+        from .pallas_attention import pallas_paged_attention_decode
+
+        return pallas_paged_attention_decode(
+            q, k_pages, v_pages, layer, meta, scale=scale
+        )
+
+    B, H, D = q.shape
+    KH = k_pages.shape[3]
+    page_size = k_pages.shape[2]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+
+    # (B, maxP, page, KH, D) -> (B, S, KH, D) with S = maxP * page
+    k = jnp.take(k_pages[layer], meta.block_tables, axis=0)
+    v = jnp.take(v_pages[layer], meta.block_tables, axis=0)
+    S = k.shape[1] * page_size
+    k = k.reshape(B, S, KH, D)
+    v = v.reshape(B, S, KH, D)
+    k = _repeat_kv(k, H // KH)
+    v = _repeat_kv(v, H // KH)
+
+    qf = q.astype(jnp.float32) * scale
+    scores = jnp.einsum("bhd,bshd->bhs", qf, k.astype(jnp.float32))
+    token_idx = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    mask = token_idx < meta.seq_lens[:, None]
+    scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhs,bshd->bhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)

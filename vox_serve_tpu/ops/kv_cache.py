@@ -1,0 +1,93 @@
+"""Paged KV cache: fixed-shape device arrays + a host-side page allocator.
+
+TPU-first design notes (vs reference worker/base.py:170-179):
+  * The cache is a pair of arrays per model,
+    ``k_pages, v_pages: [layers, num_pages, page_size, kv_heads, head_dim]``
+    in bf16. Fixed shape for the whole server lifetime — paging changes
+    *indices*, never shapes, so XLA never recompiles.
+  * Page tables are dense per-request rows ``[max_pages_per_seq]`` int32,
+    padded with page 0 (a reserved scratch page, never allocated), assembled
+    into a ``[batch_bucket, max_pages_per_seq]`` block-table input each step.
+  * Allocation is host-side and O(1): a free-list. Page 0 is reserved as the
+    scratch page used to pad dead batch slots (the reference's scratch-page
+    trick, worker/cuda_graph_worker.py:857-866).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import cdiv
+
+
+@dataclasses.dataclass(frozen=True)
+class KVCacheConfig:
+    num_layers: int
+    num_pages: int
+    page_size: int
+    num_kv_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def max_tokens_pooled(self) -> int:
+        return self.num_pages * self.page_size
+
+    def pages_for(self, num_tokens: int) -> int:
+        return cdiv(num_tokens, self.page_size)
+
+
+def alloc_kv_pages(cfg: KVCacheConfig, sharding=None) -> tuple[jax.Array, jax.Array]:
+    """Allocate the fixed-shape K and V page pools (zeros)."""
+    shape = (cfg.num_layers, cfg.num_pages, cfg.page_size, cfg.num_kv_heads, cfg.head_dim)
+    k = jnp.zeros(shape, dtype=cfg.dtype)
+    v = jnp.zeros(shape, dtype=cfg.dtype)
+    if sharding is not None:
+        k = jax.device_put(k, sharding)
+        v = jax.device_put(v, sharding)
+    return k, v
+
+
+class PageAllocatorError(RuntimeError):
+    pass
+
+
+class PageAllocator:
+    """Host-side O(1) free-list page allocator.
+
+    Page 0 is reserved (scratch page for padded batch slots and page-table
+    padding). Unlike the reference (queue.Empty escaping uncaught,
+    worker/base.py:289), exhaustion raises a typed error so the scheduler can
+    apply admission control.
+    """
+
+    SCRATCH_PAGE = 0
+
+    def __init__(self, num_pages: int):
+        if num_pages < 2:
+            raise ValueError("need at least 2 pages (one reserved)")
+        self.num_pages = num_pages
+        self._free = list(range(num_pages - 1, 0, -1))  # pop() yields 1,2,...
+
+    @property
+    def num_free(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int = 1) -> list[int]:
+        if n > len(self._free):
+            raise PageAllocatorError(
+                f"KV page pool exhausted: requested {n}, free {len(self._free)}"
+            )
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: list[int]) -> None:
+        for p in pages:
+            if p == self.SCRATCH_PAGE:
+                raise PageAllocatorError("cannot free the scratch page")
+            self._free.append(p)
+
+    def can_alloc(self, n: int) -> bool:
+        return n <= len(self._free)

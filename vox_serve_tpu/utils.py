@@ -1,0 +1,81 @@
+"""Logging and small host-side utilities.
+
+Capability parity with the reference's ``vox_serve/utils.py`` (logger factory
+with a process-global, thread-safe log level; HF weight download helpers), but
+independent code. Weight loading lives in ``weights.py``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import threading
+
+_LEVEL_LOCK = threading.Lock()
+_GLOBAL_LEVEL = logging.INFO
+_LOGGERS: dict[str, logging.Logger] = {}
+
+_FMT = "%(asctime)s [%(levelname)s] %(name)s: %(message)s"
+
+
+def set_global_log_level(level: str | int) -> None:
+    """Set the level for all vox_serve_tpu loggers (thread-safe)."""
+    global _GLOBAL_LEVEL
+    if isinstance(level, str):
+        level = getattr(logging, level.upper())
+    with _LEVEL_LOCK:
+        _GLOBAL_LEVEL = level
+        for lg in _LOGGERS.values():
+            lg.setLevel(level)
+
+
+def get_logger(name: str) -> logging.Logger:
+    """Logger factory; all loggers share the global level."""
+    with _LEVEL_LOCK:
+        if name in _LOGGERS:
+            return _LOGGERS[name]
+        lg = logging.getLogger(f"vox_serve_tpu.{name}")
+        lg.setLevel(_GLOBAL_LEVEL)
+        if not lg.handlers:
+            h = logging.StreamHandler(sys.stderr)
+            h.setFormatter(logging.Formatter(_FMT))
+            lg.addHandler(h)
+        lg.propagate = False
+        _LOGGERS[name] = lg
+        return lg
+
+
+class RankLogger(logging.LoggerAdapter):
+    """Prefixes messages with a data-parallel rank, like the reference's
+    LoggerAdapter (scheduler/base.py:50-58)."""
+
+    def __init__(self, logger: logging.Logger, rank: int | None):
+        super().__init__(logger, {})
+        self.rank = rank
+
+    def process(self, msg, kwargs):
+        if self.rank is None:
+            return msg, kwargs
+        return f"[dp rank {self.rank}] {msg}", kwargs
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def next_power_of_2(x: int) -> int:
+    if x <= 1:
+        return 1
+    return 1 << (x - 1).bit_length()
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() not in ("0", "false", "no", "off", "")
