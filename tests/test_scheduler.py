@@ -1,0 +1,199 @@
+import json
+import queue
+
+import numpy as np
+import pytest
+
+from vox_serve_tpu.requests import Request
+from vox_serve_tpu.scheduler.base import Scheduler
+from vox_serve_tpu.scheduler.offline import OfflineScheduler
+from vox_serve_tpu.scheduler.online import OnlineScheduler
+
+
+class FakeWorker:
+    """Policy-level stand-in: 'generates' canned tokens, no device work."""
+
+    def __init__(self, interval=4, overlap=0, max_prefill_tokens=64):
+        self.detokenize_interval = interval
+        self.detokenize_overlap = overlap
+        self.max_prefill_tokens = max_prefill_tokens
+        self.supports_audio_input = False
+        self.prefills = []
+        self.decodes = []
+        self.detoks = []
+
+        class _M:
+            sample_rate = 16000
+            n_channels = 1
+            supports_input_streaming = False
+            model_name = "fake"
+        self.model = _M()
+
+    def can_admit(self, n):
+        return True
+
+    def run_lm_prefill(self, reqs):
+        self.prefills.append(list(reqs))
+        for r in reqs:
+            if r.input_tokens is None:
+                r.input_tokens = np.zeros((4, 1), np.int32)
+                r.input_length = 4
+            r.done_lm_prefill = True
+            tok = np.array([7], np.int32)
+            r.lm_output_tokens.append(tok)
+            r.lm_output_audio_tokens.append(tok)
+
+    def run_lm_decode(self, reqs):
+        self.decodes.append(list(reqs))
+        for r in reqs:
+            tok = np.array([7], np.int32)
+            r.lm_output_tokens.append(tok)
+            r.lm_output_audio_tokens.append(tok)
+            if len(r.lm_output_tokens) >= 12:
+                r.done_lm_generation = True
+
+    def run_detokenize(self, reqs):
+        self.detoks.append(list(reqs))
+        for r in reqs:
+            r.audio_decode_idx = list(r.next_audio_decode_idx)
+            for _ in r.audio_decode_idx:
+                r.output_audio.put(b"\x00" * 640)
+            if r.done_lm_generation and r.audio_decode_idx and (
+                r.audio_decode_idx[-1] + self.detokenize_interval
+                >= len(r.lm_output_audio_tokens)
+            ):
+                r.done_all = True
+
+    def free_kv_cache(self, req):
+        req.kv_pages = []
+        req.slot = None
+
+
+def _sched(cls=Scheduler, **kw):
+    return cls(model_worker=FakeWorker(), max_batch_size=4, connect=False, **kw)
+
+
+def test_prefill_has_priority_and_is_exclusive():
+    s = _sched()
+    new = Request(request_id="a", prompt="hi")
+    running = Request(request_id="b", prompt="x", done_lm_prefill=True)
+    running.lm_output_tokens.append(np.array([1], np.int32))
+    s.active_requests = [running, new]
+    sel = s._select_lm_requests()
+    assert sel == [new]  # one prefill, no decode piggyback
+
+
+def test_decode_batch_caps_at_max_batch_size():
+    s = _sched()
+    reqs = []
+    for i in range(6):
+        r = Request(request_id=str(i), done_lm_prefill=True)
+        r.lm_output_tokens.append(np.array([1], np.int32))
+        reqs.append(r)
+    s.active_requests = reqs
+    sel = s._select_lm_requests()
+    assert len(sel) == 4
+
+
+def test_detokenize_window_selection():
+    s = _sched()
+    r = Request(request_id="a", done_lm_prefill=True)
+    r.lm_output_audio_tokens = [np.array([1], np.int32)] * 9
+    s.active_requests = [r]
+    sel = s._select_detokenize_requests()
+    assert sel == [r] and r.next_audio_decode_idx == [0]
+    # simulate one detokenize done
+    r.audio_decode_idx = [0]
+    sel2 = s._select_detokenize_requests()
+    assert sel2 == [r] and r.next_audio_decode_idx == [4]
+    # only 1 token beyond idx 8 -> not enough for full window, not done
+    r.audio_decode_idx = [4]
+    r.next_audio_decode_idx = [4]
+    assert s._select_detokenize_requests() == []
+    # generation done -> final partial window scheduled
+    r.done_lm_generation = True
+    sel3 = s._select_detokenize_requests()
+    assert sel3 == [r] and r.next_audio_decode_idx == [8]
+
+
+def test_full_loop_completes_request():
+    s = _sched()
+    req = Request(request_id="r", prompt="hello", is_streaming=True)
+    s.enqueue_request(req)
+    for _ in range(40):
+        s._step()
+        if req.done_all:
+            break
+    assert req.done_all
+    msgs = s._inproc_results
+    kinds = [m.split(b"|")[1] for m in msgs]
+    assert b"AUDIO" in kinds
+    assert kinds[-1] == b"COMPLETION"
+    comp = json.loads(msgs[-1].split(b"|", 2)[2])
+    assert comp["status"] == "completed"
+
+
+def test_online_pressing_priority():
+    s = _sched(OnlineScheduler)
+    pressing = Request(request_id="p", done_lm_prefill=True, is_streaming=True,
+                       is_pressing=True)
+    pressing.lm_output_tokens.append(np.array([1], np.int32))
+    idle = []
+    for i in range(4):
+        r = Request(request_id=f"i{i}", done_lm_prefill=True)
+        r.lm_output_tokens.append(np.array([1], np.int32))
+        idle.append(r)
+    s.active_requests = idle + [pressing]
+    sel = s._select_lm_requests()
+    assert sel[0] is pressing  # critical first, background piggybacked
+    assert len(sel) == 4
+
+
+def test_online_detok_proportional_allocation():
+    s = _sched(OnlineScheduler)
+    a = Request(request_id="a", done_lm_prefill=True, is_streaming=True,
+                is_pressing=True)
+    a.lm_output_audio_tokens = [np.array([1], np.int32)] * 20
+    b = Request(request_id="b", done_lm_prefill=True, is_streaming=True,
+                is_pressing=True)
+    b.lm_output_audio_tokens = [np.array([1], np.int32)] * 20
+    s.active_requests = [a, b]
+    sel = s._select_detokenize_requests()
+    assert set(x.request_id for x in sel) == {"a", "b"}
+    total_chunks = len(a.next_audio_decode_idx) + len(b.next_audio_decode_idx)
+    assert total_chunks <= s.detokenize_max_batch_size
+    assert len(a.next_audio_decode_idx) >= 1
+    assert len(b.next_audio_decode_idx) >= 1
+
+
+def test_online_no_pressing_no_detok():
+    s = _sched(OnlineScheduler)
+    a = Request(request_id="a", done_lm_prefill=True)  # not streaming
+    a.lm_output_audio_tokens = [np.array([1], np.int32)] * 8
+    s.active_requests = [a]
+    assert s._select_detokenize_requests() == []
+
+
+def test_offline_defers_detok_until_lm_done():
+    s = _sched(OfflineScheduler)
+    a = Request(request_id="a", done_lm_prefill=True)
+    a.lm_output_audio_tokens = [np.array([1], np.int32)] * 8
+    s.active_requests = [a]
+    assert s._select_detokenize_requests() == []  # LM ongoing
+    a.done_lm_generation = True
+    sel = s._select_detokenize_requests()
+    assert sel == [a]
+    assert a.next_audio_decode_idx == [0, 4]  # packs all available chunks
+
+
+def test_request_payload_parsing():
+    s = _sched()
+    payload = json.dumps({
+        "request_id": "x1", "prompt": "hi there", "is_streaming": True,
+        "model_kwargs": {"speaker": "vivian"},
+    }).encode() + b"|body"
+    req = s._handle_request_payload(payload)
+    assert req.request_id == "x1"
+    assert req.is_streaming and req.is_pressing
+    assert req.model_kwargs == {"speaker": "vivian"}
+    assert s._handle_request_payload(b"garbage-no-delimiter") is None

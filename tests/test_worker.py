@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from vox_serve_tpu.models.dummy import DummyLM
+from vox_serve_tpu.requests import Request
+from vox_serve_tpu.sampling import SamplingConfig
+from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+
+@pytest.fixture(scope="module")
+def worker():
+    model = DummyLM(max_tokens=16)
+    cfg = WorkerConfig(max_batch_size=4, num_pages=64, page_size=8,
+                       prefill_token_buckets=(64,), max_prefill_requests=4,
+                       warmup=False)
+    return ModelWorker(model, cfg)
+
+
+def _mkreq(rid, prompt="hello world"):
+    return Request(request_id=rid, prompt=prompt,
+                   sampling_config=SamplingConfig(max_tokens=16))
+
+
+def test_prefill_then_decode(worker):
+    req = _mkreq("r1")
+    worker.run_lm_prefill([req])
+    assert req.done_lm_prefill
+    assert req.num_generated == 1
+    assert req.kv_pages and req.kv_token_len == req.input_length
+
+    for _ in range(8):
+        if req.done_lm_generation:
+            break
+        worker.run_lm_decode([req])
+    assert req.num_generated >= 2
+    for tok in req.lm_output_tokens:
+        assert 0 <= int(tok[0]) < 64
+    worker.free_kv_cache(req)
+    assert req.slot is None and not req.kv_pages
+
+
+def test_batched_decode_two_requests(worker):
+    r1, r2 = _mkreq("r2", "aaaa"), _mkreq("r3", "bbbbbbbb")
+    worker.run_lm_prefill([r1, r2])
+    assert r1.num_generated == r2.num_generated == 1
+    for _ in range(4):
+        live = [r for r in (r1, r2) if not r.done_lm_generation]
+        if not live:
+            break
+        worker.run_lm_decode(live)
+    assert r1.num_generated >= 2 and r2.num_generated >= 2
+    worker.free_kv_cache(r1)
+    worker.free_kv_cache(r2)
+
+
+def test_detokenize_produces_pcm(worker):
+    req = _mkreq("r4", "xyzw")
+    worker.run_lm_prefill([req])
+    while len(req.lm_output_audio_tokens) < 8 and not req.done_lm_generation:
+        worker.run_lm_decode([req])
+    n_chunks_avail = len(req.lm_output_audio_tokens) // 4
+    assert n_chunks_avail >= 1
+    req.next_audio_decode_idx = [0]
+    worker.run_detokenize([req])
+    pcm = req.output_audio.get_nowait()
+    # 4 tokens * 80 samples * int16
+    assert len(pcm) == 4 * 80 * 2
+    x = np.frombuffer(pcm, np.int16)
+    assert np.abs(x).max() > 1000  # actual signal, not silence
+    worker.free_kv_cache(req)
+
+
+def test_final_partial_chunk_trim_rule(worker):
+    """Reference rule: pad final chunk to interval, then trim audio to
+    (len - 0.5) / interval (worker/base.py:662-669)."""
+    req = _mkreq("r5", "qq")
+    worker.run_lm_prefill([req])
+    while len(req.lm_output_audio_tokens) < 6 and not req.done_lm_generation:
+        worker.run_lm_decode([req])
+    req.done_lm_generation = True
+    # first full chunk
+    req.next_audio_decode_idx = [0]
+    worker.run_detokenize([req])
+    req.output_audio.get_nowait()
+    # partial final chunk of 2 tokens (indices 4,5)
+    req.lm_output_audio_tokens = req.lm_output_audio_tokens[:6]
+    req.audio_decode_idx = [0]
+    req.next_audio_decode_idx = [4]
+    worker.run_detokenize([req])
+    pcm = req.output_audio.get_nowait()
+    expected = int(4 * 80 * (2 - 0.5) / 4) * 2
+    assert len(pcm) == expected
+    assert req.done_all
+    worker.free_kv_cache(req)
+
+
+def test_kv_pages_grow_across_page_boundary(worker):
+    req = _mkreq("r6", "a" * 8)  # exactly one page (page_size=8)
+    worker.run_lm_prefill([req])
+    assert len(req.kv_pages) == 1
+    worker.run_lm_decode([req])  # token 9 -> new page
+    assert len(req.kv_pages) == 2
+    worker.free_kv_cache(req)
+
+
+def test_slot_reuse_and_allocator_balance(worker):
+    free_before = worker.allocator.num_free
+    slots_before = len(worker._free_slots)
+    reqs = [_mkreq(f"r7{i}", "hi") for i in range(3)]
+    worker.run_lm_prefill(reqs)
+    for r in reqs:
+        worker.run_lm_decode([r])
+        worker.free_kv_cache(r)
+    assert worker.allocator.num_free == free_before
+    assert len(worker._free_slots) == slots_before

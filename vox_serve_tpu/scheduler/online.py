@@ -1,0 +1,161 @@
+"""Playback-deadline-aware ("pressing") scheduler.
+
+Policy parity with reference scheduler/online.py: streaming requests are
+*pressing* until their first chunk is sent, and again whenever client-side
+playback has caught up to within 1 s of the last sent chunk. Critical decodes
+are batched first with non-critical piggybacked; the detokenize batch is
+proportionally allocated across pressing requests and may assign multiple
+chunk windows to one request.
+"""
+
+from __future__ import annotations
+
+import time
+
+from ..requests import Request
+from .base import Scheduler
+
+PRESSING_BUFFER_S = 1.0
+
+
+class OnlineScheduler(Scheduler):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.detokenize_max_batch_size = self.max_batch_size
+
+    # -- intake hooks ---------------------------------------------------
+    def _prepare_requests(self) -> None:
+        super()._prepare_requests()
+        self._update_pressing_status()
+
+    def _update_pressing_status(self) -> None:
+        now = time.time()
+        for req in self.active_requests:
+            if not req.is_streaming:
+                req.is_pressing = False
+                continue
+            if not req.chunk_send_timestamps:
+                req.is_pressing = True
+                continue
+            first_send = req.chunk_send_timestamps[0]
+            total_playback = sum(req.chunk_durations)
+            latest_chunk_start = first_send + total_playback - req.chunk_durations[-1]
+            req.is_pressing = now >= latest_chunk_start - PRESSING_BUFFER_S
+
+    # -- LM selection: critical first ------------------------------------
+    def _select_lm_requests(self) -> list[Request]:
+        prefill, critical, background = [], [], []
+        for req in self.active_requests:
+            if req.done_lm_generation:
+                continue
+            if not req.done_lm_prefill:
+                prefill.append(req)
+            elif req.is_pressing:
+                critical.append(req)
+            else:
+                background.append(req)
+
+        max_seq = self.model_worker.max_prefill_tokens
+        for req in prefill:
+            est = req.input_length or self._estimate_prompt_len(req)
+            if est <= max_seq and self.model_worker.can_admit(est):
+                return [req]
+
+        out = critical[: self.max_batch_size]
+        for req in background:
+            if len(out) >= self.max_batch_size:
+                break
+            out.append(req)
+        return out
+
+    # -- detokenize selection: proportional allocation --------------------
+    def _select_detokenize_requests(self) -> list[Request]:
+        interval = self.model_worker.detokenize_interval
+        step = interval - self.model_worker.detokenize_overlap
+
+        candidates = []
+        for req in self.active_requests:
+            next_idx = (req.next_audio_decode_idx[-1] + step
+                        if req.next_audio_decode_idx else 0)
+            if req.done_lm_generation:
+                if next_idx < len(req.lm_output_audio_tokens):
+                    candidates.append(req)
+                else:
+                    req.done_all = True
+                    candidates.append(req)
+            elif next_idx + interval <= len(req.lm_output_audio_tokens):
+                candidates.append(req)
+        if not candidates:
+            return []
+
+        critical = [r for r in candidates if r.is_pressing]
+        background = [r for r in candidates if not r.is_pressing]
+        done_all = [r for r in candidates if r.done_all]
+
+        if not critical:
+            return done_all
+
+        # remaining-chunk counts per critical request
+        def remaining_chunks(req: Request) -> int:
+            next_idx = (req.next_audio_decode_idx[-1] + step
+                        if req.next_audio_decode_idx else 0)
+            remaining = len(req.lm_output_audio_tokens) - next_idx
+            count = max(0, remaining // step)
+            if req.done_lm_generation and remaining > 0:
+                count += 1
+            return count
+
+        counts = [remaining_chunks(r) for r in critical]
+        total = sum(counts)
+        cap = self.detokenize_max_batch_size
+        if total <= cap:
+            assigned = counts
+        else:
+            assigned = [max(1, (c * cap) // total) for c in counts]
+            while sum(assigned) > cap:
+                changed = False
+                for i in range(len(assigned)):
+                    if assigned[i] > 1:
+                        assigned[i] -= 1
+                        changed = True
+                        if sum(assigned) <= cap:
+                            break
+                if not changed:
+                    break
+
+        selected: list[Request] = []
+        used = 0
+
+        def take_chunks(req: Request, budget: int) -> int:
+            next_idx = (req.next_audio_decode_idx[-1] + step
+                        if req.next_audio_decode_idx else 0)
+            idxs = []
+            while (budget > 0 and
+                   next_idx + interval <= len(req.lm_output_audio_tokens)):
+                idxs.append(next_idx)
+                next_idx += step
+                budget -= 1
+            if (req.done_lm_generation and budget > 0
+                    and next_idx < len(req.lm_output_audio_tokens)):
+                idxs.append(next_idx)
+                budget -= 1
+            if not idxs:
+                if req.done_all:
+                    selected.append(req)
+                return 0
+            req.next_audio_decode_idx = idxs
+            selected.append(req)
+            return len(idxs)
+
+        for req, quota in zip(critical, assigned):
+            if quota > 0:
+                used += take_chunks(req, quota)
+
+        if used < cap:
+            left = cap - used
+            for req in background:
+                if left <= 0:
+                    break
+                left -= take_chunks(req, left)
+
+        return selected

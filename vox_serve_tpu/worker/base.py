@@ -1,0 +1,510 @@
+"""ModelWorker: bucketed jit executables over persistent device state.
+
+This is the XLA re-design of the reference's ModelWorker + CudaGraphWorker
+(worker/base.py, worker/cuda_graph_worker.py). The CUDA-graph dictionary
+becomes a dictionary of **jit-compiled executables keyed by (phase, bucket)**;
+live batches are padded up to the nearest bucket and padded slots target the
+reserved scratch KV page, exactly mirroring the reference's bucket+scratch-page
+policy (cuda_graph_worker.py:751-760, 857-866) — but capture/replay and static
+buffer copies disappear: XLA executables take arrays directly, and JAX's async
+dispatch overlaps host scheduling with device execution.
+
+Per-request device state (repetition cache, feedback features, codec caches)
+lives in persistent arrays with a leading ``max_batch_size`` **slot** axis.
+A request is pinned to a slot on admission; steps gather/scatter rows by slot
+id *inside* the jit, so per-step state never crosses the host boundary
+(replaces the reference's per-request tensors concatenated each step and the
+DecoderCache.cat/copy_from protocol, tokenizer/base.py:8-173).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import BaseLM, StepOutput
+from ..ops.attention import AttnMetadata
+from ..ops.kv_cache import KVCacheConfig, PageAllocator, alloc_kv_pages
+from ..requests import Request
+from ..sampling import init_repetition_cache
+from ..utils import cdiv, get_logger, next_power_of_2
+
+
+@dataclasses.dataclass(frozen=True)
+class WorkerConfig:
+    max_batch_size: int = 8
+    num_pages: int = 2048
+    page_size: int = 16
+    prefill_token_buckets: tuple[int, ...] = (1024,)
+    max_prefill_requests: int = 8
+    use_pallas: bool = False
+    warmup: bool = True
+    seed: int = 0
+    #: place the audio detokenizer on a different device (disaggregation)
+    detokenizer_device_index: Optional[int] = None
+
+    @property
+    def decode_buckets(self) -> tuple[int, ...]:
+        b, out = 1, []
+        while b < self.max_batch_size:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch_size)
+        return tuple(out)
+
+
+class ModelWorker:
+    def __init__(self, model: BaseLM, config: WorkerConfig | None = None,
+                 rank: int | None = None):
+        self.model = model
+        self.config = config or WorkerConfig()
+        self.logger = get_logger("worker")
+        cfg = self.config
+
+        bb = model.backbone_config
+        self.kv_config = KVCacheConfig(
+            num_layers=bb.num_layers,
+            num_pages=cfg.num_pages,
+            page_size=cfg.page_size,
+            num_kv_heads=bb.num_kv_heads,
+            head_dim=bb.resolved_head_dim,
+            dtype=bb.dtype,
+        )
+        self.k_pages, self.v_pages = alloc_kv_pages(self.kv_config)
+        self.allocator = PageAllocator(cfg.num_pages)
+        # static width of per-request block tables
+        self.max_pages_per_seq = cdiv(model.max_tokens + 8, cfg.page_size) + 1
+
+        # slots
+        self._free_slots = list(range(cfg.max_batch_size - 1, -1, -1))
+
+        # persistent per-slot device state
+        self.rep_cache = None
+        if model.use_repetition_penalty:
+            sc = model.sampling_config
+            self.rep_cache = init_repetition_cache(
+                cfg.max_batch_size, sc.cache_window, model.n_codebooks,
+                model.vocab_size,
+            )
+        self.feedback = None
+        if model.feedback_dim:
+            self.feedback = jnp.zeros(
+                (cfg.max_batch_size, model.feedback_dim), dtype=bb.dtype
+            )
+        # device placement: LM on device 0, detokenizer optionally elsewhere
+        devices = jax.devices()
+        self.lm_device = devices[0]
+        if cfg.detokenizer_device_index is not None:
+            self.detokenizer_device = devices[cfg.detokenizer_device_index]
+        else:
+            self.detokenizer_device = self.lm_device
+
+        self.codec_cache = model.init_decoder_cache(cfg.max_batch_size)
+        if self.detokenizer_device is not self.lm_device:
+            if self.codec_cache is not None:
+                self.codec_cache = jax.device_put(
+                    self.codec_cache, self.detokenizer_device)
+            model.codec_params = jax.device_put(
+                model.codec_params, self.detokenizer_device)
+
+        self._base_key = jax.random.key(cfg.seed)
+        self._step_counter = 0
+
+        self._lm_fns: dict[tuple, Any] = {}
+        self._detok_fns: dict[int, Any] = {}
+
+        if cfg.warmup:
+            self.warmup()
+
+    # ------------------------------------------------------------------
+    # properties mirrored from the model (scheduler-facing)
+    # ------------------------------------------------------------------
+    @property
+    def detokenize_interval(self) -> int:
+        return self.model.detokenize_interval
+
+    @property
+    def detokenize_overlap(self) -> int:
+        return self.model.detokenize_overlap
+
+    @property
+    def supports_audio_input(self) -> bool:
+        return self.model.supports_audio_input
+
+    @property
+    def available_batch_sizes(self) -> tuple[int, ...]:
+        return self.config.decode_buckets
+
+    @property
+    def max_prefill_tokens(self) -> int:
+        return max(self.config.prefill_token_buckets)
+
+    # ------------------------------------------------------------------
+    # admission / release
+    # ------------------------------------------------------------------
+    def can_admit(self, num_prompt_tokens: int) -> bool:
+        pages = cdiv(max(num_prompt_tokens, 1), self.config.page_size) + 1
+        return bool(self._free_slots) and self.allocator.can_alloc(pages)
+
+    def admit(self, req: Request) -> None:
+        assert req.slot is None
+        req.slot = self._free_slots.pop()
+
+    def free_kv_cache(self, req: Request) -> None:
+        if req.kv_pages:
+            self.allocator.free(req.kv_pages)
+            req.kv_pages = []
+        if req.slot is not None:
+            self._free_slots.append(req.slot)
+            req.slot = None
+
+    # ------------------------------------------------------------------
+    # jitted step builders
+    # ------------------------------------------------------------------
+    def _get_lm_fn(self, phase: str, bucket: tuple):
+        key = (phase, bucket)
+        fn = self._lm_fns.get(key)
+        if fn is None:
+            fn = self._build_lm_fn(phase)
+            self._lm_fns[key] = fn
+        return fn
+
+    def _build_lm_fn(self, phase: str):
+        model = self.model
+
+        def step(params, token_ids, positions, features, masks, meta,
+                 k_pages, v_pages, rep_cache, feedback, slot_ids,
+                 base_key, counter, last_idx):
+            rng = jax.random.fold_in(base_key, counter)
+            rep_rows = None
+            if rep_cache is not None:
+                rep_rows = jnp.take(rep_cache, slot_ids, axis=0, mode="clip")
+            if feedback is not None and phase == "decode" and model.feedback_dim:
+                feat_rows = jnp.take(feedback, slot_ids, axis=0, mode="clip")
+                features = feat_rows
+            out: StepOutput = model.lm_step(
+                params, token_ids, positions, features, masks, meta,
+                k_pages, v_pages, rng, rep_rows,
+                last_token_idx=last_idx if phase == "prefill" else None,
+            )
+            new_rep = rep_cache
+            if rep_cache is not None and out.repetition_cache is not None:
+                new_rep = rep_cache.at[slot_ids].set(
+                    out.repetition_cache, mode="drop")
+            new_feedback = feedback
+            if feedback is not None and out.feedback is not None:
+                new_feedback = feedback.at[slot_ids].set(
+                    out.feedback.astype(feedback.dtype), mode="drop")
+            return out.sampled, out.k_pages, out.v_pages, new_rep, new_feedback
+
+        return jax.jit(step, donate_argnums=(6, 7, 8, 9))
+
+    def _get_detok_fn(self, bucket: int):
+        fn = self._detok_fns.get(bucket)
+        if fn is None:
+            model = self.model
+
+            def detok(codec_params, token_ids, cache, slot_ids):
+                rows = None
+                if cache is not None:
+                    rows = jax.tree.map(
+                        lambda a: jnp.take(a, slot_ids, axis=0, mode="clip"),
+                        cache)
+                audio, new_rows = model.detokenize(codec_params, token_ids, rows)
+                new_cache = cache
+                if cache is not None and new_rows is not None:
+                    new_cache = jax.tree.map(
+                        lambda a, r: a.at[slot_ids].set(
+                            r.astype(a.dtype), mode="drop"),
+                        cache, new_rows)
+                return audio, new_cache
+
+            fn = jax.jit(detok, donate_argnums=(2,))
+            self._detok_fns[bucket] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # prefill
+    # ------------------------------------------------------------------
+    def prefill_token_bucket(self, total_tokens: int) -> int:
+        for b in sorted(self.config.prefill_token_buckets):
+            if total_tokens <= b:
+                return b
+        raise ValueError(
+            f"prefill of {total_tokens} tokens exceeds the largest bucket "
+            f"{max(self.config.prefill_token_buckets)}"
+        )
+
+    def run_lm_prefill(self, requests: list[Request]) -> None:
+        if not requests:
+            return
+        model = self.model
+        C = model.n_codebooks
+        cfg = self.config
+        page_size = cfg.page_size
+
+        for req in requests:
+            if req.slot is None:
+                self.admit(req)
+            if req.input_tokens is None:
+                po = model.preprocess(req.prompt, req.audio_path,
+                                      **req.model_kwargs)
+                req.input_tokens = np.asarray(po.input_tokens, np.int32)
+                req.input_length = len(req.input_tokens)
+                req.input_features = po.input_features
+                req.input_masks = po.input_masks
+                if po.decoder_cache_init is not None and self.codec_cache is not None:
+                    self._write_slot_cache(req.slot, po.decoder_cache_init)
+
+        total = sum(r.input_length for r in requests)
+        T = self.prefill_token_bucket(total)
+        B = cfg.max_prefill_requests
+        assert len(requests) <= B
+
+        tokens = np.zeros((T, C), np.int32)
+        seg = np.full((T,), -1, np.int32)
+        pos = np.zeros((T,), np.int32)
+        page_ids = np.zeros((T,), np.int32)
+        offsets = np.arange(T, dtype=np.int32) % page_size
+        last_idx = np.zeros((B,), np.int32)
+        feat = None
+        if model.needs_input_features:
+            F = requests[0].input_features.shape[-1]
+            feat = np.zeros((T, F), requests[0].input_features.dtype)
+        msk = None
+        if model.needs_input_masks:
+            M = requests[0].input_masks.shape[-1]
+            msk = np.zeros((T, M), requests[0].input_masks.dtype)
+
+        cursor = 0
+        slot_ids = np.full((B,), cfg.max_batch_size, np.int32)
+        for i, req in enumerate(requests):
+            L = req.input_length
+            pages = self.allocator.alloc(cdiv(L, page_size))
+            req.kv_pages = pages
+            req.kv_token_len = L
+            tokens[cursor:cursor + L] = req.input_tokens
+            seg[cursor:cursor + L] = i
+            pos[cursor:cursor + L] = np.arange(L)
+            for t in range(L):
+                page_ids[cursor + t] = pages[t // page_size]
+                offsets[cursor + t] = t % page_size
+            if feat is not None and req.input_features is not None:
+                feat[cursor:cursor + L] = req.input_features
+            if msk is not None and req.input_masks is not None:
+                msk[cursor:cursor + L] = req.input_masks
+            last_idx[i] = cursor + L - 1
+            slot_ids[i] = req.slot
+            cursor += L
+
+        meta = AttnMetadata(
+            True,
+            jnp.asarray(page_ids), jnp.asarray(offsets),
+            segment_ids=jnp.asarray(seg), q_positions=jnp.asarray(pos),
+        )
+        fn = self._get_lm_fn("prefill", (T, B))
+        self._step_counter += 1
+        sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback = fn(
+            model.params, jnp.asarray(tokens), jnp.asarray(pos),
+            None if feat is None else jnp.asarray(feat),
+            None if msk is None else jnp.asarray(msk),
+            meta, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+            jnp.asarray(slot_ids), self._base_key,
+            jnp.int32(self._step_counter), jnp.asarray(last_idx),
+        )
+        sampled_np = np.asarray(jax.device_get(sampled))
+        for i, req in enumerate(requests):
+            req.done_lm_prefill = True
+            model.update_request_state(req, sampled_np[i])
+            # prefill consumed L tokens; sampled token occupies the next KV
+            # position at the coming decode step
+
+    # ------------------------------------------------------------------
+    # decode
+    # ------------------------------------------------------------------
+    def _decode_bucket(self, n: int) -> int:
+        for b in self.config.decode_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"batch {n} exceeds max_batch_size")
+
+    def run_lm_decode(self, requests: list[Request]) -> None:
+        if not requests:
+            return
+        model = self.model
+        C = model.n_codebooks
+        cfg = self.config
+        page_size = cfg.page_size
+        B = self._decode_bucket(len(requests))
+
+        tokens = np.zeros((B, C), np.int32)
+        positions = np.zeros((B,), np.int32)
+        page_ids = np.zeros((B,), np.int32)
+        offsets = np.zeros((B,), np.int32)
+        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        seq_lens = np.ones((B,), np.int32)
+        slot_ids = np.full((B,), cfg.max_batch_size, np.int32)
+
+        for i, req in enumerate(requests):
+            tokens[i] = self.next_input_tokens(req)
+            pos = req.next_position_id - 1  # position of the token being fed
+            positions[i] = pos
+            # grow KV by one token
+            t = req.kv_token_len
+            if t % page_size == 0:
+                req.kv_pages.extend(self.allocator.alloc(1))
+            page_ids[i] = req.kv_pages[t // page_size]
+            offsets[i] = t % page_size
+            req.kv_token_len = t + 1
+            n_pages = len(req.kv_pages)
+            block_tables[i, :n_pages] = req.kv_pages
+            seq_lens[i] = req.kv_token_len
+            slot_ids[i] = req.slot
+
+        meta = AttnMetadata(
+            False,
+            jnp.asarray(page_ids), jnp.asarray(offsets),
+            block_tables=jnp.asarray(block_tables),
+            seq_lens=jnp.asarray(seq_lens),
+        )
+        fn = self._get_lm_fn("decode", (B,))
+        self._step_counter += 1
+        sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback = fn(
+            model.params, jnp.asarray(tokens), jnp.asarray(positions),
+            None, None, meta, self.k_pages, self.v_pages, self.rep_cache,
+            self.feedback, jnp.asarray(slot_ids), self._base_key,
+            jnp.int32(self._step_counter), None,
+        )
+        sampled_np = np.asarray(jax.device_get(sampled))
+        for i, req in enumerate(requests):
+            model.update_request_state(req, sampled_np[i])
+
+    def next_input_tokens(self, req: Request) -> np.ndarray:
+        """Token(s) fed at this decode step; handles streaming-text injection
+        (reference worker/base.py:362-394) via model hooks."""
+        tok = req.lm_output_tokens[-1].copy()
+        if req.is_input_streaming:
+            tok = self._inject_streaming_text_token(req, tok)
+        return tok
+
+    def _inject_streaming_text_token(self, req: Request, tok: np.ndarray) -> np.ndarray:
+        """Inject the next streamed text token into the model's text channel
+        (reference worker/base.py:362-394; channel = last codebook column for
+        dual-channel models like Qwen3-TTS)."""
+        model = self.model
+        ch = model.text_channel_index
+        if not req.pending_text_tokens.empty():
+            tok[ch] = req.pending_text_tokens.get()
+            req.waiting_for_text = False
+        elif req.text_complete and not req.eos_injected:
+            tok[ch] = model.text_stream_eos_token()
+            req.eos_injected = True
+        else:
+            tok[ch] = model.text_stream_pad_token()
+            if not req.text_complete:
+                req.waiting_for_text = True
+        return tok
+
+    # ------------------------------------------------------------------
+    # detokenize
+    # ------------------------------------------------------------------
+    def run_detokenize(self, requests: list[Request]) -> None:
+        """Decode `audio_decode_idx` chunk windows into PCM on-device, then
+        trim/emit per the reference rules (worker/base.py:616-681)."""
+        if not requests:
+            return
+        model = self.model
+        interval = model.detokenize_interval
+        C = model.n_codebooks
+
+        windows = []
+        mapping = []  # (req_idx, chunk_idx)
+        for ri, req in enumerate(requests):
+            req.audio_decode_idx = list(req.next_audio_decode_idx)
+            if self.codec_cache is not None and len(req.audio_decode_idx) > 1:
+                # Stateful codec caches are per-slot; chunks of one request
+                # must see each other's state sequentially, so batch only the
+                # first chunk and roll the rest back into next_audio_decode_idx
+                # for the following scheduler step.
+                req.audio_decode_idx = req.audio_decode_idx[:1]
+                req.next_audio_decode_idx = req.audio_decode_idx
+            for ci, decode_idx in enumerate(req.audio_decode_idx):
+                toks = req.lm_output_audio_tokens[decode_idx:decode_idx + interval]
+                if not toks:
+                    continue
+                arr = np.stack(toks, axis=0)
+                if len(arr) < interval:
+                    pad = np.repeat(arr[-1:], interval - len(arr), axis=0)
+                    arr = np.concatenate([arr, pad], axis=0)
+                windows.append(arr)
+                mapping.append((ri, ci))
+        if not windows:
+            self._maybe_finish(requests)
+            return
+
+        n = len(windows)
+        B = self._decode_bucket(min(n, self.config.max_batch_size)) if n <= self.config.max_batch_size else n
+        token_ids = np.zeros((B, interval, C), np.int32)
+        slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
+        for i, w in enumerate(windows):
+            token_ids[i] = w
+            slot_ids[i] = requests[mapping[i][0]].slot
+
+        fn = self._get_detok_fn(B)
+        tok_dev = jax.device_put(token_ids, self.detokenizer_device)
+        slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
+        audio, self.codec_cache = fn(
+            model.codec_params, tok_dev, self.codec_cache, slot_dev)
+        audio_np = np.asarray(jax.device_get(audio))  # (B, ch, samples)
+
+        for i, (ri, ci) in enumerate(mapping):
+            req = requests[ri]
+            decode_idx = req.audio_decode_idx[ci]
+            pcm = np.clip(audio_np[i], -1.0, 1.0)
+            pcm16 = (pcm * 32767.0).astype(np.int16)
+            last_chunk_len = len(
+                req.lm_output_audio_tokens[decode_idx:decode_idx + interval])
+            if last_chunk_len < interval:
+                trim = int(pcm16.shape[1] * (last_chunk_len - 0.5) / interval)
+                pcm16 = pcm16[:, :max(trim, 0)]
+            req.output_audio.put(pcm16.tobytes())
+
+        self._maybe_finish(requests)
+
+    def _maybe_finish(self, requests: list[Request]) -> None:
+        interval = self.model.detokenize_interval
+        for req in requests:
+            if req.done_lm_generation and req.audio_decode_idx and (
+                req.audio_decode_idx[-1] + interval
+                >= len(req.lm_output_audio_tokens)
+            ):
+                req.done_all = True
+            elif req.done_lm_generation and not req.lm_output_audio_tokens:
+                req.done_all = True
+
+    # ------------------------------------------------------------------
+    # slot cache init
+    # ------------------------------------------------------------------
+    def _write_slot_cache(self, slot: int, row_pytree: Any) -> None:
+        self.codec_cache = jax.tree.map(
+            lambda a, r: a.at[slot].set(jnp.asarray(r).astype(a.dtype)),
+            self.codec_cache, row_pytree)
+
+    # ------------------------------------------------------------------
+    # warmup: compile every bucket up front (the reference's capture phase)
+    # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        t0 = time.monotonic()
+        self.logger.info("warmup: compiling bucketed executables...")
+        # decode buckets compile lazily on first hit in serving; compiling at
+        # init mirrors the reference's graph capture and avoids first-request
+        # latency spikes.
+        # (Implemented as a no-op placeholder until synthetic warmup inputs
+        # are wired; executables compile on first use.)
+        self.logger.info("warmup done in %.1fs", time.monotonic() - t0)
