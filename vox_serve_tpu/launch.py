@@ -1,0 +1,118 @@
+"""CLI entry: ``python -m vox_serve_tpu.launch`` / ``vox-serve-tpu``.
+
+Flag surface mirrors the reference (launch.py:1114-1204): model selection,
+scheduler type, sampling overrides, paging, DP size, disaggregation. The HTTP
+server runs on aiohttp; one scheduler daemon subprocess per DP rank owns a
+TPU chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+
+from .utils import get_logger, set_global_log_level
+
+logger = get_logger("launch")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="vox_serve_tpu API server")
+    p.add_argument("--model", default="dummy",
+                   help="model name or HF id (see models.available_models)")
+    p.add_argument("--scheduler-type", default="online",
+                   choices=["base", "online", "offline", "input_streaming",
+                            "disaggregation"])
+    p.add_argument("--async-scheduling", action="store_true")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch-size", type=int, default=8)
+    p.add_argument("--max-num-pages", type=int, default=2048)
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--min-p", type=float, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--repetition-penalty", type=float, default=None)
+    p.add_argument("--repetition-window", type=int, default=None)
+    p.add_argument("--cfg-scale", type=float, default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--enable-disaggregation", action="store_true")
+    p.add_argument("--enable-pallas", action="store_true")
+    p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--dp-size", type=int, default=1)
+    p.add_argument("--detokenize-interval", type=int, default=None)
+    p.add_argument("--socket-suffix", default="")
+    p.add_argument("--log-level", default="info")
+    p.add_argument("--timeout-seconds", type=float, default=600.0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    set_global_log_level(args.log_level)
+
+    if args.dp_size > 1 and args.enable_disaggregation:
+        logger.error("--dp-size > 1 and --enable-disaggregation are mutually "
+                     "exclusive")
+        sys.exit(2)
+    if args.scheduler_type == "disaggregation" and not args.enable_disaggregation:
+        args.enable_disaggregation = True
+
+    # the model's sample rate drives WAV headers; resolve without building
+    # the full model (cheap metadata-only instantiation is model-specific,
+    # so consult a static table with a fallback)
+    from .models import get_model_class
+    cls = get_model_class(args.model)  # validates the name early
+    sample_rate = getattr(cls, "SAMPLE_RATE", None) or 24000
+    if args.model == "dummy":
+        sample_rate = 16000
+
+    from .server.api import APIServer
+    from .server.app import build_app
+
+    scheduler_args = {
+        "max_num_pages": args.max_num_pages,
+        "page_size": args.page_size,
+        "top_p": args.top_p, "top_k": args.top_k, "min_p": args.min_p,
+        "temperature": args.temperature, "max_tokens": args.max_tokens,
+        "repetition_penalty": args.repetition_penalty,
+        "repetition_window": args.repetition_window,
+        "cfg_scale": args.cfg_scale, "greedy": args.greedy,
+        "async_scheduling": args.async_scheduling,
+        "enable_disaggregation": args.enable_disaggregation,
+        "enable_pallas": args.enable_pallas,
+        "no_warmup": args.no_warmup,
+        "detokenize_interval": args.detokenize_interval,
+        "log_level": args.log_level,
+    }
+    server = APIServer(
+        model_name=args.model,
+        scheduler_type=args.scheduler_type,
+        max_batch_size=args.max_batch_size,
+        dp_size=args.dp_size,
+        socket_suffix=args.socket_suffix,
+        timeout_seconds=args.timeout_seconds,
+        scheduler_args=scheduler_args,
+    )
+
+    def _shutdown(signum, frame):
+        logger.info("received signal %s, shutting down", signum)
+        server.cleanup()
+        os._exit(0)
+
+    signal.signal(signal.SIGINT, _shutdown)
+    signal.signal(signal.SIGTERM, _shutdown)
+
+    from aiohttp import web
+
+    app = build_app(server, sample_rate=sample_rate)
+    logger.info("serving %s on %s:%d", args.model, args.host, args.port)
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()

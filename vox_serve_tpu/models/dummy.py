@@ -40,9 +40,12 @@ class DummyLM(BaseLM):
             "head": (jax.random.normal(k3, (64, 64)) * 0.3).astype(dtype),
         }
         self.codec_params = {}
-        self.sampling_config = SamplingConfig(
-            top_k=20, temperature=1.0, max_tokens=max_tokens,
-        )
+        self.sampling_config = self.default_sampling_config
+
+    @property
+    def default_sampling_config(self):
+        return SamplingConfig(top_k=20, temperature=1.0,
+                              max_tokens=self._max_tokens)
 
     # static metadata ----------------------------------------------------
     @property

@@ -1,0 +1,93 @@
+"""Scheduler daemon subprocess entry: ``python -m vox_serve_tpu.scheduler_entry``.
+
+Parity with reference scheduler_entry.py: this module must NOT import jax at
+module scope — the parent sets TPU device-pinning env vars
+(TPU_VISIBLE_DEVICES etc., the CUDA_VISIBLE_DEVICES analogue) before spawning,
+and they must be in place before the JAX runtime initializes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .utils import get_logger, set_global_log_level
+
+
+def _run_scheduler_daemon(args) -> None:
+    logger = get_logger("scheduler_entry")
+    logger.info("scheduler daemon starting (rank %d, model %s)",
+                args.rank, args.model)
+
+    # JAX import happens here, after env pinning by the parent
+    from .models import load_model
+    from .scheduler import load_scheduler
+    from .worker import ModelWorker, WorkerConfig
+
+    model = load_model(
+        args.model,
+        top_p=args.top_p, top_k=args.top_k, min_p=args.min_p,
+        temperature=args.temperature, max_tokens=args.max_tokens,
+        repetition_penalty=args.repetition_penalty,
+        repetition_window=args.repetition_window,
+        cfg_scale=args.cfg_scale, greedy=args.greedy,
+        detokenize_interval=args.detokenize_interval,
+    )
+    wcfg = WorkerConfig(
+        max_batch_size=args.max_batch_size,
+        num_pages=args.max_num_pages,
+        page_size=args.page_size,
+        use_pallas=args.enable_pallas,
+        warmup=not args.no_warmup,
+        detokenizer_device_index=(1 if args.enable_disaggregation else None),
+    )
+    worker = ModelWorker(model, wcfg, rank=args.rank)
+    scheduler = load_scheduler(
+        args.scheduler_type,
+        model_worker=worker,
+        max_batch_size=args.max_batch_size,
+        rank=args.rank,
+        socket_suffix=args.socket_suffix,
+        async_scheduling=args.async_scheduling,
+    )
+    scheduler.run_forever()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="vox_serve_tpu scheduler daemon")
+    p.add_argument("--model", required=True)
+    p.add_argument("--scheduler-type", default="base")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--max-batch-size", type=int, default=8)
+    p.add_argument("--max-num-pages", type=int, default=2048)
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--socket-suffix", default="")
+    p.add_argument("--async-scheduling", action="store_true")
+    p.add_argument("--enable-disaggregation", action="store_true")
+    p.add_argument("--enable-pallas", action="store_true")
+    p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--min-p", type=float, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--repetition-penalty", type=float, default=None)
+    p.add_argument("--repetition-window", type=int, default=None)
+    p.add_argument("--cfg-scale", type=float, default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--detokenize-interval", type=int, default=None)
+    p.add_argument("--log-level", default="info")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    set_global_log_level(args.log_level)
+    try:
+        _run_scheduler_daemon(args)
+    except KeyboardInterrupt:
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,342 @@
+"""APIServer: scheduler process management + ZMQ request/result routing.
+
+Behavioral parity with the reference's APIServer (launch.py:32-775): spawns
+one scheduler daemon per data-parallel rank (each pinned to its own TPU chip
+via env vars before JAX import), round-robins requests over per-rank ZMQ PUSH
+sockets, drains results on one PULL socket in a background thread, buffers
+per-request audio chunks, bounds the send queue (429 on saturation), and
+absorbs late messages for recently-completed requests with a TTL map.
+"""
+
+from __future__ import annotations
+
+import atexit
+import collections
+import json
+import os
+import queue
+import subprocess
+import sys
+import threading
+import time
+import uuid
+from pathlib import Path
+from typing import Optional
+
+import zmq
+
+from ..utils import get_logger
+
+
+class APIError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+class APIServer:
+    def __init__(
+        self,
+        model_name: str = "dummy",
+        scheduler_type: str = "base",
+        output_dir: str = "/tmp/vox_serve_audio",
+        upload_dir: str = "/tmp/vox_serve_uploads",
+        timeout_seconds: float = 600.0,
+        max_batch_size: int = 8,
+        dp_size: int = 1,
+        socket_suffix: str = "",
+        spawn_schedulers: bool = True,
+        scheduler_args: Optional[dict] = None,
+        sample_rate: Optional[int] = None,
+    ):
+        self.logger = get_logger("api")
+        self.model_name = model_name
+        self.scheduler_type = scheduler_type
+        self.timeout_seconds = timeout_seconds
+        self.max_batch_size = max_batch_size
+        self.dp_size = dp_size
+        self.socket_suffix = socket_suffix
+        self.scheduler_args = scheduler_args or {}
+        self.sample_rate = sample_rate  # resolved lazily if None
+
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.upload_dir = Path(upload_dir)
+        self.upload_dir.mkdir(parents=True, exist_ok=True)
+
+        self.pending_requests: dict[str, dict] = {}
+        self.recently_completed: "collections.OrderedDict[str, float]" = (
+            collections.OrderedDict())
+        self.recently_completed_ttl_sec = 5.0
+        self.request_lock = threading.Lock()
+        self.running = True
+        self.dp_request_counter = 0
+
+        self.scheduler_processes: list[subprocess.Popen] = []
+        if spawn_schedulers:
+            self._start_schedulers()
+            time.sleep(1.0)
+
+        self.context = zmq.Context()
+        self.request_sockets = []
+        for rank in range(dp_size):
+            s = self.context.socket(zmq.PUSH)
+            s.setsockopt(zmq.SNDHWM, 256)
+            s.setsockopt(zmq.LINGER, 0)
+            s.connect(f"ipc:///tmp/vox_serve_request_{rank}{socket_suffix}.ipc")
+            self.request_sockets.append(s)
+        self.result_socket = self.context.socket(zmq.PULL)
+        self.result_socket.setsockopt(zmq.RCVHWM, 1024)
+        self.result_socket.setsockopt(zmq.LINGER, 0)
+        self.result_socket.bind(f"ipc:///tmp/vox_serve_result{socket_suffix}.ipc")
+
+        self.to_scheduler: "queue.Queue[bytes]" = queue.Queue(
+            maxsize=max(1, max_batch_size * 2 * dp_size))
+        self.sender_thread = threading.Thread(target=self._sender_loop,
+                                              daemon=True)
+        self.sender_thread.start()
+        self.message_thread = threading.Thread(target=self._process_messages,
+                                               daemon=True)
+        self.message_thread.start()
+        atexit.register(self.cleanup)
+
+    # ------------------------------------------------------------------
+    # scheduler subprocess management
+    # ------------------------------------------------------------------
+    def _start_schedulers(self) -> None:
+        for rank in range(self.dp_size):
+            env = os.environ.copy()
+            if self.dp_size > 1:
+                # pin each DP replica to one TPU chip (the reference's
+                # CUDA_VISIBLE_DEVICES analogue, launch.py:188-213)
+                env["TPU_VISIBLE_DEVICES"] = str(rank)
+                env.setdefault("TPU_CHIPS_PER_PROCESS_BOUNDS", "1,1,1")
+                env.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+            cmd = [
+                sys.executable, "-m", "vox_serve_tpu.scheduler_entry",
+                "--model", self.model_name,
+                "--scheduler-type", self.scheduler_type,
+                "--rank", str(rank),
+                "--max-batch-size", str(self.max_batch_size),
+                "--socket-suffix", self.socket_suffix,
+            ]
+            for k, v in self.scheduler_args.items():
+                flag = "--" + k.replace("_", "-")
+                if isinstance(v, bool):
+                    if v:
+                        cmd.append(flag)
+                elif v is not None:
+                    cmd.extend([flag, str(v)])
+            self.logger.info("starting scheduler rank %d: %s", rank,
+                             " ".join(cmd))
+            self.scheduler_processes.append(
+                subprocess.Popen(cmd, env=env))
+
+    def schedulers_alive(self) -> bool:
+        return all(p.poll() is None for p in self.scheduler_processes)
+
+    # ------------------------------------------------------------------
+    # threads
+    # ------------------------------------------------------------------
+    def _sender_loop(self) -> None:
+        backoff_initial, backoff_max = 0.001, 0.02
+        while self.running:
+            try:
+                payload = self.to_scheduler.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            sock = self.request_sockets[self.dp_request_counter % self.dp_size]
+            self.dp_request_counter += 1
+            backoff = backoff_initial
+            while self.running:
+                try:
+                    sock.send(payload, flags=zmq.DONTWAIT)
+                    break
+                except zmq.Again:
+                    time.sleep(backoff)
+                    backoff = min(backoff * 2, backoff_max)
+                except Exception as e:  # pragma: no cover
+                    self.logger.error("sender error: %s", e)
+                    break
+
+    def _process_messages(self) -> None:
+        while self.running:
+            try:
+                message = self.result_socket.recv(flags=zmq.NOBLOCK)
+            except zmq.Again:
+                time.sleep(0.001)
+                continue
+            except Exception as e:  # pragma: no cover
+                if self.running:
+                    self.logger.error("result recv error: %s", e)
+                continue
+            parts = message.split(b"|", 2)
+            if len(parts) < 3:
+                self.logger.warning("malformed result message: %r",
+                                    message[:100])
+                continue
+            rid = parts[0].decode()
+            mtype = parts[1].decode()
+            data = parts[2]
+            with self.request_lock:
+                now = time.time()
+                while self.recently_completed:
+                    k, ts = next(iter(self.recently_completed.items()))
+                    if now - ts > self.recently_completed_ttl_sec:
+                        self.recently_completed.popitem(last=False)
+                    else:
+                        break
+                if rid in self.pending_requests:
+                    if mtype == "AUDIO":
+                        self.pending_requests[rid]["chunks"].append(data)
+                    elif mtype == "COMPLETION":
+                        info = json.loads(data.decode())
+                        self.logger.info("request %s completed: %s", rid, info)
+                        self.pending_requests[rid]["event"].set()
+                        self.recently_completed[rid] = now
+                elif rid in self.recently_completed:
+                    pass  # late message, drop silently
+                else:
+                    self.logger.warning("message %s for unknown request %s",
+                                        mtype, rid)
+
+    # ------------------------------------------------------------------
+    # request entry points
+    # ------------------------------------------------------------------
+    def _enqueue_request(self, payload: bytes) -> None:
+        try:
+            self.to_scheduler.put_nowait(payload)
+        except queue.Full:
+            raise APIError(429, "Server busy; please retry shortly") from None
+
+    def start_streaming_request(self, text: str = None,
+                                audio_path: str = None,
+                                model_kwargs: dict = None) -> str:
+        rid = str(uuid.uuid4())
+        with self.request_lock:
+            self.pending_requests[rid] = {
+                "chunks": [], "event": threading.Event(),
+                "streaming": True, "consumed_chunks": 0,
+            }
+        msg = json.dumps({
+            "request_id": rid, "prompt": text, "audio_path": audio_path,
+            "is_streaming": True, "model_kwargs": model_kwargs or {},
+        }).encode() + b"|audio_data_placeholder"
+        self._enqueue_request(msg)
+        return rid
+
+    def start_input_streaming_request(self, audio_path: str = None,
+                                      model_kwargs: dict = None) -> str:
+        rid = str(uuid.uuid4())
+        with self.request_lock:
+            self.pending_requests[rid] = {
+                "chunks": [], "event": threading.Event(),
+                "streaming": True, "input_streaming": True,
+                "consumed_chunks": 0,
+            }
+        cfg = {"audio_path": audio_path, "model_kwargs": model_kwargs or {}}
+        self._enqueue_request(
+            rid.encode() + b"|TEXT_STREAM_START|" + json.dumps(cfg).encode())
+        return rid
+
+    def send_text_chunk(self, rid: str, text: str) -> bool:
+        with self.request_lock:
+            data = self.pending_requests.get(rid)
+            if not data:
+                raise APIError(404, f"Request {rid} not found")
+            if data["event"].is_set():
+                raise APIError(400, f"Request {rid} already completed")
+        self._enqueue_request(rid.encode() + b"|TEXT_UPDATE|" + text.encode())
+        return True
+
+    def end_input_streaming(self, rid: str) -> None:
+        with self.request_lock:
+            if rid not in self.pending_requests:
+                raise APIError(404, f"Request {rid} not found")
+        self._enqueue_request(rid.encode() + b"|TEXT_COMPLETE|")
+
+    # ------------------------------------------------------------------
+    # chunk consumption
+    # ------------------------------------------------------------------
+    async def async_stream_chunks(self, rid: str):
+        import asyncio
+
+        start = time.time()
+        while True:
+            if time.time() - start > self.timeout_seconds:
+                with self.request_lock:
+                    self.pending_requests.pop(rid, None)
+                raise APIError(500, "Generation timed out")
+            new_chunks, done = [], False
+            with self.request_lock:
+                data = self.pending_requests.get(rid)
+                if data:
+                    avail = len(data["chunks"])
+                    consumed = data.get("consumed_chunks", 0)
+                    new_chunks = data["chunks"][consumed:avail]
+                    data["consumed_chunks"] = avail
+                    done = data["event"].is_set()
+                else:
+                    done = True
+            for c in new_chunks:
+                yield c
+            if done:
+                remaining = []
+                with self.request_lock:
+                    data = self.pending_requests.get(rid)
+                    if data:
+                        consumed = data.get("consumed_chunks", 0)
+                        remaining = data["chunks"][consumed:]
+                        self.pending_requests.pop(rid, None)
+                for c in remaining:
+                    yield c
+                break
+            await asyncio.sleep(0.001)
+
+    def collect_all_chunks(self, rid: str) -> bytes:
+        """Blocking wait for completion (non-streaming /generate path)."""
+        with self.request_lock:
+            data = self.pending_requests.get(rid)
+        if data is None:
+            raise APIError(404, f"Request {rid} not found")
+        if not data["event"].wait(timeout=self.timeout_seconds):
+            with self.request_lock:
+                self.pending_requests.pop(rid, None)
+            raise APIError(500, "Generation timed out")
+        with self.request_lock:
+            data = self.pending_requests.pop(rid, None)
+        return b"".join(data["chunks"]) if data else b""
+
+    def has_request(self, rid: str) -> Optional[dict]:
+        with self.request_lock:
+            return self.pending_requests.get(rid)
+
+    # ------------------------------------------------------------------
+    def cleanup(self) -> None:
+        if not self.running:
+            return
+        self.logger.info("cleaning up API server...")
+        self.running = False
+        for t in ("message_thread", "sender_thread"):
+            th = getattr(self, t, None)
+            if th and th.is_alive():
+                th.join(timeout=1)
+        try:
+            for s in self.request_sockets:
+                s.close()
+            self.result_socket.close()
+            self.context.term()
+        except Exception as e:  # pragma: no cover
+            self.logger.error("zmq cleanup error: %s", e)
+        for i, p in enumerate(self.scheduler_processes):
+            if p.poll() is None:
+                try:
+                    p.terminate()
+                    try:
+                        p.wait(timeout=2)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                        p.wait(timeout=2)
+                except Exception as e:  # pragma: no cover
+                    self.logger.error("error stopping scheduler %d: %s", i, e)

@@ -78,8 +78,12 @@ class ModelWorker:
         )
         self.k_pages, self.v_pages = alloc_kv_pages(self.kv_config)
         self.allocator = PageAllocator(cfg.num_pages)
-        # static width of per-request block tables
-        self.max_pages_per_seq = cdiv(model.max_tokens + 8, cfg.page_size) + 1
+        # static width of per-request block tables — must cover the longest
+        # prompt plus the full generation budget
+        self.max_pages_per_seq = cdiv(
+            max(cfg.prefill_token_buckets) + model.max_tokens + 8,
+            cfg.page_size,
+        ) + 1
 
         # slots
         self._free_slots = list(range(cfg.max_batch_size - 1, -1, -1))
@@ -351,12 +355,23 @@ class ModelWorker:
         seq_lens = np.ones((B,), np.int32)
         slot_ids = np.full((B,), cfg.max_batch_size, np.int32)
 
+        hard_stopped: set[int] = set()
         for i, req in enumerate(requests):
             tokens[i] = self.next_input_tokens(req)
             pos = req.next_position_id - 1  # position of the token being fed
             positions[i] = pos
             # grow KV by one token
             t = req.kv_token_len
+            if t >= self.max_pages_per_seq * page_size:
+                # hard stop: sequence would overflow its block table
+                req.done_lm_generation = True
+                req.finish_reason = "length"
+                self.logger.warning(
+                    "request %s hit the KV block-table limit (%d tokens)",
+                    req.request_id, t)
+                tokens[i] = 0
+                hard_stopped.add(i)
+                continue
             if t % page_size == 0:
                 req.kv_pages.extend(self.allocator.alloc(1))
             page_ids[i] = req.kv_pages[t // page_size]
@@ -383,6 +398,8 @@ class ModelWorker:
         )
         sampled_np = np.asarray(jax.device_get(sampled))
         for i, req in enumerate(requests):
+            if i in hard_stopped:
+                continue
             model.update_request_state(req, sampled_np[i])
 
     def next_input_tokens(self, req: Request) -> np.ndarray:
