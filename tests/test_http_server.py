@@ -27,7 +27,7 @@ def _free_port() -> int:
 def server():
     port = _free_port()
     env = os.environ.copy()
-    env["JAX_PLATFORMS"] = "cpu"
+    env["VOX_SERVE_PLATFORM"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     suffix = f"_test{port}"

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     set_global_log_level(args.log_level)
+    from .utils import apply_platform_override
+
+    apply_platform_override()
 
     if args.dp_size > 1 and args.enable_disaggregation:
         logger.error("--dp-size > 1 and --enable-disaggregation are mutually "

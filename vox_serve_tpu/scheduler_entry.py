@@ -11,10 +11,11 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .utils import get_logger, set_global_log_level
+from .utils import apply_platform_override, get_logger, set_global_log_level
 
 
 def _run_scheduler_daemon(args) -> None:
+    apply_platform_override()
     logger = get_logger("scheduler_entry")
     logger.info("scheduler daemon starting (rank %d, model %s)",
                 args.rank, args.model)

@@ -74,6 +74,21 @@ def next_power_of_2(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
 
+def apply_platform_override() -> None:
+    """Honor VOX_SERVE_PLATFORM=cpu|tpu|axon.
+
+    This environment pre-registers the TPU backend at interpreter startup
+    (sitecustomize), so JAX_PLATFORMS in a subprocess env can be ignored; a
+    runtime config update is authoritative because backends initialize
+    lazily. Must be called before any JAX device use.
+    """
+    plat = os.environ.get("VOX_SERVE_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def env_flag(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     if v is None:
