@@ -28,7 +28,7 @@ def server():
     port = _free_port()
     env = os.environ.copy()
     env["VOX_SERVE_PLATFORM"] = "cpu"
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ["JAX_COMPILATION_CACHE_DIR"]
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     suffix = f"_test{port}"
     proc = subprocess.Popen(
@@ -71,7 +71,7 @@ def test_health(server):
 def test_generate_streaming_wav(server):
     with httpx.stream("POST", server + "/generate",
                       data={"text": "hello streaming world"},
-                      timeout=180) as r:
+                      timeout=300) as r:
         assert r.status_code == 200
         assert r.headers["content-type"].startswith("audio/wav")
         body = b"".join(r.iter_bytes())
@@ -84,7 +84,7 @@ def test_generate_streaming_wav(server):
 def test_generate_non_streaming_returns_full_wav(server):
     r = httpx.post(server + "/generate",
                    data={"text": "non streaming request", "streaming": "false"},
-                   timeout=180)
+                   timeout=300)
     assert r.status_code == 200
     wav = wave.open(io.BytesIO(r.content), "rb")
     assert wav.getnchannels() == 1
@@ -109,7 +109,7 @@ def test_input_streaming_protocol(server):
 
     def consume():
         with httpx.stream("GET", server + f"/generate/stream/{rid}/audio",
-                          timeout=180) as resp:
+                          timeout=300) as resp:
             assert resp.status_code == 200
             for b in resp.iter_bytes():
                 chunks.append(b)
@@ -119,7 +119,7 @@ def test_input_streaming_protocol(server):
     time.sleep(1.0)
     r = httpx.post(server + f"/generate/stream/{rid}/end", timeout=30)
     assert r.status_code == 200
-    t.join(timeout=180)
+    t.join(timeout=300)
     assert not t.is_alive()
     body = b"".join(chunks)
     assert body[:4] == b"RIFF"

@@ -185,17 +185,10 @@ def backbone_forward(
         if inv_freq is not None:
             q, k = apply_rope(q, k, positions, inv_freq, rope_dim=cfg.rope_dim)
 
+        kp, vp = write_kv_prefill(kp, vp, layer_idx, k, v, meta)
         if meta.is_prefill:
-            kp = kp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
-                k.astype(kp.dtype), mode="drop")
-            vp = vp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
-                v.astype(vp.dtype), mode="drop")
             attn_out = ragged_prefill_attention(q, k, v, meta, scale=cfg.attn_scale)
         else:
-            kp = kp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
-                k.astype(kp.dtype), mode="drop")
-            vp = vp.at[layer_idx, meta.kv_page_ids, meta.kv_page_offsets].set(
-                v.astype(vp.dtype), mode="drop")
             k_layer = jax.lax.dynamic_index_in_dim(kp, layer_idx, axis=0, keepdims=True)
             v_layer = jax.lax.dynamic_index_in_dim(vp, layer_idx, axis=0, keepdims=True)
             attn_out = paged_attention_decode(

@@ -104,15 +104,18 @@ def write_kv_prefill(
     v: jax.Array,
     meta: AttnMetadata,
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter T new K/V rows into the page pool at a given layer.
+    """Scatter T new K/V rows into the (L, KH, P, page, D) page pool at a
+    given layer. k, v: (T, KH, D). Padded tokens target scratch page 0.
 
-    k, v: (T, KH, D). Padded tokens target scratch page 0.
+    numpy advanced-indexing note: with pattern [layer, :, ids, offs] the
+    advanced axes move to the front, so the update value shape is (T, KH, D)
+    — exactly k/v as produced by the projection.
     """
     dtype = k_pages.dtype
-    k_pages = k_pages.at[layer, meta.kv_page_ids, meta.kv_page_offsets].set(
+    k_pages = k_pages.at[layer, :, meta.kv_page_ids, meta.kv_page_offsets].set(
         k.astype(dtype), mode="drop"
     )
-    v_pages = v_pages.at[layer, meta.kv_page_ids, meta.kv_page_offsets].set(
+    v_pages = v_pages.at[layer, :, meta.kv_page_ids, meta.kv_page_offsets].set(
         v.astype(dtype), mode="drop"
     )
     return k_pages, v_pages
@@ -188,16 +191,16 @@ def paged_attention_decode(
         )
 
     B, H, D = q.shape
-    KH = k_pages.shape[3]
-    page_size = k_pages.shape[2]
+    KH = k_pages.shape[1]
+    page_size = k_pages.shape[3]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
 
-    # (B, maxP, page, KH, D) -> (B, S, KH, D) with S = maxP * page
-    k = jnp.take(k_pages[layer], meta.block_tables, axis=0)
-    v = jnp.take(v_pages[layer], meta.block_tables, axis=0)
-    S = k.shape[1] * page_size
-    k = k.reshape(B, S, KH, D)
-    v = v.reshape(B, S, KH, D)
+    # (KH, B, maxP, page, D) -> (B, S, KH, D) with S = maxP * page
+    k = jnp.take(k_pages[layer], meta.block_tables, axis=1)
+    v = jnp.take(v_pages[layer], meta.block_tables, axis=1)
+    S = k.shape[2] * page_size
+    k = jnp.moveaxis(k.reshape(KH, B, S, D), 0, 2)
+    v = jnp.moveaxis(v.reshape(KH, B, S, D), 0, 2)
     k = _repeat_kv(k, H // KH)
     v = _repeat_kv(v, H // KH)
 

@@ -41,8 +41,14 @@ class KVCacheConfig:
 
 
 def alloc_kv_pages(cfg: KVCacheConfig, sharding=None) -> tuple[jax.Array, jax.Array]:
-    """Allocate the fixed-shape K and V page pools (zeros)."""
-    shape = (cfg.num_layers, cfg.num_pages, cfg.page_size, cfg.num_kv_heads, cfg.head_dim)
+    """Allocate the fixed-shape K and V page pools (zeros).
+
+    Layout (L, KH, P, page, D): the kv-head axis is MAJOR so a Pallas kernel
+    can DMA one head's page as an aligned (page, D) tile — TPU memrefs tile
+    the two minor dims, so (.., page, KH, D) layouts cannot slice per head.
+    This also makes per-head TP sharding a leading-axis shard.
+    """
+    shape = (cfg.num_layers, cfg.num_kv_heads, cfg.num_pages, cfg.page_size, cfg.head_dim)
     k = jnp.zeros(shape, dtype=cfg.dtype)
     v = jnp.zeros(shape, dtype=cfg.dtype)
     if sharding is not None:

@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: paged-attention decode (flash-decoding over block
+tables).
+
+Replaces FlashInfer's BatchDecodeWithPagedKVCacheWrapper (reference
+flashinfer_utils.py:149-248) with a TPU-native kernel:
+
+  grid = (batch, kv_heads); each program owns one request's query group
+  (G = H / KH heads) and streams that request's KV pages from HBM to VMEM in
+  128-token chunks with double-buffered async DMA, accumulating an online
+  (numerically stable, f32) softmax. Block tables and sequence lengths are
+  scalar-prefetched so DMA addresses are computable before the kernel body.
+
+The pure-JAX gather path in attention.py stays as the CPU/interpret reference
+and the fallback for tiny shapes (kernel parity is asserted in
+tests/test_pallas_attention.py via interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    block_tables_ref,  # (B, maxP) int32 in SMEM
+    seq_lens_ref,      # (B,) int32 in SMEM
+    # inputs
+    q_ref,             # (1, 1, G, D) VMEM block
+    k_hbm,             # (KH, P, page, D) in ANY/HBM — head-major layout so a
+    v_hbm,             # page DMA is an aligned (page, D) tile
+    # output
+    o_ref,             # (1, 1, G, D) VMEM block
+    # scratch
+    k_scratch,         # (2, CP, page, D) VMEM
+    v_scratch,         # (2, CP, page, D)
+    acc_ref,           # (G, D) f32
+    m_ref,             # (G, 128) f32 (row max, broadcast along lanes)
+    l_ref,             # (G, 128) f32 (row sum)
+    sems,              # DMA semaphores (2, 2, CP)
+    *,
+    page_size: int,
+    chunk_pages: int,
+    max_pages: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    seq_len = seq_lens_ref[b]
+    chunk_tokens = chunk_pages * page_size
+    num_chunks = pl.cdiv(seq_len, chunk_tokens)
+    max_chunks = max_pages // chunk_pages
+
+    def start_chunk_dma(slot, c):
+        for i in range(chunk_pages):
+            page_idx = c * chunk_pages + i
+            # pages beyond the table clamp to entry 0 (scratch page)
+            pid = block_tables_ref[b, jnp.minimum(page_idx, max_pages - 1)]
+            pltpu.make_async_copy(
+                k_hbm.at[h, pid], k_scratch.at[slot, i], sems.at[0, slot, i]
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[h, pid], v_scratch.at[slot, i], sems.at[1, slot, i]
+            ).start()
+
+    def wait_chunk_dma(slot):
+        for i in range(chunk_pages):
+            pltpu.make_async_copy(
+                k_hbm.at[0, 0], k_scratch.at[slot, i], sems.at[0, slot, i]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[0, 0], v_scratch.at[slot, i], sems.at[1, slot, i]
+            ).wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+
+    start_chunk_dma(0, 0)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, D)
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        next_slot = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            start_chunk_dma(next_slot, c + 1)
+
+        wait_chunk_dma(slot)
+
+        k = k_scratch[slot].astype(jnp.float32)  # (CP, page, D)
+        v = v_scratch[slot].astype(jnp.float32)
+        k = k.reshape(chunk_tokens, k.shape[-1])
+        v = v.reshape(chunk_tokens, v.shape[-1])
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, chunk_tokens)
+
+        token_idx = c * chunk_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        scores = jnp.where(token_idx < seq_len, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]                         # (G, 1)
+        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(scores - m_new)                   # (G, chunk)
+        alpha = jnp.exp(m_prev - m_new)               # (G, 1)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, body, 0)
+
+    l = l_ref[:, :1]
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
+                        scale=None, interpret=False):
+    B, H, D = q.shape
+    KH, P, page_size, _ = k_pages.shape
+    G = H // KH
+    max_pages = block_tables.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+
+    # chunk = up to 128 tokens of KV per DMA round
+    chunk_pages = max(1, min(128 // page_size, max_pages))
+    while max_pages % chunk_pages != 0:
+        chunk_pages -= 1
+
+    q4 = q.reshape(B, KH, G, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, KH),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_pages, page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, chunk_pages, page_size, D), v_pages.dtype),
+            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_kernel,
+        page_size=page_size,
+        chunk_pages=chunk_pages,
+        max_pages=max_pages,
+        scale=scale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, G, D), q.dtype),
+        interpret=interpret,
+    )(block_tables, seq_lens, q4, k_pages, v_pages)
+    return out.reshape(B, H, D)
+
+
+def pallas_paged_attention_decode(q, k_pages, v_pages, layer, meta,
+                                  scale=None, interpret=False):
+    """Drop-in for attention.paged_attention_decode (use_pallas path).
+
+    q: (B, H, D); k_pages/v_pages: (L, P, page, KH, D) — `layer` selects the
+    layer plane (traced index OK).
+    """
+    if k_pages.ndim == 5:
+        kp = jax.lax.dynamic_index_in_dim(k_pages, layer, 0, keepdims=False)
+        vp = jax.lax.dynamic_index_in_dim(v_pages, layer, 0, keepdims=False)
+    else:
+        kp, vp = k_pages, v_pages
+    return _pallas_decode_call(q, kp, vp, meta.block_tables, meta.seq_lens,
+                               scale=scale, interpret=interpret)

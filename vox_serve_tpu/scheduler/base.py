@@ -83,10 +83,33 @@ class Scheduler:
     # ------------------------------------------------------------------
     def run_forever(self) -> None:
         self.logger.info("scheduler loop starting (rank %s)", self.rank)
+        import os
+
+        idle_steps = 0
+        last_report = time.monotonic()
         while True:
             did_work = self._step()
-            if not did_work:
-                time.sleep(0.0005)
+            now = time.monotonic()
+            if now - last_report > 5.0:
+                last_report = now
+                if os.getppid() == 1:
+                    # parent (API server) is gone; don't linger as an orphan
+                    self.logger.info("parent process gone; scheduler exiting")
+                    return
+                for r in self.active_requests:
+                    self.logger.info(
+                        "state %s gen=%d audio_toks=%d prefill=%s gen_done=%s "
+                        "all=%s next_idx=%s pressing=%s waiting=%s",
+                        r.request_id[:8], r.num_generated,
+                        len(r.lm_output_audio_tokens), r.done_lm_prefill,
+                        r.done_lm_generation, r.done_all,
+                        r.next_audio_decode_idx, r.is_pressing,
+                        r.waiting_for_text)
+            if did_work:
+                idle_steps = 0
+                continue
+            idle_steps += 1
+            time.sleep(0.0005 if idle_steps < 200 else 0.005)
 
     def _step(self) -> bool:
         self._prepare_requests()
@@ -117,8 +140,16 @@ class Scheduler:
                     self.logger.error("recv error: %s", e)
                     break
                 self._handle_message(payload)
-        # drop completed requests
-        self.active_requests = [r for r in self.active_requests if not r.done_all]
+        # drop completed requests — but never before their COMPLETION message
+        # went out (a done_all request that was never selected for a final
+        # detokenize batch would otherwise vanish silently and hang clients)
+        kept = []
+        for r in self.active_requests:
+            if not r.done_all:
+                kept.append(r)
+            elif not r.extras.get("completion_sent"):
+                self._send_completion(r)
+        self.active_requests = kept
 
     def _handle_message(self, payload: bytes) -> None:
         req = self._handle_request_payload(payload)
@@ -128,6 +159,8 @@ class Scheduler:
     def enqueue_request(self, req: Request) -> None:
         """Admit a request into the active set (also the in-process entry
         point used by tests and the offline engine)."""
+        self.logger.debug("request %s joined (streaming=%s)",
+                          req.request_id, req.is_streaming)
         self.active_requests.append(req)
 
     def _handle_request_payload(self, payload: bytes) -> Optional[Request]:
@@ -210,11 +243,21 @@ class Scheduler:
                         self._calculate_chunk_duration(chunk))
                 self._send(req.request_id.encode() + b"|AUDIO|" + chunk)
             if req.done_all:
-                self.model_worker.free_kv_cache(req)
-                msg = {"status": "completed",
-                       "reason": req.finish_reason or "unknown"}
-                self._send(req.request_id.encode() + b"|COMPLETION|"
-                           + json.dumps(msg).encode())
+                self._send_completion(req)
+
+    def _send_completion(self, req: Request) -> None:
+        if req.extras.get("completion_sent"):
+            return
+        # drain any chunks produced by the final detokenize
+        while not req.output_audio.empty():
+            chunk = req.output_audio.get()
+            self._send(req.request_id.encode() + b"|AUDIO|" + chunk)
+        self.model_worker.free_kv_cache(req)
+        msg = {"status": "completed",
+               "reason": req.finish_reason or "unknown"}
+        self._send(req.request_id.encode() + b"|COMPLETION|"
+                   + json.dumps(msg).encode())
+        req.extras["completion_sent"] = True
 
     def _send(self, message: bytes) -> None:
         if self.result_socket is not None:

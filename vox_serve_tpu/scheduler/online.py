@@ -150,6 +150,10 @@ class OnlineScheduler(Scheduler):
         for req, quota in zip(critical, assigned):
             if quota > 0:
                 used += take_chunks(req, quota)
+            elif req.done_all:
+                # zero remaining chunks but the COMPLETION message still has
+                # to go out — dropping it here would leak the request
+                selected.append(req)
 
         if used < cap:
             left = cap - used
@@ -157,5 +161,8 @@ class OnlineScheduler(Scheduler):
                 if left <= 0:
                     break
                 left -= take_chunks(req, left)
+        for req in background:
+            if req.done_all and req not in selected:
+                selected.append(req)
 
         return selected

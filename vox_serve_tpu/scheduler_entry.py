@@ -15,6 +15,11 @@ from .utils import apply_platform_override, get_logger, set_global_log_level
 
 
 def _run_scheduler_daemon(args) -> None:
+    import faulthandler
+    import signal
+
+    faulthandler.enable()  # dump python stacks on SIGSEGV/SIGILL/SIGABRT
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     apply_platform_override()
     logger = get_logger("scheduler_entry")
     logger.info("scheduler daemon starting (rank %d, model %s)",

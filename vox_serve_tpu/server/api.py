@@ -99,7 +99,29 @@ class APIServer:
         self.message_thread = threading.Thread(target=self._process_messages,
                                                daemon=True)
         self.message_thread.start()
+        self.monitor_thread = threading.Thread(target=self._monitor_schedulers,
+                                               daemon=True)
+        self.monitor_thread.start()
         atexit.register(self.cleanup)
+
+    def _monitor_schedulers(self) -> None:
+        """Fail fast when a scheduler daemon dies (the reference never detects
+        this, SURVEY §5.3): error out all pending requests instead of letting
+        clients hang until timeout."""
+        while self.running:
+            time.sleep(1.0)
+            for i, p in enumerate(self.scheduler_processes):
+                rc = p.poll()
+                if rc is not None:
+                    self.logger.error(
+                        "scheduler rank %d died (exit code %s); failing "
+                        "pending requests", i, rc)
+                    with self.request_lock:
+                        for rid, data in self.pending_requests.items():
+                            data["error"] = (
+                                f"scheduler process died (exit {rc})")
+                            data["event"].set()
+                    return
 
     # ------------------------------------------------------------------
     # scheduler subprocess management
@@ -282,15 +304,18 @@ class APIServer:
             for c in new_chunks:
                 yield c
             if done:
-                remaining = []
+                remaining, error = [], None
                 with self.request_lock:
                     data = self.pending_requests.get(rid)
                     if data:
                         consumed = data.get("consumed_chunks", 0)
                         remaining = data["chunks"][consumed:]
+                        error = data.get("error")
                         self.pending_requests.pop(rid, None)
                 for c in remaining:
                     yield c
+                if error:
+                    raise APIError(500, error)
                 break
             await asyncio.sleep(0.001)
 
@@ -306,6 +331,8 @@ class APIServer:
             raise APIError(500, "Generation timed out")
         with self.request_lock:
             data = self.pending_requests.pop(rid, None)
+        if data and data.get("error"):
+            raise APIError(500, data["error"])
         return b"".join(data["chunks"]) if data else b""
 
     def has_request(self, rid: str) -> Optional[dict]:
