@@ -1,0 +1,149 @@
+"""1-D conv primitives for audio codecs, with torch-parity semantics.
+
+All codec decoders in the reference (SNAC, Mimi, DAC, HiFT, flow estimators,
+Qwen3 codec) are stacks of Conv1d / ConvTranspose1d / Snake / LeakyReLU. This
+module provides the JAX equivalents once; every codec builds on them. Weight
+layout matches torch (Conv1d: (out, in/groups, k); ConvTranspose1d:
+(in, out/groups, k)) so checkpoint loading is a straight copy — weight-norm
+(g, v) pairs are folded into plain weights at load time. XLA lowers these to
+MXU convolutions on TPU.
+
+Parity is asserted against torch CPU in tests/test_codec_layers.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_conv1d(key, in_ch, out_ch, kernel, groups=1, bias=True,
+                dtype=jnp.float32):
+    scale = 1.0 / math.sqrt(in_ch // groups * kernel)
+    k1, k2 = jax.random.split(key)
+    p = {"w": jax.random.uniform(k1, (out_ch, in_ch // groups, kernel),
+                                 minval=-scale, maxval=scale, dtype=jnp.float32
+                                 ).astype(dtype)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (out_ch,), minval=-scale,
+                                    maxval=scale, dtype=jnp.float32
+                                    ).astype(dtype)
+    return p
+
+
+def init_conv_transpose1d(key, in_ch, out_ch, kernel, groups=1, bias=True,
+                          dtype=jnp.float32):
+    scale = 1.0 / math.sqrt(out_ch // groups * kernel)
+    k1, k2 = jax.random.split(key)
+    p = {"w": jax.random.uniform(k1, (in_ch, out_ch // groups, kernel),
+                                 minval=-scale, maxval=scale, dtype=jnp.float32
+                                 ).astype(dtype)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (out_ch,), minval=-scale,
+                                    maxval=scale, dtype=jnp.float32
+                                    ).astype(dtype)
+    return p
+
+
+def conv1d(p: dict, x: jax.Array, stride: int = 1, padding=0,
+           dilation: int = 1, groups: int = 1) -> jax.Array:
+    """x: (B, C_in, T) -> (B, C_out, T'). padding: int (symmetric) or
+    (left, right). Matches torch.nn.Conv1d."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    out = jax.lax.conv_general_dilated(
+        x, p["w"],
+        window_strides=(stride,),
+        padding=(padding,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        out = out + p["b"][None, :, None]
+    return out.astype(x.dtype)
+
+
+def conv_transpose1d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0,
+                     output_padding: int = 0, groups: int = 1,
+                     dilation: int = 1) -> jax.Array:
+    """Matches torch.nn.ConvTranspose1d: out_T = (T-1)*stride - 2*padding +
+    dilation*(kernel-1) + output_padding + 1. Weight layout (in, out/groups, k).
+
+    Implemented as an input-dilated convolution with the kernel flipped and
+    in/out transposed (the standard conv-transpose identity).
+    """
+    w = p["w"]  # (in, out/groups, k)
+    in_ch, out_pg, k = w.shape
+    # -> (out, in/groups, k), flipped taps
+    if groups == 1:
+        w_conv = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
+    else:
+        w_g = w.reshape(groups, in_ch // groups, out_pg, k)
+        w_g = jnp.flip(w_g, axis=-1).transpose(0, 2, 1, 3)
+        w_conv = w_g.reshape(groups * out_pg, in_ch // groups, k)
+    eff_k = dilation * (k - 1) + 1
+    pad_l = eff_k - 1 - padding
+    pad_r = eff_k - 1 - padding + output_padding
+    out = jax.lax.conv_general_dilated(
+        x, w_conv,
+        window_strides=(1,),
+        padding=((pad_l, pad_r),),
+        lhs_dilation=(stride,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        out = out + p["b"][None, :, None]
+    return out.astype(x.dtype)
+
+
+def snake(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    """Snake activation x + sin^2(ax)/a (reference snac.py:247-253).
+    alpha: (1, C, 1) or (C,)."""
+    if alpha.ndim == 1:
+        alpha = alpha[None, :, None]
+    xf = x.astype(jnp.float32)
+    af = alpha.astype(jnp.float32)
+    out = xf + (1.0 / (af + 1e-9)) * jnp.square(jnp.sin(af * xf))
+    return out.astype(x.dtype)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def avg_pool1d(x: jax.Array, kernel: int, stride: int) -> jax.Array:
+    """x: (B, C, T) -> (B, C, T//stride), torch.nn.functional.avg_pool1d."""
+    B, C, T = x.shape
+    out_t = (T - kernel) // stride + 1
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, kernel), (1, 1, stride), "VALID")
+    return summed / kernel
+
+
+def fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Fold torch weight_norm (g, v) into a plain weight: w = g * v/||v||,
+    norm over all dims except dim 0."""
+    norm = np.linalg.norm(v.reshape(v.shape[0], -1), axis=1)
+    return (g.reshape(-1) / np.maximum(norm, 1e-12)).reshape(
+        [-1] + [1] * (v.ndim - 1)) * v
+
+
+def pad1d(x: jax.Array, left: int, right: int, mode: str = "constant",
+          value: float = 0.0) -> jax.Array:
+    """Pad the time axis of (B, C, T)."""
+    if mode == "constant":
+        return jnp.pad(x, ((0, 0), (0, 0), (left, right)),
+                       constant_values=value)
+    if mode == "reflect":
+        return jnp.pad(x, ((0, 0), (0, 0), (left, right)), mode="reflect")
+    if mode == "replicate":
+        return jnp.pad(x, ((0, 0), (0, 0), (left, right)), mode="edge")
+    raise ValueError(mode)

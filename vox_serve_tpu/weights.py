@@ -1,0 +1,163 @@
+"""Checkpoint loading: HF sharded-safetensors -> stacked backbone pytrees.
+
+Counterpart of the reference's parallel safetensors loader (utils.py:51-134),
+plus the name mapping from HF Llama/Qwen-family layouts into this framework's
+stacked-layer parameter pytree (models/backbone.py). Network access is gated:
+in offline environments models fall back to random init + dev tokenizers and
+set ``assets_available = False``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .utils import get_logger
+
+logger = get_logger("weights")
+
+
+def resolve_model_dir(model_id: str) -> Optional[Path]:
+    """Find a local checkout/cache of an HF repo; download if online."""
+    p = Path(model_id)
+    if p.is_dir():
+        return p
+    try:
+        from huggingface_hub import snapshot_download
+
+        path = snapshot_download(model_id)
+        return Path(path)
+    except Exception as e:
+        logger.warning("checkpoint %s unavailable (%s); using random init",
+                       model_id, type(e).__name__)
+        return None
+
+
+def load_safetensors_state(model_dir: Path) -> dict[str, np.ndarray]:
+    """Load all *.safetensors shards in parallel into one flat dict."""
+    from safetensors.numpy import load_file
+
+    files = sorted(model_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {model_dir}")
+    state: dict[str, np.ndarray] = {}
+    with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+        for shard in ex.map(load_file, [str(f) for f in files]):
+            state.update(shard)
+    return state
+
+
+def _stack(state: dict, template: str, n_layers: int,
+           transpose: bool = False, dtype=jnp.bfloat16) -> jnp.ndarray:
+    arrs = []
+    for i in range(n_layers):
+        a = state[template.format(i=i)]
+        if transpose:
+            a = a.T
+        arrs.append(a)
+    return jnp.asarray(np.stack(arrs)).astype(dtype)
+
+
+def load_llama_family_backbone(
+    state: dict[str, np.ndarray],
+    num_layers: int,
+    prefix: str = "model.",
+    qkv_bias: bool = False,
+    qk_norm: bool = False,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Map HF Llama/Qwen2/Qwen3 weights into the stacked backbone pytree.
+
+    HF linear weights are (out, in); this framework stores (in, out), hence
+    the transposes. Covers: Orpheus (Llama), CosyVoice2 (Qwen2, qkv_bias),
+    Qwen3-TTS talker (qk_norm), CSM backbone, GLM, Step-Audio-2.
+    """
+    L = num_layers
+    p = prefix
+
+    def lin(name, bias=False):
+        d = {"w": _stack(state, p + "layers.{i}." + name + ".weight", L,
+                         transpose=True, dtype=dtype)}
+        if bias:
+            d["b"] = _stack(state, p + "layers.{i}." + name + ".bias", L,
+                            dtype=dtype)
+        return d
+
+    attn = {
+        "q": lin("self_attn.q_proj", qkv_bias),
+        "k": lin("self_attn.k_proj", qkv_bias),
+        "v": lin("self_attn.v_proj", qkv_bias),
+        "o": lin("self_attn.o_proj"),
+    }
+    if qk_norm:
+        attn["q_norm"] = _stack(state, p + "layers.{i}.self_attn.q_norm.weight",
+                                L, dtype=dtype)
+        attn["k_norm"] = _stack(state, p + "layers.{i}.self_attn.k_norm.weight",
+                                L, dtype=dtype)
+    params = {
+        "layers": {
+            "attn": attn,
+            "mlp": {
+                "gate": lin("mlp.gate_proj"),
+                "up": lin("mlp.up_proj"),
+                "down": lin("mlp.down_proj"),
+            },
+            "input_norm": _stack(state, p + "layers.{i}.input_layernorm.weight",
+                                 L, dtype=dtype),
+            "post_norm": _stack(
+                state, p + "layers.{i}.post_attention_layernorm.weight", L,
+                dtype=dtype),
+        },
+        "final_norm": jnp.asarray(state[p + "norm.weight"]).astype(dtype),
+    }
+    return params
+
+
+def load_embedding(state: dict, name: str, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return jnp.asarray(state[name]).astype(dtype)
+
+
+def load_head(state: dict, name: str, tied_embed: Optional[str] = None,
+              dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(V, H) HF head -> (H, V)."""
+    if name in state:
+        return jnp.asarray(state[name].T).astype(dtype)
+    if tied_embed is not None:
+        return jnp.asarray(state[tied_embed].T).astype(dtype)
+    raise KeyError(name)
+
+
+class DevTokenizer:
+    """Deterministic char-level fallback used when the real HF tokenizer
+    assets are unavailable (offline dev/test). NOT the production path —
+    models expose ``assets_available`` so the server can warn."""
+
+    def __init__(self, vocab_size: int = 128000, offset: int = 64):
+        self.vocab_size = vocab_size
+        self.offset = offset
+
+    def encode(self, text: str) -> list[int]:
+        return [self.offset + (ord(c) * 2654435761) % (self.vocab_size - self.offset - 1)
+                for c in text]
+
+    def __call__(self, text: str):
+        return self.encode(text)
+
+
+def load_text_tokenizer(model_id: str, vocab_size: int):
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_id)
+        logger.info("loaded tokenizer for %s", model_id)
+        return tok, True
+    except Exception as e:
+        logger.warning("tokenizer for %s unavailable (%s); dev fallback",
+                       model_id, type(e).__name__)
+        return DevTokenizer(vocab_size), False
