@@ -186,6 +186,10 @@ class BaseLM(abc.ABC):
     def logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """(B, hidden) -> (B, C_logits, vocab)."""
 
+    def adjust_logits(self, logits: jax.Array) -> jax.Array:
+        """Hook for static logit masking (suppress tokens, EOS biasing)."""
+        return logits
+
     def lm_step(
         self,
         params: dict,
@@ -210,7 +214,7 @@ class BaseLM(abc.ABC):
         )
         if last_token_idx is not None:
             h = jnp.take(h, last_token_idx, axis=0)  # (B, hidden)
-        logits = self.logits(params, h)
+        logits = self.adjust_logits(self.logits(params, h))
         ids, rep = sample_and_update(logits, self.sampling_config, rng,
                                      repetition_cache)
         out = self.post_sample(params, h, ids, rng)

