@@ -1,0 +1,229 @@
+"""CosyVoice2-0.5B TTS: Qwen2-0.5B backbone -> causal flow (token->mel) ->
+HiFT vocoder.
+
+Behavioral parity with reference model/cosyvoice2.py:
+  * prompt = [sos] + ref_text + text + [task_id] + ref_speech_tokens, where
+    every non-speech row is embedded host-side into input_features and masked
+    so the forward replaces the token embedding with the feature row
+    (cosyvoice2.py:924-1007; note the mask polarity: mask=True -> feature)
+  * vocab = speech_token_size + 3 = 6564; stop ids {6561, 6562, 6563};
+    sampling top_k 25, T 1.0; detokenize interval 28 / overlap 3, 24000
+    samples (1 s) per chunk at 24 kHz
+  * decoder = flow(tokens->mel, x2 upsample) + HiFT, with per-slot streaming
+    caches (flow encoder KV + conv contexts)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
+from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
+from ..models.backbone import BackboneConfig, init_backbone_params
+from ..models.base import BaseLM, PreprocessOutput
+from ..sampling import SamplingConfig
+from ..weights import (
+    load_embedding, load_head, load_llama_family_backbone,
+    load_safetensors_state, load_text_tokenizer, resolve_model_dir,
+)
+
+SPEECH_TOKEN_SIZE = 6561
+SOS = 0
+TASK_ID = 1
+STOP_IDS = (SPEECH_TOKEN_SIZE, SPEECH_TOKEN_SIZE + 1, SPEECH_TOKEN_SIZE + 2)
+
+
+class CosyVoice2LM(BaseLM):
+    SAMPLE_RATE = 24000
+    needs_input_features = True
+    needs_input_masks = True
+    supports_audio_input = True
+
+    def __init__(self, model_name: str = "FunAudioLLM/CosyVoice2-0.5B",
+                 dtype=jnp.bfloat16, debug_backbone=None, debug_flow=None,
+                 debug_hift=None, **_):
+        super().__init__(model_name, dtype)
+        self._cfg = debug_backbone or BackboneConfig(
+            vocab_size=151936, hidden_size=896, num_layers=24, num_heads=14,
+            num_kv_heads=2, intermediate_size=4864, qkv_bias=True,
+            rope_theta=1_000_000.0, dtype=dtype,
+        )
+        self._flow_cfg = debug_flow or FlowConfig()
+        self._hift_cfg = debug_hift or HiFTConfig()
+        self.text_tokenizer, self.assets_available = load_text_tokenizer(
+            model_name, self._cfg.vocab_size)
+        self._init_params()
+        self.sampling_config = self.default_sampling_config
+
+    def _init_params(self):
+        cfg = self._cfg
+        key = jax.random.key(21)
+        ks = jax.random.split(key, 8)
+        H = cfg.hidden_size
+        model_dir = resolve_model_dir(self.model_name)
+        backbone = None
+        if model_dir is not None:
+            try:
+                state = load_safetensors_state(model_dir)
+                backbone = load_llama_family_backbone(
+                    state, cfg.num_layers, qkv_bias=True, dtype=self.dtype)
+                text_embed = load_embedding(
+                    state, "model.embed_tokens.weight", self.dtype)
+                # llm_decoder / speech_embedding / llm_embedding names follow
+                # the reference checkpoint layout (cosyvoice2.py:289-291)
+                speech_embed = load_embedding(
+                    state, "speech_embedding.weight", self.dtype)
+                llm_embed = load_embedding(state, "llm_embedding.weight",
+                                           self.dtype)
+                head = load_head(state, "llm_decoder.weight", dtype=self.dtype)
+            except Exception:
+                backbone = None
+        if backbone is None:
+            backbone = init_backbone_params(cfg, ks[0])
+            text_embed = (jax.random.normal(ks[1], (cfg.vocab_size, H)) * 0.02
+                          ).astype(self.dtype)
+            speech_embed = (jax.random.normal(
+                ks[2], (SPEECH_TOKEN_SIZE + 3, H)) * 0.02).astype(self.dtype)
+            llm_embed = (jax.random.normal(ks[3], (2, H)) * 0.02
+                         ).astype(self.dtype)
+            head = (jax.random.normal(ks[4], (H, SPEECH_TOKEN_SIZE + 3)) * 0.02
+                    ).astype(self.dtype)
+            self.assets_available = False
+        self.params = {
+            "backbone": backbone,
+            "text_embed": text_embed,
+            "speech_embed": speech_embed,
+            "llm_embed": llm_embed,
+            "head": head,
+        }
+        self.codec_params = {
+            "flow": init_flow(self._flow_cfg, ks[5]),
+            "hift": init_hift(self._hift_cfg, ks[6]),
+        }
+        # default speaker reference (offline: neutral zero x-vector, no ICL)
+        self.default_ref = {
+            "ref_text_ids": np.zeros((0,), np.int32),
+            "ref_speech_tokens": np.zeros((0,), np.int32),
+            "spk": np.zeros((self._flow_cfg.spk_dim,), np.float32),
+        }
+
+    # ---- metadata ----------------------------------------------------------
+    @property
+    def backbone_config(self):
+        return self._cfg
+
+    @property
+    def n_codebooks(self):
+        return 1
+
+    @property
+    def vocab_size(self):
+        return SPEECH_TOKEN_SIZE + 3
+
+    @property
+    def detokenize_interval(self):
+        return 28
+
+    @property
+    def detokenize_overlap(self):
+        return 3
+
+    @property
+    def max_tokens(self):
+        return 4096
+
+    @property
+    def output_audio_length(self):
+        # (interval - overlap) tokens x upsample x 480 samples / mel frame
+        return (self.detokenize_interval - self.detokenize_overlap) * \
+            self._flow_cfg.upsample * self._hift_cfg.total_upsample
+
+    @property
+    def sample_rate(self):
+        return self.SAMPLE_RATE
+
+    @property
+    def default_sampling_config(self):
+        return SamplingConfig(top_k=25, temperature=1.0,
+                              max_tokens=self.max_tokens)
+
+    # ---- host-side ---------------------------------------------------------
+    def preprocess(self, prompt=None, audio_path=None, **kwargs
+                   ) -> PreprocessOutput:
+        text = prompt or ""
+        if hasattr(self.text_tokenizer, "encode"):
+            text_ids = list(self.text_tokenizer.encode(text))
+        else:
+            text_ids = list(self.text_tokenizer(text))
+        ref = self.default_ref
+        ref_text = list(ref["ref_text_ids"])
+        ref_speech = list(ref["ref_speech_tokens"])
+
+        ids = [SOS] + ref_text + text_ids + [TASK_ID] + ref_speech
+        T = len(ids)
+        input_tokens = np.asarray(ids, np.int32)[:, None]
+        # all prefill rows take their embedding from input_features
+        input_masks = np.ones((T, 1), bool)
+        H = self._cfg.hidden_size
+        feats = np.zeros((T, H), np.float32)
+        llm_embed = np.asarray(self.params["llm_embed"], np.float32)
+        text_embed_tbl = self.params["text_embed"]
+        speech_embed_tbl = self.params["speech_embed"]
+        feats[0] = llm_embed[SOS]
+        pos = 1
+        for tid in ref_text + text_ids:
+            feats[pos] = np.asarray(text_embed_tbl[int(tid) % text_embed_tbl.shape[0]],
+                                    np.float32)
+            pos += 1
+        feats[pos] = llm_embed[TASK_ID]
+        pos += 1
+        for st in ref_speech:
+            feats[pos] = np.asarray(speech_embed_tbl[int(st)], np.float32)
+            pos += 1
+        return PreprocessOutput(input_tokens=input_tokens,
+                                input_masks=input_masks,
+                                input_features=feats)
+
+    def is_stop(self, token_ids: np.ndarray) -> bool:
+        return int(token_ids[0]) in STOP_IDS
+
+    # ---- traced ------------------------------------------------------------
+    def embed(self, params, token_ids, features, masks):
+        ids = jnp.clip(token_ids[:, 0], 0, SPEECH_TOKEN_SIZE + 2)
+        speech = jnp.take(params["speech_embed"], ids, axis=0)
+        if masks is None or features is None:
+            return speech
+        return jnp.where(masks[:, :1], features.astype(speech.dtype), speech)
+
+    def logits(self, params, hidden):
+        return (hidden @ params["head"])[:, None, :]
+
+    # ---- codec -------------------------------------------------------------
+    def detokenize(self, codec_params, token_ids, cache):
+        """(B, 28, 1) tokens -> (B, 1, 24000). Flow decodes the full window;
+        the leading `overlap` tokens are re-decoded context and their mel
+        frames are dropped before vocoding."""
+        B = token_ids.shape[0]
+        tokens = jnp.clip(token_ids[:, :, 0], 0, SPEECH_TOKEN_SIZE - 1)
+        spk = cache["spk"] if cache is not None else jnp.zeros(
+            (B, self._flow_cfg.spk_dim))
+        flow_cache = cache["flow"] if cache is not None else None
+        rng = jax.random.key(0)
+        mel, new_flow_cache = flow_tokens_to_mel(
+            codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache, rng)
+        keep = (self.detokenize_interval - self.detokenize_overlap) * \
+            self._flow_cfg.upsample
+        mel = mel[:, :, -keep:]
+        wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
+        new_cache = None
+        if cache is not None:
+            new_cache = {"flow": new_flow_cache, "spk": spk}
+        return wav[:, None, :], new_cache
+
+    def init_decoder_cache(self, batch):
+        return {
+            "flow": flow_init_cache(self._flow_cfg, batch),
+            "spk": jnp.zeros((batch, self._flow_cfg.spk_dim)),
+        }

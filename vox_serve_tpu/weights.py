@@ -23,20 +23,36 @@ from .utils import get_logger
 logger = get_logger("weights")
 
 
+#: resolution order is offline-first: hammering a dead network with the HF
+#: hub's 5x-retry backoff stalls model init by minutes. Set
+#: VOX_ALLOW_DOWNLOAD=1 to permit network fetches.
+def _allow_download() -> bool:
+    return os.environ.get("VOX_ALLOW_DOWNLOAD", "").lower() in ("1", "true")
+
+
 def resolve_model_dir(model_id: str) -> Optional[Path]:
-    """Find a local checkout/cache of an HF repo; download if online."""
+    """Find a local checkout/cache of an HF repo; download only if enabled."""
     p = Path(model_id)
     if p.is_dir():
         return p
     try:
         from huggingface_hub import snapshot_download
 
-        path = snapshot_download(model_id)
+        path = snapshot_download(model_id, local_files_only=True)
         return Path(path)
-    except Exception as e:
-        logger.warning("checkpoint %s unavailable (%s); using random init",
-                       model_id, type(e).__name__)
-        return None
+    except Exception:
+        pass
+    if _allow_download():
+        try:
+            from huggingface_hub import snapshot_download
+
+            return Path(snapshot_download(model_id))
+        except Exception as e:
+            logger.warning("checkpoint %s download failed (%s)",
+                           model_id, type(e).__name__)
+    logger.warning("checkpoint %s unavailable locally; using random init",
+                   model_id)
+    return None
 
 
 def load_safetensors_state(model_dir: Path) -> dict[str, np.ndarray]:
@@ -154,10 +170,19 @@ def load_text_tokenizer(model_id: str, vocab_size: int):
     try:
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(model_id)
-        logger.info("loaded tokenizer for %s", model_id)
+        tok = AutoTokenizer.from_pretrained(model_id, local_files_only=True)
+        logger.info("loaded tokenizer for %s (local)", model_id)
         return tok, True
-    except Exception as e:
-        logger.warning("tokenizer for %s unavailable (%s); dev fallback",
-                       model_id, type(e).__name__)
-        return DevTokenizer(vocab_size), False
+    except Exception:
+        pass
+    if _allow_download():
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(model_id)
+            return tok, True
+        except Exception as e:
+            logger.warning("tokenizer %s download failed (%s)", model_id,
+                           type(e).__name__)
+    logger.warning("tokenizer for %s unavailable; dev fallback", model_id)
+    return DevTokenizer(vocab_size), False
