@@ -39,7 +39,7 @@ def main():
     wcfg = WorkerConfig(
         max_batch_size=BATCH, num_pages=1024, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=BATCH,
-        warmup=False,
+        warmup=False, pipeline_depth=4,
     )
     worker = ModelWorker(model, wcfg)
 
@@ -60,6 +60,7 @@ def main():
         worker.run_lm_decode(reqs)
         for r in reqs:
             r.done_lm_generation = False
+    worker.sync()
     elapsed = time.perf_counter() - start
 
     frames_per_s = BATCH * STEPS / elapsed

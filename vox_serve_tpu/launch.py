@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable-disaggregation", action="store_true")
     p.add_argument("--enable-pallas", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="in-flight decode steps with deferred readback")
     p.add_argument("--dp-size", type=int, default=1)
     p.add_argument("--detokenize-interval", type=int, default=None)
     p.add_argument("--socket-suffix", default="")
@@ -89,6 +91,7 @@ def main(argv=None) -> None:
         "enable_disaggregation": args.enable_disaggregation,
         "enable_pallas": args.enable_pallas,
         "no_warmup": args.no_warmup,
+        "pipeline_depth": args.pipeline_depth,
         "detokenize_interval": args.detokenize_interval,
         "log_level": args.log_level,
     }

@@ -54,6 +54,7 @@ class BackboneConfig:
     o_bias: bool = False
     mlp_bias: bool = False
     qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
+    use_layer_norm: bool = False  # Zonos: LayerNorm (with bias) instead of RMSNorm
     learned_pos_emb: bool = False  # Chatterbox t3: learned abs. positions, no RoPE
     max_position_embeddings: int = 8192
     attn_scale: Optional[float] = None
@@ -125,6 +126,12 @@ def init_backbone_params(cfg: BackboneConfig, key: jax.Array) -> dict:
         },
         "final_norm": jnp.ones((cfg.hidden_size,), dtype=cfg.dtype),
     }
+    if cfg.use_layer_norm:
+        params["layers"]["input_norm_b"] = jnp.zeros(
+            (L, cfg.hidden_size), dtype=cfg.dtype)
+        params["layers"]["post_norm_b"] = jnp.zeros(
+            (L, cfg.hidden_size), dtype=cfg.dtype)
+        params["final_norm_b"] = jnp.zeros((cfg.hidden_size,), dtype=cfg.dtype)
     if cfg.learned_pos_emb:
         params["pos_emb"] = (
             jax.random.normal(keys[2], (cfg.max_position_embeddings, cfg.hidden_size)) * 0.02
@@ -169,11 +176,26 @@ def backbone_forward(
 
     T = x.shape[0]
 
+    if cfg.use_layer_norm:
+        from ..ops.norms import layer_norm as _ln
+
+        def norm_in(h, lp):
+            return _ln(h, lp["input_norm"], lp["input_norm_b"], cfg.rms_eps)
+
+        def norm_post(h, lp):
+            return _ln(h, lp["post_norm"], lp["post_norm_b"], cfg.rms_eps)
+    else:
+        def norm_in(h, lp):
+            return rms_norm(h, lp["input_norm"], cfg.rms_eps)
+
+        def norm_post(h, lp):
+            return rms_norm(h, lp["post_norm"], cfg.rms_eps)
+
     def layer_fn(carry, scanned):
         h, kp, vp = carry
         lp, layer_idx = scanned
 
-        xin = rms_norm(h, lp["input_norm"], cfg.rms_eps)
+        xin = norm_in(h, lp)
         q = linear(lp["attn"]["q"], xin).reshape(T, H, hd)
         k = linear(lp["attn"]["k"], xin).reshape(T, KH, hd)
         v = linear(lp["attn"]["v"], xin).reshape(T, KH, hd)
@@ -198,7 +220,7 @@ def backbone_forward(
 
         h = h + linear(lp["attn"]["o"], attn_out.reshape(T, H * hd))
 
-        xin2 = rms_norm(h, lp["post_norm"], cfg.rms_eps)
+        xin2 = norm_post(h, lp)
         gated = jax.nn.silu(linear(lp["mlp"]["gate"], xin2)) * linear(lp["mlp"]["up"], xin2)
         h = h + linear(lp["mlp"]["down"], gated)
         return (h, kp, vp), None
@@ -209,5 +231,10 @@ def backbone_forward(
         (x, k_pages, v_pages),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if cfg.use_layer_norm:
+        from ..ops.norms import layer_norm as _ln
+
+        x = _ln(x, params["final_norm"], params["final_norm_b"], cfg.rms_eps)
+    else:
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x, k_pages, v_pages

@@ -203,6 +203,7 @@ class BaseLM(abc.ABC):
         rng: jax.Array,
         repetition_cache: jax.Array | None,
         last_token_idx: jax.Array | None = None,  # (B,) gather for prefill
+        gen_idx: jax.Array | None = None,         # (B,) output-token index
         depth_state: Any = None,
     ) -> StepOutput:
         """One full traced LM step. Decode: T == B. Prefill: gather hidden at
@@ -217,7 +218,7 @@ class BaseLM(abc.ABC):
         logits = self.adjust_logits(self.logits(params, h))
         ids, rep = sample_and_update(logits, self.sampling_config, rng,
                                      repetition_cache)
-        out = self.post_sample(params, h, ids, rng)
+        out = self.post_sample(params, h, ids, rng, gen_idx=gen_idx)
         return StepOutput(
             sampled=out["sampled"],
             k_pages=k_pages,
@@ -227,9 +228,10 @@ class BaseLM(abc.ABC):
         )
 
     def post_sample(self, params: dict, hidden: jax.Array,
-                    ids: jax.Array, rng: jax.Array) -> dict:
-        """Hook for depth models (sample remaining codebooks) / feedback.
-        ids: (B, C_logits) -> returns {"sampled": (B, n_codebooks), ...}."""
+                    ids: jax.Array, rng: jax.Array,
+                    gen_idx: jax.Array | None = None) -> dict:
+        """Hook for depth models (sample remaining codebooks), feedback, and
+        delay-pattern masking. ids: (B, C_logits) -> {"sampled": (B, C), ...}."""
         if ids.shape[1] == self.n_codebooks:
             return {"sampled": ids}
         pad = jnp.zeros((ids.shape[0], self.n_codebooks - ids.shape[1]),
@@ -269,6 +271,6 @@ class BaseLMWithDepth(BaseLM):
         """hidden: (B, H) final backbone hidden; cb0: (B,) sampled codebook 0.
         Returns ((B, n_codebooks) all codebook ids, feedback or None)."""
 
-    def post_sample(self, params, hidden, ids, rng):
+    def post_sample(self, params, hidden, ids, rng, gen_idx=None):
         all_ids, feedback = self.depth_step(params, hidden, ids[:, 0], rng)
         return {"sampled": all_ids, "feedback": feedback}

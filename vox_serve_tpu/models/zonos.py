@@ -1,0 +1,207 @@
+"""Zonos-v0.1 TTS: transformer backbone with 9-codebook DELAY PATTERN ->
+DAC 44.1 kHz decode -> resample to 24 kHz.
+
+Behavioral parity with reference model/zonos.py:
+  * prefix conditioning: phonemized text + conditioner embeddings form the
+    prefill as input_features (espeak runs host-side; offline builds use a
+    deterministic fallback phonemizer)
+  * 9 codebooks sampled TOGETHER each step (9 output heads, no depth model);
+    for the first n-1 steps the trailing codebooks are overwritten with the
+    masked token 1025 (delay pattern, zonos.py:879-890) — done INSIDE the
+    jitted step via gen_idx so the device-resident feedback buffer carries
+    the masked values
+  * EOS (1024) only on codebook 0 (logit bias -inf elsewhere, zonos.py:586-587)
+  * postprocess reverts the delay: codes[k] = tokens[k : T-n+k, k]
+    (zonos.py:922-931), clamp to [0, 1023], DAC decode, resample 44.1->24 kHz
+  * sampling min_p 0.1, repetition 3.0 window 2; interval 50 / overlap 9;
+    11425 samples per chunk
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.snac import SNACConfig, init_snac_decoder, snac_decode
+from ..models.backbone import BackboneConfig, init_backbone_params
+from ..models.base import BaseLM, PreprocessOutput
+from ..sampling import SamplingConfig
+
+N_CB = 9
+EOS_TOKEN = 1024
+MASKED_TOKEN = 1025
+LM_VOCAB = 1025  # heads predict [0..1024]; mask token is input-only
+
+# DAC 44.1 kHz decoder expressed in the SNAC machinery: 9 residual codebooks
+# at unit stride, hop 512
+DAC_CONFIG = SNACConfig(
+    sampling_rate=44100, decoder_dim=1536, decoder_rates=(8, 8, 4, 2),
+    latent_dim=1024, codebook_size=1024, codebook_dim=8,
+    vq_strides=(1,) * 9, noise=False, depthwise=False, attn_window_size=None,
+)
+
+
+def _resample_441_to_24(x: jax.Array) -> jax.Array:
+    """Linear resample along the last axis (44100 -> 24000)."""
+    n_in = x.shape[-1]
+    n_out = int(round(n_in * 24000 / 44100))
+    pos = jnp.linspace(0.0, n_in - 1, n_out)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n_in - 1)
+    frac = pos - i0
+    return x[..., i0] * (1 - frac) + x[..., i1] * frac
+
+
+class ZonosLM(BaseLM):
+    SAMPLE_RATE = 24000
+    needs_input_features = True
+    needs_input_masks = True
+    supports_audio_input = True  # speaker reference audio
+
+    def __init__(self, model_name: str = "Zyphra/Zonos-v0.1-transformer",
+                 dtype=jnp.bfloat16, debug_backbone=None, debug_codec=None, **_):
+        super().__init__(model_name, dtype)
+        self._cfg = debug_backbone or BackboneConfig(
+            vocab_size=LM_VOCAB, hidden_size=2048, num_layers=26,
+            num_heads=16, num_kv_heads=16, intermediate_size=8192,
+            use_layer_norm=True, rope_theta=10000.0, dtype=dtype,
+        )
+        self._dac_cfg = debug_codec or DAC_CONFIG
+        self._init_params()
+        self.sampling_config = self.default_sampling_config
+        bias = np.zeros((N_CB, LM_VOCAB), np.float32)
+        bias[1:, EOS_TOKEN] = float(np.finfo(np.float32).min)
+        self._eos_bias = jnp.asarray(bias)
+
+    def _init_params(self):
+        cfg = self._cfg
+        key = jax.random.key(41)
+        ks = jax.random.split(key, 6)
+        H = cfg.hidden_size
+        self.params = {
+            "backbone": init_backbone_params(cfg, ks[0]),
+            # 9 embedding tables (1026 rows: 1024 codes + EOS + mask)
+            "embeds": (jax.random.normal(ks[1], (N_CB, 1026, H)) * 0.02
+                       ).astype(self.dtype),
+            # 9 output heads
+            "heads": (jax.random.normal(ks[2], (N_CB, H, LM_VOCAB)) * 0.02
+                      ).astype(self.dtype),
+            # phoneme embedding for prefix conditioning
+            "phoneme_embed": (jax.random.normal(ks[3], (256, H)) * 0.02
+                              ).astype(self.dtype),
+        }
+        self.codec_params = init_snac_decoder(self._dac_cfg, ks[4])
+        self.assets_available = False
+
+    # ---- metadata ----------------------------------------------------------
+    @property
+    def backbone_config(self):
+        return self._cfg
+
+    @property
+    def n_codebooks(self):
+        return N_CB
+
+    @property
+    def vocab_size(self):
+        return LM_VOCAB
+
+    @property
+    def detokenize_interval(self):
+        return 50
+
+    @property
+    def detokenize_overlap(self):
+        return 9
+
+    @property
+    def max_tokens(self):
+        return 2048
+
+    @property
+    def output_audio_length(self):
+        # (50 - 9) frames x hop 512 @ 44.1 kHz -> 24 kHz (zonos.py:644-646)
+        if self._dac_cfg is DAC_CONFIG:
+            return 11425
+        frames = self.detokenize_interval - N_CB
+        n44 = frames * self._dac_cfg.hop_per_latent
+        return int(round(n44 * 24000 / 44100))
+
+    @property
+    def sample_rate(self):
+        return self.SAMPLE_RATE
+
+    @property
+    def default_sampling_config(self):
+        return SamplingConfig(min_p=0.1, repetition_penalty=3.0,
+                              repetition_window=2, max_tokens=self.max_tokens)
+
+    # ---- host-side ---------------------------------------------------------
+    def _phonemize(self, text: str) -> list[int]:
+        """espeak when available; deterministic byte fallback offline."""
+        try:
+            from phonemizer import phonemize  # pragma: no cover
+
+            ph = phonemize(text, language="en-us", backend="espeak")
+            return [ord(c) % 256 for c in ph]
+        except Exception:
+            return [ord(c) % 256 for c in (text or "")]
+
+    def preprocess(self, prompt=None, audio_path=None, speaker=None,
+                   **kwargs) -> PreprocessOutput:
+        ph = self._phonemize(prompt or "")
+        T = len(ph) + 1  # + speaker/conditioning slot
+        toks = np.full((T, N_CB), MASKED_TOKEN, np.int32)
+        masks = np.ones((T, N_CB), bool)
+        feats = np.zeros((T, self._cfg.hidden_size), np.float32)
+        tbl = np.asarray(self.params["phoneme_embed"], np.float32)
+        # slot 0: speaker/conditioning embedding (LDA x-vector offline = 0)
+        for i, p in enumerate(ph):
+            feats[i + 1] = tbl[p]
+        return PreprocessOutput(input_tokens=toks, input_masks=masks,
+                                input_features=feats)
+
+    def is_stop(self, token_ids: np.ndarray) -> bool:
+        return int(token_ids[0]) == EOS_TOKEN
+
+    # ---- traced ------------------------------------------------------------
+    def embed(self, params, token_ids, features, masks):
+        ids = jnp.clip(token_ids, 0, 1025)  # (T, 9)
+        embs = jax.vmap(lambda tbl, col: jnp.take(tbl, col, axis=0),
+                        in_axes=(0, 1), out_axes=1)(params["embeds"], ids)
+        x = jnp.sum(embs, axis=1)  # (T, H)
+        if masks is not None and features is not None:
+            x = jnp.where(masks[:, :1], features.astype(x.dtype), x)
+        return x
+
+    def logits(self, params, hidden):
+        # (B, H) x (9, H, V) -> (B, 9, V)
+        return jnp.einsum("bh,chv->bcv", hidden.astype(jnp.float32),
+                          params["heads"].astype(jnp.float32))
+
+    def adjust_logits(self, logits):
+        return logits + self._eos_bias[None]
+
+    def post_sample(self, params, hidden, ids, rng, gen_idx=None):
+        # delay pattern: at output index g, codebooks j > g emit the masked
+        # token (zonos.py:879-890); runs in-jit so the device feedback buffer
+        # carries masked values into the next step
+        if gen_idx is None:
+            return {"sampled": ids}
+        col = jnp.arange(N_CB, dtype=jnp.int32)[None, :]
+        masked = jnp.where(col > gen_idx[:, None], MASKED_TOKEN, ids)
+        return {"sampled": masked}
+
+    # ---- codec -------------------------------------------------------------
+    def detokenize(self, codec_params, token_ids, cache):
+        """(B, 50, 9) -> revert delay -> DAC decode -> resample."""
+        B, T, _ = token_ids.shape
+        cols = []
+        for k in range(N_CB):
+            cols.append(token_ids[:, k:T - N_CB + k, k])
+        codes = jnp.clip(jnp.stack(cols, axis=1), 0, 1023)  # (B, 9, T-9)
+        codes_list = [codes[:, k] for k in range(N_CB)]
+        wav44 = snac_decode(codec_params, self._dac_cfg, codes_list)
+        wav24 = _resample_441_to_24(wav44)
+        return wav24, None

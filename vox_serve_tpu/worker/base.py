@@ -48,6 +48,12 @@ class WorkerConfig:
     seed: int = 0
     #: place the audio detokenizer on a different device (disaggregation)
     detokenizer_device_index: Optional[int] = None
+    #: decode pipelining: number of in-flight decode steps whose host-side
+    #: readback is deferred. The sampled-token feedback loop lives in a
+    #: device-resident per-slot buffer, so step N+1 launches without waiting
+    #: for step N's tokens to reach the host — essential when dispatch or
+    #: transfer latency is high (SURVEY §7.2 hard part 4). 0 = synchronous.
+    pipeline_depth: int = 0
 
     @property
     def decode_buckets(self) -> tuple[int, ...]:
@@ -120,6 +126,14 @@ class ModelWorker:
         self._base_key = jax.random.key(cfg.seed)
         self._step_counter = 0
 
+        # device-resident last-sampled-token buffer, one row per slot: the
+        # decode feedback path never crosses the host boundary
+        self.last_tokens = jnp.zeros(
+            (cfg.max_batch_size, model.n_codebooks), jnp.int32)
+        # pending decode steps awaiting host readback:
+        # (sampled_device, requests, hard_stopped)
+        self._pending: list[tuple] = []
+
         self._lm_fns: dict[tuple, Any] = {}
         self._detok_fns: dict[int, Any] = {}
 
@@ -161,6 +175,8 @@ class ModelWorker:
         req.slot = self._free_slots.pop()
 
     def free_kv_cache(self, req: Request) -> None:
+        if req.extras.get("inflight"):
+            self.sync()
         if req.kv_pages:
             self.allocator.free(req.kv_pages)
             req.kv_pages = []
@@ -183,9 +199,18 @@ class ModelWorker:
         model = self.model
 
         def step(params, token_ids, positions, features, masks, meta,
-                 k_pages, v_pages, rep_cache, feedback, slot_ids,
-                 base_key, counter, last_idx):
+                 k_pages, v_pages, rep_cache, feedback, last_tokens,
+                 slot_ids, base_key, counter, last_idx,
+                 override_mask, gen_idx):
             rng = jax.random.fold_in(base_key, counter)
+            if phase == "decode":
+                # the token feedback path is device-resident: read the
+                # previous step's sampled tokens from the per-slot buffer
+                # (token_ids here carries only host overrides, e.g. streamed
+                # text-channel injections)
+                buf_tokens = jnp.take(last_tokens, slot_ids, axis=0,
+                                      mode="clip")
+                token_ids = jnp.where(override_mask, token_ids, buf_tokens)
             rep_rows = None
             if rep_cache is not None:
                 rep_rows = jnp.take(rep_cache, slot_ids, axis=0, mode="clip")
@@ -196,6 +221,7 @@ class ModelWorker:
                 params, token_ids, positions, features, masks, meta,
                 k_pages, v_pages, rng, rep_rows,
                 last_token_idx=last_idx if phase == "prefill" else None,
+                gen_idx=gen_idx,
             )
             new_rep = rep_cache
             if rep_cache is not None and out.repetition_cache is not None:
@@ -205,9 +231,11 @@ class ModelWorker:
             if feedback is not None and out.feedback is not None:
                 new_feedback = feedback.at[slot_ids].set(
                     out.feedback.astype(feedback.dtype), mode="drop")
-            return out.sampled, out.k_pages, out.v_pages, new_rep, new_feedback
+            new_last = last_tokens.at[slot_ids].set(out.sampled, mode="drop")
+            return (out.sampled, out.k_pages, out.v_pages, new_rep,
+                    new_feedback, new_last)
 
-        return jax.jit(step, donate_argnums=(6, 7, 8, 9))
+        return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
 
     def _get_detok_fn(self, bucket: int):
         fn = self._detok_fns.get(bucket)
@@ -248,6 +276,7 @@ class ModelWorker:
     def run_lm_prefill(self, requests: list[Request]) -> None:
         if not requests:
             return
+        self.sync()  # resolve pipelined decodes before admitting new work
         model = self.model
         C = model.n_codebooks
         cfg = self.config
@@ -314,13 +343,15 @@ class ModelWorker:
         )
         fn = self._get_lm_fn("prefill", (T, B))
         self._step_counter += 1
-        sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback = fn(
+        (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+         self.last_tokens) = fn(
             model.params, jnp.asarray(tokens), jnp.asarray(pos),
             None if feat is None else jnp.asarray(feat),
             None if msk is None else jnp.asarray(msk),
             meta, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-            jnp.asarray(slot_ids), self._base_key,
+            self.last_tokens, jnp.asarray(slot_ids), self._base_key,
             jnp.int32(self._step_counter), jnp.asarray(last_idx),
+            jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32),
         )
         sampled_np = np.asarray(jax.device_get(sampled))
         for i, req in enumerate(requests):
@@ -347,7 +378,9 @@ class ModelWorker:
         page_size = cfg.page_size
         B = self._decode_bucket(len(requests))
 
-        tokens = np.zeros((B, C), np.int32)
+        overrides = np.zeros((B, C), np.int32)
+        override_mask = np.zeros((B, C), bool)
+        gen_idx = np.zeros((B,), np.int32)
         positions = np.zeros((B,), np.int32)
         page_ids = np.zeros((B,), np.int32)
         offsets = np.zeros((B,), np.int32)
@@ -357,9 +390,17 @@ class ModelWorker:
 
         hard_stopped: set[int] = set()
         for i, req in enumerate(requests):
-            tokens[i] = self.next_input_tokens(req)
-            pos = req.next_position_id - 1  # position of the token being fed
-            positions[i] = pos
+            if req.is_input_streaming:
+                tok = np.zeros((C,), np.int32)
+                self._inject_streaming_text_token(req, tok)
+                ch = model.text_channel_index % C
+                overrides[i, ch] = tok[model.text_channel_index]
+                override_mask[i, ch] = True
+            inflight = req.extras.get("inflight", 0)
+            # position of the token fed this step, accounting for
+            # not-yet-resolved pipelined steps
+            gen_idx[i] = req.num_generated + inflight
+            positions[i] = req.input_length + gen_idx[i] - 1
             # grow KV by one token
             t = req.kv_token_len
             if t >= self.max_pages_per_seq * page_size:
@@ -369,7 +410,6 @@ class ModelWorker:
                 self.logger.warning(
                     "request %s hit the KV block-table limit (%d tokens)",
                     req.request_id, t)
-                tokens[i] = 0
                 hard_stopped.add(i)
                 continue
             if t % page_size == 0:
@@ -381,6 +421,7 @@ class ModelWorker:
             block_tables[i, :n_pages] = req.kv_pages
             seq_lens[i] = req.kv_token_len
             slot_ids[i] = req.slot
+            req.extras["inflight"] = inflight + 1
 
         meta = AttnMetadata(
             False,
@@ -390,25 +431,35 @@ class ModelWorker:
         )
         fn = self._get_lm_fn("decode", (B,))
         self._step_counter += 1
-        sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback = fn(
-            model.params, jnp.asarray(tokens), jnp.asarray(positions),
+        (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+         self.last_tokens) = fn(
+            model.params, jnp.asarray(overrides), jnp.asarray(positions),
             None, None, meta, self.k_pages, self.v_pages, self.rep_cache,
-            self.feedback, jnp.asarray(slot_ids), self._base_key,
-            jnp.int32(self._step_counter), None,
+            self.feedback, self.last_tokens, jnp.asarray(slot_ids),
+            self._base_key, jnp.int32(self._step_counter), None,
+            jnp.asarray(override_mask), jnp.asarray(gen_idx),
         )
+        self._pending.append((sampled, list(requests), hard_stopped))
+        while len(self._pending) > self.config.pipeline_depth:
+            self._resolve_one()
+
+    def _resolve_one(self) -> None:
+        sampled, requests, hard_stopped = self._pending.pop(0)
         sampled_np = np.asarray(jax.device_get(sampled))
         for i, req in enumerate(requests):
+            req.extras["inflight"] = max(
+                req.extras.get("inflight", 1) - 1, 0)
             if i in hard_stopped:
                 continue
-            model.update_request_state(req, sampled_np[i])
+            if req.done_lm_generation:
+                # speculative step issued past the stop point; discard
+                continue
+            self.model.update_request_state(req, sampled_np[i])
 
-    def next_input_tokens(self, req: Request) -> np.ndarray:
-        """Token(s) fed at this decode step; handles streaming-text injection
-        (reference worker/base.py:362-394) via model hooks."""
-        tok = req.lm_output_tokens[-1].copy()
-        if req.is_input_streaming:
-            tok = self._inject_streaming_text_token(req, tok)
-        return tok
+    def sync(self) -> None:
+        """Resolve all in-flight decode steps (host state catches up)."""
+        while self._pending:
+            self._resolve_one()
 
     def _inject_streaming_text_token(self, req: Request, tok: np.ndarray) -> np.ndarray:
         """Inject the next streamed text token into the model's text channel
