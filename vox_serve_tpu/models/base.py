@@ -182,6 +182,12 @@ class BaseLM(abc.ABC):
               features: jax.Array | None, masks: jax.Array | None) -> jax.Array:
         """(T, C) int32 [+ features/masks] -> (T, hidden)."""
 
+    def embed_step(self, params, token_ids, features, masks, positions,
+                   gen_idx) -> jax.Array:
+        """Position-aware embedding hook (Chatterbox adds learned per-segment
+        position embeddings here); defaults to embed()."""
+        return self.embed(params, token_ids, features, masks)
+
     @abc.abstractmethod
     def logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """(B, hidden) -> (B, C_logits, vocab)."""
@@ -208,7 +214,8 @@ class BaseLM(abc.ABC):
     ) -> StepOutput:
         """One full traced LM step. Decode: T == B. Prefill: gather hidden at
         ``last_token_idx`` before the head."""
-        x = self.embed(params, token_ids, features, masks)
+        x = self.embed_step(params, token_ids, features, masks, positions,
+                            gen_idx)
         h, k_pages, v_pages = backbone_forward(
             params["backbone"], self.backbone_config, x, positions, meta,
             k_pages, v_pages,

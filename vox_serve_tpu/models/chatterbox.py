@@ -1,0 +1,209 @@
+"""Chatterbox TTS (ResembleAI): 0.5B "t3" Llama-style backbone with learned
+per-segment position embeddings + voice-cloning conditioning -> S3 flow +
+HiFT decoder, perth watermarking.
+
+Behavioral parity with reference model/chatterbox.py:
+  * t3 backbone: hidden 1024, 30 layers, 16/16 heads, inter 4096, llama3.1
+    rope scaling, PLUS learned text/speech position embeddings added to the
+    input (chatterbox.py:334-338): prefill rows carry host-computed
+    cond/text embeddings (incl. positions) in input_features; decode adds
+    speech_pos_emb[gen_idx + 1] in-jit via embed_step
+  * conditioning: perceiver cond encoder over speaker emb + 150 prompt
+    speech tokens + emotion scalar (encoder/chatterbox.py) — host-side,
+    gated on assets; offline uses a zero conditioning prefix
+  * speech vocab 6563 (start 6561, stop 6562); stop id 6562; top_p 0.95
+    T 0.8 repetition 1.2 global; interval 25 / overlap 3
+  * needs perth watermarking (chatterbox.py:532-539)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
+from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
+from ..models.backbone import BackboneConfig, init_backbone_params
+from ..models.base import BaseLM, PreprocessOutput
+from ..sampling import SamplingConfig
+from ..weights import load_text_tokenizer
+
+SPEECH_VOCAB = 6563
+START_SPEECH = 6561
+STOP_SPEECH = 6562
+TEXT_VOCAB = 704
+START_TEXT = 255
+STOP_TEXT = 0
+COND_LEN = 34  # perceiver output length (32) + speaker + emotion
+
+
+class ChatterboxLM(BaseLM):
+    SAMPLE_RATE = 24000
+    supports_audio_input = True
+    needs_input_features = True
+    needs_input_masks = True
+    needs_watermarking = True
+    watermarker_type = "perth"
+
+    def __init__(self, model_name: str = "ResembleAI/chatterbox",
+                 dtype=jnp.bfloat16, debug_backbone=None, debug_flow=None,
+                 debug_hift=None, **_):
+        super().__init__(model_name, dtype)
+        self._cfg = debug_backbone or BackboneConfig(
+            vocab_size=SPEECH_VOCAB, hidden_size=1024, num_layers=30,
+            num_heads=16, num_kv_heads=16, intermediate_size=4096,
+            llama31_rope_scaling=True, rope_theta=500_000.0, dtype=dtype,
+        )
+        self._flow_cfg = debug_flow or FlowConfig(vocab_size=SPEECH_VOCAB)
+        self._hift_cfg = debug_hift or HiFTConfig()
+        self.text_tokenizer, self.assets_available = load_text_tokenizer(
+            model_name, TEXT_VOCAB)
+        key = jax.random.key(71)
+        ks = jax.random.split(key, 7)
+        H = self._cfg.hidden_size
+        self.params = {
+            "backbone": init_backbone_params(self._cfg, ks[0]),
+            "text_embed": (jax.random.normal(ks[1], (TEXT_VOCAB, H)) * 0.02
+                           ).astype(dtype),
+            "speech_embed": (jax.random.normal(ks[2], (SPEECH_VOCAB, H))
+                             * 0.02).astype(dtype),
+            "text_pos": (jax.random.normal(ks[3], (2048, H)) * 0.02
+                         ).astype(dtype),
+            "speech_pos": (jax.random.normal(ks[4], (4096, H)) * 0.02
+                           ).astype(dtype),
+            "speech_head": (jax.random.normal(ks[5], (H, SPEECH_VOCAB))
+                            * 0.02).astype(dtype),
+        }
+        self.codec_params = {
+            "flow": init_flow(self._flow_cfg, ks[6]),
+            "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
+        }
+        self.sampling_config = self.default_sampling_config
+
+    @property
+    def backbone_config(self):
+        return self._cfg
+
+    @property
+    def n_codebooks(self):
+        return 1
+
+    @property
+    def vocab_size(self):
+        return SPEECH_VOCAB
+
+    @property
+    def detokenize_interval(self):
+        return 25
+
+    @property
+    def detokenize_overlap(self):
+        return 3
+
+    @property
+    def max_tokens(self):
+        return 1000
+
+    @property
+    def output_audio_length(self):
+        return (self.detokenize_interval - self.detokenize_overlap) * \
+            self._flow_cfg.upsample * self._hift_cfg.total_upsample
+
+    @property
+    def sample_rate(self):
+        return self.SAMPLE_RATE
+
+    @property
+    def default_sampling_config(self):
+        return SamplingConfig(top_p=0.95, temperature=0.8,
+                              repetition_penalty=1.2, repetition_window=-1,
+                              max_tokens=self.max_tokens)
+
+    # ---- host-side ---------------------------------------------------------
+    def _punc_norm(self, text: str) -> str:
+        if not text:
+            return "You need to add some text for me to talk."
+        if text[0].islower():
+            text = text[0].upper() + text[1:]
+        text = " ".join(text.split())
+        for old, new in [("...", ", "), ("…", ", "), (":", ","), (" - ", ", "),
+                         (";", ", "), ("—", "-"), ("–", "-"), (" ,", ","),
+                         ("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'")]:
+            text = text.replace(old, new)
+        text = text.rstrip(" ")
+        if not any(text.endswith(p) for p in (".", "!", "?", "-", ",")):
+            text += "."
+        return text
+
+    def preprocess(self, prompt=None, audio_path=None, exaggeration=None,
+                   **kwargs) -> PreprocessOutput:
+        text = self._punc_norm(prompt or "").replace(" ", "[SPACE]")
+        if hasattr(self.text_tokenizer, "encode"):
+            ids = [t % TEXT_VOCAB for t in self.text_tokenizer.encode(text)]
+        else:
+            ids = [t % TEXT_VOCAB for t in self.text_tokenizer(text)]
+        text_ids = [START_TEXT] + ids + [STOP_TEXT]
+
+        # rows: [cond x COND_LEN] + text + [start_speech]
+        T = COND_LEN + len(text_ids) + 1
+        toks = np.zeros((T, 1), np.int32)
+        masks = np.ones((T, 1), bool)
+        H = self._cfg.hidden_size
+        feats = np.zeros((T, H), np.float32)
+        text_tbl = np.asarray(self.params["text_embed"], np.float32)
+        tpos_tbl = np.asarray(self.params["text_pos"], np.float32)
+        spc_tbl = np.asarray(self.params["speech_embed"], np.float32)
+        spos_tbl = np.asarray(self.params["speech_pos"], np.float32)
+        # cond rows: perceiver conditioning (zeros offline — neutral voice)
+        pos = COND_LEN
+        for i, t in enumerate(text_ids):
+            feats[pos] = text_tbl[t] + tpos_tbl[i]
+            pos += 1
+        feats[pos] = spc_tbl[START_SPEECH] + spos_tbl[0]
+        return PreprocessOutput(input_tokens=toks, input_masks=masks,
+                                input_features=feats)
+
+    def is_stop(self, token_ids: np.ndarray) -> bool:
+        return int(token_ids[0]) == STOP_SPEECH
+
+    # ---- traced ------------------------------------------------------------
+    def embed(self, params, token_ids, features, masks):
+        x = jnp.take(params["speech_embed"],
+                     jnp.clip(token_ids[:, 0], 0, SPEECH_VOCAB - 1), axis=0)
+        if masks is not None and features is not None:
+            x = jnp.where(masks[:, :1], features.astype(x.dtype), x)
+        return x
+
+    def embed_step(self, params, token_ids, features, masks, positions,
+                   gen_idx):
+        x = self.embed(params, token_ids, features, masks)
+        if masks is None and gen_idx is not None:
+            # decode: generated speech token #g sits at speech position g+1
+            # (start_speech occupies position 0, chatterbox.py:337-338)
+            spos = jnp.take(params["speech_pos"],
+                            jnp.clip(gen_idx + 1, 0, 4095), axis=0)
+            x = x + spos.astype(x.dtype)
+        return x
+
+    def logits(self, params, hidden):
+        return (hidden @ params["speech_head"])[:, None, :]
+
+    # ---- codec -------------------------------------------------------------
+    def detokenize(self, codec_params, token_ids, cache):
+        tokens = jnp.clip(token_ids[:, :, 0], 0, 6560)
+        B = tokens.shape[0]
+        spk = jnp.zeros((B, self._flow_cfg.spk_dim))
+        flow_cache = cache["flow"] if cache is not None else None
+        mel, new_flow = flow_tokens_to_mel(
+            codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache,
+            jax.random.key(0))
+        keep = (self.detokenize_interval - self.detokenize_overlap) * \
+            self._flow_cfg.upsample
+        mel = mel[:, :, -keep:]
+        wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
+        new_cache = {"flow": new_flow} if cache is not None else None
+        return wav[:, None, :], new_cache
+
+    def init_decoder_cache(self, batch):
+        return {"flow": flow_init_cache(self._flow_cfg, batch)}

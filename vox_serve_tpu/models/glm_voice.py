@@ -1,0 +1,154 @@
+"""GLM-4-Voice-9B speech-to-speech.
+
+Behavioral parity with reference model/glm_voice.py:
+  * GLM-4 9B backbone: 40 layers, hidden 4096, 32 q heads / 2 kv heads,
+    partial rotary (rope over half the head dim), fused-gate MLP, qkv bias
+  * audio input -> Whisper-VQ encoder tokens inlined into the chat template
+    as <|audio_k|> strings (encoder gated on assets offline)
+  * interleaved output: 13 text tokens then 26 audio tokens; audio tokens sit
+    at ids >= audio_offset and only they reach the detokenizer (minus offset)
+  * stop ids {151329, 151336, 151338}; top_p 0.8 T 0.8; interval 25/overlap 0
+  * decoder: flow (token->mel) + HiFT, reusing the shared codec stack
+
+This 9B model is the tensor-parallel candidate on v5e (SURVEY §7.2 item 7);
+its params flow through parallel/sharding.py unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
+from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
+from ..models.backbone import BackboneConfig, init_backbone_params
+from ..models.base import BaseLM, PreprocessOutput
+from ..models.sts_common import InterleavedAudioMixin
+from ..sampling import SamplingConfig
+from ..weights import load_text_tokenizer
+
+STOP_IDS = (151329, 151336, 151338)
+AUDIO_OFFSET = 151343  # convert_tokens_to_ids("<|audio_0|>") with real assets
+AUDIO_VOCAB = 16384
+
+
+class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
+    SAMPLE_RATE = 24000
+    supports_audio_input = True
+    stop_token_ids = STOP_IDS
+    audio_offset = AUDIO_OFFSET
+
+    def __init__(self, model_name: str = "zai-org/glm-4-voice-9b",
+                 dtype=jnp.bfloat16, debug_backbone=None, debug_flow=None,
+                 debug_hift=None, **_):
+        super().__init__(model_name, dtype)
+        self._cfg = debug_backbone or BackboneConfig(
+            vocab_size=168960, hidden_size=4096, num_layers=40,
+            num_heads=32, num_kv_heads=2, head_dim=128,
+            intermediate_size=13696, qkv_bias=True,
+            rope_theta=10000.0, rope_dim=64,  # partial rotary
+            rms_eps=1.5625e-07, dtype=dtype,
+        )
+        self._flow_cfg = debug_flow or FlowConfig(vocab_size=AUDIO_VOCAB)
+        self._hift_cfg = debug_hift or HiFTConfig()
+        self.text_tokenizer, self.assets_available = load_text_tokenizer(
+            model_name, self._cfg.vocab_size)
+        key = jax.random.key(51)
+        ks = jax.random.split(key, 4)
+        H = self._cfg.hidden_size
+        self.params = {
+            "backbone": init_backbone_params(self._cfg, ks[0]),
+            "embed": (jax.random.normal(ks[1], (self._cfg.vocab_size, H))
+                      * 0.02).astype(dtype),
+            "head": (jax.random.normal(ks[2], (H, self._cfg.vocab_size))
+                     * 0.02).astype(dtype),
+        }
+        self.codec_params = {
+            "flow": init_flow(self._flow_cfg, ks[3]),
+            "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
+        }
+        self.sampling_config = self.default_sampling_config
+
+    @property
+    def backbone_config(self):
+        return self._cfg
+
+    @property
+    def n_codebooks(self):
+        return 1
+
+    @property
+    def vocab_size(self):
+        return self._cfg.vocab_size
+
+    @property
+    def detokenize_interval(self):
+        return 25
+
+    @property
+    def detokenize_overlap(self):
+        return 0
+
+    @property
+    def max_tokens(self):
+        return 2048
+
+    @property
+    def output_audio_length(self):
+        return self.detokenize_interval * self._flow_cfg.upsample * \
+            self._hift_cfg.total_upsample
+
+    @property
+    def sample_rate(self):
+        return self.SAMPLE_RATE
+
+    @property
+    def default_sampling_config(self):
+        return SamplingConfig(top_p=0.8, temperature=0.8,
+                              max_tokens=self.max_tokens)
+
+    # ---- host-side ---------------------------------------------------------
+    def preprocess(self, prompt=None, audio_path=None, **kwargs
+                   ) -> PreprocessOutput:
+        if audio_path is not None and self.assets_available:
+            raise NotImplementedError(
+                "Whisper-VQ audio encoding requires model assets")
+        mode = "audio" if audio_path else "text"
+        system = ("User will provide you with a "
+                  f"{'speech' if mode == 'audio' else 'text'} instruction. "
+                  "Do it step by step. First, think about the instruction "
+                  "and respond in a interleaved manner, with 13 text token "
+                  "followed by 26 audio tokens. ")
+        text = (f"<|system|>\n{system}<|user|>\n{prompt}"
+                "<|assistant|>streaming_transcription\n")
+        if hasattr(self.text_tokenizer, "encode"):
+            ids = list(self.text_tokenizer.encode(text))
+        else:
+            ids = list(self.text_tokenizer(text))
+        return PreprocessOutput(
+            input_tokens=np.asarray(ids, np.int32)[:, None])
+
+    # ---- traced ------------------------------------------------------------
+    def embed(self, params, token_ids, features, masks):
+        return jnp.take(params["embed"], token_ids[:, 0], axis=0)
+
+    def logits(self, params, hidden):
+        return (hidden @ params["head"])[:, None, :]
+
+    # ---- codec -------------------------------------------------------------
+    def detokenize(self, codec_params, token_ids, cache):
+        tokens = jnp.clip(token_ids[:, :, 0] - AUDIO_OFFSET, 0,
+                          AUDIO_VOCAB - 1)
+        B = tokens.shape[0]
+        spk = jnp.zeros((B, self._flow_cfg.spk_dim))
+        flow_cache = cache["flow"] if cache is not None else None
+        mel, new_flow = flow_tokens_to_mel(
+            codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache,
+            jax.random.key(0))
+        wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
+        new_cache = {"flow": new_flow} if cache is not None else None
+        return wav[:, None, :], new_cache
+
+    def init_decoder_cache(self, batch):
+        return {"flow": flow_init_cache(self._flow_cfg, batch)}
