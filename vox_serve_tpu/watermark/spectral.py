@@ -1,0 +1,124 @@
+"""Audio watermarking (SilentCipher / Perth families) — JAX, jit-composable.
+
+The reference ships two watermarkers (watermarker/silentcipher.py:666,
+watermarker/perth.py:508): CNN message-embedding applied per audio chunk on
+the detokenizer device, with resample round-trips (24k<->44.1k for
+silentcipher, 24k<->32k for perth) and a fixed message key [11,91,60,147,209]
+(worker/base.py:115). This module provides the same interface TPU-natively:
+a message-conditioned spectral embedder that adds a psychoacoustically scaled
+pattern in the STFT magnitude domain, plus a correlation detector used by the
+round-trip test. The embedder composes into the jitted detokenize step, so
+watermarking costs no extra dispatch (the reference runs it as a separate
+per-chunk CUDA call, cuda_graph_worker.py:1243-1245).
+
+Weight-compatibility with the published silentcipher/perth checkpoints is
+round-2 work; interface, placement, and key handling match the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SILENTCIPHER_KEY = (11, 91, 60, 147, 209)
+
+
+@dataclasses.dataclass(frozen=True)
+class WatermarkConfig:
+    style: str = "silentcipher"  # or "perth"
+    n_fft: int = 256
+    hop: int = 128
+    strength: float = 0.015
+    message: tuple[int, ...] = SILENTCIPHER_KEY
+    message_bits: int = 40  # 5 bytes
+
+
+def _message_pattern(cfg: WatermarkConfig, n_bins: int) -> np.ndarray:
+    """Deterministic per-bin bipolar pattern derived from the message key."""
+    bits = []
+    for byte in cfg.message:
+        bits.extend((byte >> i) & 1 for i in range(8))
+    rng = np.random.RandomState(sum(b << i for i, b in enumerate(bits)) % (2**31))
+    pat = rng.randn(n_bins).astype(np.float32)
+    pat -= pat.mean()  # zero-mean: clean audio correlates to ~0
+    return pat / np.linalg.norm(pat)
+
+
+def init_watermarker(cfg: WatermarkConfig, key: jax.Array) -> dict:
+    n_bins = cfg.n_fft // 2 + 1
+    k1, k2 = jax.random.split(key)
+    return {
+        # small conv stack shaping the embedding to the content (the CNN
+        # carrier-encoder analogue)
+        "conv1": jax.random.normal(k1, (16, 1, 5)) * 0.1,
+        "conv2": jax.random.normal(k2, (1, 16, 5)) * 0.1,
+        "pattern": jnp.asarray(_message_pattern(cfg, n_bins)),
+    }
+
+
+def _stft(x: jax.Array, n_fft: int, hop: int):
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (xp.shape[1] - n_fft) // hop + 1
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = xp[:, idx] * window[None, None, :]
+    return jnp.fft.rfft(frames, axis=-1), window
+
+
+def _istft(spec: jax.Array, n_fft: int, hop: int, out_len: int,
+           window: jax.Array) -> jax.Array:
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, None, :]
+    B, F, _ = frames.shape
+    total = n_fft + hop * (F - 1)
+    idx = jnp.arange(F)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    sig = jnp.zeros((B, total)).at[:, idx.reshape(-1)].add(frames.reshape(B, -1))
+    den = jnp.zeros((total,)).at[idx.reshape(-1)].add(
+        jnp.tile(jnp.square(window), (F,)))
+    sig = sig / jnp.where(den > 1e-8, den, 1.0)
+    pad = n_fft // 2
+    return sig[:, pad:pad + out_len]
+
+
+def apply_watermark(params: dict, cfg: WatermarkConfig,
+                    audio: jax.Array) -> jax.Array:
+    """audio: (B, T) float in [-1, 1] -> watermarked audio, same shape.
+    Pure function; composes into the jitted detokenize step."""
+    B, T = audio.shape
+    spec, window = _stft(audio, cfg.n_fft, cfg.hop)
+    mag = jnp.abs(spec)
+    phase = jnp.angle(spec)
+    # content-adaptive gain via the tiny conv stack over per-frame loudness
+    loud = jnp.mean(mag, axis=-1)[:, None, :]  # (B, 1, F)
+    g = jax.lax.conv_general_dilated(
+        loud, params["conv1"], (1,), ((2, 2),),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    g = jax.nn.relu(g)
+    g = jax.lax.conv_general_dilated(
+        g, params["conv2"], (1,), ((2, 2),),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    gain = jax.nn.sigmoid(g)[:, 0, :, None]  # (B, F, 1)
+    frame_level = jnp.mean(mag, axis=-1, keepdims=True)  # (B, F, 1)
+    wm = cfg.strength * gain * params["pattern"][None, None, :] * (
+        frame_level + 1e-3)
+    new_mag = jnp.maximum(mag + wm, 0.0)
+    new_spec = new_mag * jnp.exp(1j * phase)
+    out = _istft(new_spec, cfg.n_fft, cfg.hop, T, window)
+    return jnp.clip(out, -1.0, 1.0)
+
+
+def detect_watermark(params: dict, cfg: WatermarkConfig,
+                     audio: jax.Array) -> jax.Array:
+    """Correlation score (B,) of the message pattern in the audio — positive
+    and well above the unwatermarked baseline when the mark is present."""
+    spec, _ = _stft(audio, cfg.n_fft, cfg.hop)
+    mag = jnp.abs(spec)
+    norm = mag / (jnp.mean(mag, axis=-1, keepdims=True) + 1e-6)
+    # inner product with the (unit-norm, zero-mean) pattern per frame,
+    # averaged over frames
+    return jnp.mean(jnp.sum(norm * params["pattern"][None, None, :], axis=-1),
+                    axis=-1)

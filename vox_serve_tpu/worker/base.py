@@ -115,6 +115,18 @@ class ModelWorker:
         else:
             self.detokenizer_device = self.lm_device
 
+        # watermarker on the detokenizer device (reference worker/base.py:
+        # 104-121); composed INTO the jitted detokenize step
+        self.watermark_cfg = None
+        self.watermark_params = None
+        if model.needs_watermarking:
+            from ..watermark import WatermarkConfig, init_watermarker
+
+            self.watermark_cfg = WatermarkConfig(
+                style=model.watermarker_type or "silentcipher")
+            self.watermark_params = init_watermarker(
+                self.watermark_cfg, jax.random.key(cfg.seed + 101))
+
         self.codec_cache = model.init_decoder_cache(cfg.max_batch_size)
         if self.detokenizer_device is not self.lm_device:
             if self.codec_cache is not None:
@@ -242,6 +254,9 @@ class ModelWorker:
         if fn is None:
             model = self.model
 
+            wm_cfg = self.watermark_cfg
+            wm_params = self.watermark_params
+
             def detok(codec_params, token_ids, cache, slot_ids):
                 rows = None
                 if cache is not None:
@@ -249,6 +264,11 @@ class ModelWorker:
                         lambda a: jnp.take(a, slot_ids, axis=0, mode="clip"),
                         cache)
                 audio, new_rows = model.detokenize(codec_params, token_ids, rows)
+                if wm_cfg is not None:
+                    from ..watermark import apply_watermark
+
+                    marked = apply_watermark(wm_params, wm_cfg, audio[:, 0])
+                    audio = marked[:, None, :].astype(audio.dtype)
                 new_cache = cache
                 if cache is not None and new_rows is not None:
                     new_cache = jax.tree.map(
