@@ -1,0 +1,42 @@
+import io
+import wave
+
+import numpy as np
+
+from vox_serve_tpu.native import ChunkRing, f32_to_i16, get_lib, wav_header
+
+
+def test_native_builds():
+    # the image ships cc; the native path should be live
+    assert get_lib() is not None
+
+
+def test_f32_to_i16_matches_numpy():
+    x = np.linspace(-1.5, 1.5, 1001).astype(np.float32)
+    got = np.frombuffer(f32_to_i16(x), np.int16)
+    ref = (np.clip(x, -1, 1) * 32767.0).astype(np.int16)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_wav_header_parses():
+    hdr = wav_header(24000, 1, 16, 0)
+    assert len(hdr) == 44
+    wav = wave.open(io.BytesIO(hdr + b"\x00\x00" * 4), "rb")
+    assert wav.getframerate() == 24000
+    assert wav.getnchannels() == 1
+    assert wav.getsampwidth() == 2
+
+
+def test_chunk_ring_roundtrip():
+    r = ChunkRing(1 << 12)
+    assert r.write(b"hello")
+    assert r.write(b" world")
+    assert r.size() == 11
+    assert r.read(5) == b"hello"
+    assert r.read(100) == b" world"
+    assert r.size() == 0
+    # wraparound
+    big = bytes(range(256)) * 10
+    for _ in range(5):
+        assert r.write(big)
+        assert r.read(len(big)) == big

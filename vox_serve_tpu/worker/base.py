@@ -551,17 +551,18 @@ class ModelWorker:
             model.codec_params, tok_dev, self.codec_cache, slot_dev)
         audio_np = np.asarray(jax.device_get(audio))  # (B, ch, samples)
 
+        from ..native import f32_to_i16
+
         for i, (ri, ci) in enumerate(mapping):
             req = requests[ri]
             decode_idx = req.audio_decode_idx[ci]
-            pcm = np.clip(audio_np[i], -1.0, 1.0)
-            pcm16 = (pcm * 32767.0).astype(np.int16)
+            pcm = audio_np[i]
             last_chunk_len = len(
                 req.lm_output_audio_tokens[decode_idx:decode_idx + interval])
             if last_chunk_len < interval:
-                trim = int(pcm16.shape[1] * (last_chunk_len - 0.5) / interval)
-                pcm16 = pcm16[:, :max(trim, 0)]
-            req.output_audio.put(pcm16.tobytes())
+                trim = int(pcm.shape[1] * (last_chunk_len - 0.5) / interval)
+                pcm = pcm[:, :max(trim, 0)]
+            req.output_audio.put(f32_to_i16(pcm))
 
         self._maybe_finish(requests)
 
