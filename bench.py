@@ -39,7 +39,7 @@ def main():
     wcfg = WorkerConfig(
         max_batch_size=BATCH, num_pages=1024, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=BATCH,
-        warmup=False, pipeline_depth=4,
+        warmup=False, pipeline_depth=4, use_pallas=True,
     )
     worker = ModelWorker(model, wcfg)
 

@@ -121,6 +121,8 @@ class BaseLM(abc.ABC):
     needs_input_features: bool = False
     needs_input_masks: bool = False
     supports_input_streaming: bool = False
+    #: set by the worker: route decode attention through the Pallas kernel
+    use_pallas_attention: bool = False
     #: dim of per-slot feedback features produced each step (0 = none).
     feedback_dim: int = 0
     #: logits cover only codebook 0 (depth models sample the rest)
@@ -218,7 +220,7 @@ class BaseLM(abc.ABC):
                             gen_idx)
         h, k_pages, v_pages = backbone_forward(
             params["backbone"], self.backbone_config, x, positions, meta,
-            k_pages, v_pages,
+            k_pages, v_pages, use_pallas=self.use_pallas_attention,
         )
         if last_token_idx is not None:
             h = jnp.take(h, last_token_idx, axis=0)  # (B, hidden)

@@ -189,13 +189,18 @@ def sample(
 
     logits = logits / float(config.temperature)
 
-    if config.top_k is not None and config.top_p is not None:
+    # top_p >= 1.0 keeps the whole distribution — skip the O(V log V) sort
+    top_p = config.top_p if (config.top_p is not None
+                             and config.top_p < 1.0) else None
+    if config.top_k is not None and top_p is not None:
         logits = _mask_top_k(logits, config.top_k)
-        logits = _mask_top_p(logits, float(config.top_p))
+        logits = _mask_top_p(logits, top_p)
     elif config.top_k is not None:
         logits = _mask_top_k(logits, config.top_k)
+    elif top_p is not None:
+        logits = _mask_top_p(logits, top_p)
     elif config.top_p is not None:
-        logits = _mask_top_p(logits, float(config.top_p))
+        pass  # top_p == 1.0 alone: full distribution
     elif config.min_p is not None:
         logits = _mask_min_p(logits, float(config.min_p))
     else:

@@ -72,6 +72,7 @@ class ModelWorker:
         self.config = config or WorkerConfig()
         self.logger = get_logger("worker")
         cfg = self.config
+        model.use_pallas_attention = cfg.use_pallas
 
         bb = model.backbone_config
         self.kv_config = KVCacheConfig(
