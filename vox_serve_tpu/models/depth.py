@@ -93,69 +93,88 @@ def depth_forward(
     k_cache: jax.Array,
     v_cache: jax.Array,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Process t new tokens; returns (last hidden (B, hidden), caches)."""
+    """Process t new tokens; returns (last hidden (B, hidden), caches).
+
+    Op-count-minimized: the body runs 15x per decode frame inside the
+    codebook scan, so small-op overhead dominates — q/k/v are one fused
+    matmul (weights concatenated at trace time; XLA folds the concat into a
+    constant), rope sin/cos come from a precomputed table indexed by
+    position, and K/V cache updates are single dynamic_update_slice ops.
+    """
     B, t, _ = x.shape
     hd, H, KH = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     S = cfg.max_seq
     inv_freq = rope_frequencies(hd, theta=cfg.rope_theta)
+    # rope table over all possible positions — folded to a constant
+    all_pos = jnp.arange(S, dtype=jnp.float32)
+    angles = all_pos[:, None] * inv_freq[None, :]         # (S, hd/2)
+    cos_tbl = jnp.cos(angles)
+    sin_tbl = jnp.sin(angles)
     positions = start_pos + jnp.arange(t, dtype=jnp.int32)  # (t,)
+    cos = jax.lax.dynamic_slice_in_dim(cos_tbl, start_pos, t)[None, :, None, :]
+    sin = jax.lax.dynamic_slice_in_dim(sin_tbl, start_pos, t)[None, :, None, :]
 
-    # causal-over-cache mask: new token j (global pos start+j) sees cache
-    # positions <= start+j
     cache_pos = jnp.arange(S, dtype=jnp.int32)
     mask = cache_pos[None, :] <= positions[:, None]  # (t, S)
+    scale = 1.0 / math.sqrt(hd)
+    rep = H // KH
+
+    def rot(v):
+        v1, v2 = v[..., :hd // 2], v[..., hd // 2:]
+        return jnp.concatenate([v1 * cos - v2 * sin, v2 * cos + v1 * sin],
+                               axis=-1).astype(v.dtype)
 
     def layer_fn(carry, scanned):
         h, kc, vc = carry
         lp, layer_idx = scanned
         xin = rms_norm(h, lp["input_norm"], cfg.rms_eps)
         xin2d = xin.reshape(B * t, -1)
-        q = linear(lp["attn"]["q"], xin2d).reshape(B, t, H, hd)
-        k = linear(lp["attn"]["k"], xin2d).reshape(B, t, KH, hd)
-        v = linear(lp["attn"]["v"], xin2d).reshape(B, t, KH, hd)
+        qkv = xin2d @ lp["w_qkv"]  # fused projection (concat hoisted)
+        q, k, v = jnp.split(qkv, [H * hd, (H + KH) * hd], axis=-1)
+        q = q.reshape(B, t, H, hd)
+        k = k.reshape(B, t, KH, hd)
+        v = v.reshape(B, t, KH, hd)
         if cfg.qk_norm:
             q = rms_norm(q, lp["attn"]["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["attn"]["k_norm"], cfg.rms_eps)
-        # rope over flattened (B*t)
-        qf = q.reshape(B * t, H, hd)
-        kf = k.reshape(B * t, KH, hd)
-        pos_bt = jnp.tile(positions, (B,))
-        qf, kf = apply_rope(qf, kf, pos_bt, inv_freq)
-        q = qf.reshape(B, t, H, hd)
-        k = kf.reshape(B, t, KH, hd)
+        q = rot(q)
+        k = rot(k)
 
-        # write new K/V into the cache at [start : start+t]
-        kc = kc.at[layer_idx].set(
-            jax.lax.dynamic_update_slice(
-                kc[layer_idx], k.astype(kc.dtype), (0, start_pos, 0, 0)))
-        vc = vc.at[layer_idx].set(
-            jax.lax.dynamic_update_slice(
-                vc[layer_idx], v.astype(vc.dtype), (0, start_pos, 0, 0)))
+        kc = jax.lax.dynamic_update_slice(
+            kc, k.astype(kc.dtype)[None], (layer_idx, 0, start_pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v.astype(vc.dtype)[None], (layer_idx, 0, start_pos, 0, 0))
 
         k_all = kc[layer_idx].astype(jnp.float32)  # (B, S, KH, D)
         v_all = vc[layer_idx].astype(jnp.float32)
-        rep = H // KH
-        k_all = jnp.repeat(k_all, rep, axis=2)
-        v_all = jnp.repeat(v_all, rep, axis=2)
-        scale = 1.0 / math.sqrt(hd)
-        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32) * scale,
-                            k_all)
-        scores = jnp.where(mask[None, None], scores, NEG_INF)
+        # GQA via 5D einsum instead of materialized repeats
+        qg = q.reshape(B, t, KH, rep, hd).astype(jnp.float32) * scale
+        scores = jnp.einsum("btkrd,bskd->bkrts", qg, k_all)
+        scores = jnp.where(mask[None, None, None], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhts,bshd->bthd", probs, v_all)
+        attn = jnp.einsum("bkrts,bskd->btkrd", probs, v_all)
         attn = attn.reshape(B * t, H * hd).astype(h.dtype)
         h = h + linear(lp["attn"]["o"], attn).reshape(B, t, -1)
 
         xin3 = rms_norm(h, lp["post_norm"], cfg.rms_eps)
         x2 = xin3.reshape(B * t, -1)
-        gated = jax.nn.silu(linear(lp["mlp"]["gate"], x2)) * linear(
-            lp["mlp"]["up"], x2)
-        h = h + linear(lp["mlp"]["down"], gated).reshape(B, t, -1)
+        gu = x2 @ lp["w_gu"]
+        g, u = jnp.split(gu, 2, axis=-1)
+        h = h + linear(lp["mlp"]["down"], jax.nn.silu(g) * u).reshape(B, t, -1)
         return (h, kc, vc), None
 
     L = cfg.num_layers
+    layers = dict(params["layers"])
+    # hoist the fused-projection concats out of the scan (one-time, and XLA
+    # CSEs them across the 15 codebook iterations)
+    layers["w_qkv"] = jnp.concatenate(
+        [layers["attn"]["q"]["w"], layers["attn"]["k"]["w"],
+         layers["attn"]["v"]["w"]], axis=2)
+    layers["w_gu"] = jnp.concatenate(
+        [layers["mlp"]["gate"]["w"], layers["mlp"]["up"]["w"]], axis=2)
     (x, k_cache, v_cache), _ = jax.lax.scan(
         layer_fn, (x, k_cache, v_cache),
-        (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+        (layers, jnp.arange(L, dtype=jnp.int32)),
+        unroll=True)  # depth stacks are tiny (4-5 layers); straight-line code
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x[:, -1], k_cache, v_cache
