@@ -28,7 +28,7 @@ from vox_serve_tpu.models.qwen3_tts import Qwen3TTSLM
 from vox_serve_tpu.requests import Request
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
-BATCH = 256
+BATCH = 192
 STEPS = 40
 WARMUP = 4
 TARGET_FRAMES_PER_S = 100 * 12.5
@@ -37,7 +37,7 @@ TARGET_FRAMES_PER_S = 100 * 12.5
 def main():
     model = Qwen3TTSLM(dtype=jnp.bfloat16)
     wcfg = WorkerConfig(
-        max_batch_size=BATCH, num_pages=4096, page_size=16,
+        max_batch_size=BATCH, num_pages=3072, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=BATCH,
         warmup=False, pipeline_depth=4, use_pallas=True,
     )
@@ -65,7 +65,7 @@ def main():
 
     frames_per_s = BATCH * STEPS / elapsed
     print(json.dumps({
-        "metric": "flagship_decode_frames_per_s_qwen3tts_1p7b_b256",
+        "metric": "flagship_decode_frames_per_s_qwen3tts_1p7b_b192",
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / TARGET_FRAMES_PER_S, 3),

@@ -1,0 +1,65 @@
+"""Tensor parallelism: worker with tp_size=4 over the virtual CPU mesh must
+produce the same greedy tokens as tp_size=1."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vox_serve_tpu.models.backbone import BackboneConfig
+from vox_serve_tpu.models.glm_voice import GLMVoiceLM
+from vox_serve_tpu.codecs.flow import FlowConfig
+from vox_serve_tpu.codecs.hifigan import HiFTConfig
+from vox_serve_tpu.requests import Request
+from vox_serve_tpu.sampling import SamplingConfig
+from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+SMALL = BackboneConfig(
+    vocab_size=168960, hidden_size=64, num_layers=2, num_heads=8,
+    num_kv_heads=4, head_dim=16, intermediate_size=128, qkv_bias=True,
+    rope_dim=8, dtype=jnp.float32,
+)
+FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=1, heads=4,
+                  estimator_layers=1, estimator_hidden=32, n_timesteps=2,
+                  left_context=8, vocab_size=8192)
+HIFT = HiFTConfig(in_channels=16, base_channels=32, nb_harmonics=2,
+                  upsample_rates=(8, 5, 3), upsample_kernel_sizes=(16, 11, 7),
+                  f0_cond_channels=16)
+
+
+def _greedy_tokens(tp_size, steps=6):
+    model = GLMVoiceLM(dtype=jnp.float32, debug_backbone=SMALL,
+                       debug_flow=FLOW, debug_hift=HIFT)
+    model.sampling_config = SamplingConfig(greedy=True, max_tokens=64)
+    wcfg = WorkerConfig(max_batch_size=2, num_pages=128, page_size=16,
+                        prefill_token_buckets=(512,), max_prefill_requests=2,
+                        warmup=False, tp_size=tp_size)
+    worker = ModelWorker(model, wcfg)
+    req = Request(request_id="tp", prompt="hello")
+    worker.run_lm_prefill([req])
+    for _ in range(steps):
+        if req.done_lm_generation:
+            break
+        worker.run_lm_decode([req])
+    worker.free_kv_cache(req)
+    return [int(t[0]) for t in req.lm_output_tokens]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_tp4_matches_tp1_greedy():
+    t1 = _greedy_tokens(1)
+    t4 = _greedy_tokens(4)
+    assert len(t1) == len(t4) >= 3
+    assert t1 == t4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_tp_kv_pool_is_sharded():
+    model = GLMVoiceLM(dtype=jnp.float32, debug_backbone=SMALL,
+                       debug_flow=FLOW, debug_hift=HIFT)
+    wcfg = WorkerConfig(max_batch_size=2, num_pages=64, page_size=16,
+                        prefill_token_buckets=(512,), warmup=False, tp_size=4)
+    worker = ModelWorker(model, wcfg)
+    sh = worker.k_pages.sharding
+    # kv-head axis (axis 1) split 4 ways
+    assert sh.shard_shape(worker.k_pages.shape)[1] == SMALL.num_kv_heads // 4

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="in-flight decode steps with deferred readback")
+    p.add_argument("--tp-size", type=int, default=1,
+                   help="tensor-parallel shards per replica (ICI)")
+    p.add_argument("--enable-profiling", action="store_true",
+                   help="jax.profiler trace annotations around worker phases")
     p.add_argument("--dp-size", type=int, default=1)
     p.add_argument("--detokenize-interval", type=int, default=None)
     p.add_argument("--socket-suffix", default="")
@@ -92,6 +96,8 @@ def main(argv=None) -> None:
         "enable_pallas": args.enable_pallas,
         "no_warmup": args.no_warmup,
         "pipeline_depth": args.pipeline_depth,
+        "tp_size": args.tp_size,
+        "enable_profiling": args.enable_profiling,
         "detokenize_interval": args.detokenize_interval,
         "log_level": args.log_level,
     }

@@ -46,6 +46,8 @@ def _run_scheduler_daemon(args) -> None:
         use_pallas=args.enable_pallas,
         warmup=not args.no_warmup,
         pipeline_depth=args.pipeline_depth,
+        tp_size=args.tp_size,
+        enable_profiling=args.enable_profiling,
         detokenizer_device_index=(1 if args.enable_disaggregation else None),
     )
     worker = ModelWorker(model, wcfg, rank=args.rank)
@@ -74,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable-pallas", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--pipeline-depth", type=int, default=0)
+    p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--min-p", type=float, default=None)

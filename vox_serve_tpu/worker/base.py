@@ -54,6 +54,13 @@ class WorkerConfig:
     #: for step N's tokens to reach the host — essential when dispatch or
     #: transfer latency is high (SURVEY §7.2 hard part 4). 0 = synchronous.
     pipeline_depth: int = 0
+    #: tensor parallelism over ICI: shard the backbone (Megatron-style) and
+    #: the KV pools (kv-head axis) across tp_size devices. The TPU-native
+    #: addition for backbones that exceed one chip (GLM-4-Voice-9B on v5e).
+    tp_size: int = 1
+    #: jax.profiler trace annotations around worker phases (the reference's
+    #: NVTX ranges, worker/base.py:736-755)
+    enable_profiling: bool = False
 
     @property
     def decode_buckets(self) -> tuple[int, ...]:
@@ -83,7 +90,28 @@ class ModelWorker:
             head_dim=bb.resolved_head_dim,
             dtype=bb.dtype,
         )
-        self.k_pages, self.v_pages = alloc_kv_pages(self.kv_config)
+        # tensor-parallel mesh (optional)
+        self.mesh = None
+        kv_sharding = None
+        if cfg.tp_size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharding import backbone_param_shardings
+
+            self.mesh = make_mesh(dp=1, tp=cfg.tp_size)
+            # KV pools (L, KH, P, page, D): shard the kv-head axis
+            kv_sharding = NamedSharding(self.mesh, P(None, "tp"))
+            bb_sh = backbone_param_shardings(self.mesh,
+                                             model.params["backbone"])
+            repl = NamedSharding(self.mesh, P())
+            sh = jax.tree.map(lambda _: repl, model.params)
+            sh["backbone"] = bb_sh
+            model.params = jax.tree.map(
+                lambda p, s: jax.device_put(p, s), model.params, sh)
+
+        self.k_pages, self.v_pages = alloc_kv_pages(self.kv_config,
+                                                    sharding=kv_sharding)
         self.allocator = PageAllocator(cfg.num_pages)
         # static width of per-request block tables — must cover the longest
         # prompt plus the full generation budget
@@ -152,6 +180,15 @@ class ModelWorker:
 
         if cfg.warmup:
             self.warmup()
+
+    def _trace(self, name: str):
+        """jax.profiler annotation (the reference's NVTX ranges,
+        worker/cuda_graph_worker.py:813-1228) — no-op unless enabled."""
+        import contextlib
+
+        if not self.config.enable_profiling:
+            return contextlib.nullcontext()
+        return jax.profiler.TraceAnnotation(name)
 
     # ------------------------------------------------------------------
     # properties mirrored from the model (scheduler-facing)
@@ -364,6 +401,8 @@ class ModelWorker:
         )
         fn = self._get_lm_fn("prefill", (T, B))
         self._step_counter += 1
+        ctx = self._trace(f"lm_prefill_t{T}_b{len(requests)}")
+        ctx.__enter__()
         (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
          self.last_tokens) = fn(
             model.params, jnp.asarray(tokens), jnp.asarray(pos),
@@ -374,6 +413,7 @@ class ModelWorker:
             jnp.int32(self._step_counter), jnp.asarray(last_idx),
             jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32),
         )
+        ctx.__exit__(None, None, None)
         sampled_np = np.asarray(jax.device_get(sampled))
         for i, req in enumerate(requests):
             req.done_lm_prefill = True
@@ -452,6 +492,8 @@ class ModelWorker:
         )
         fn = self._get_lm_fn("decode", (B,))
         self._step_counter += 1
+        ctx = self._trace(f"lm_decode_b{B}")
+        ctx.__enter__()
         (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
          self.last_tokens) = fn(
             model.params, jnp.asarray(overrides), jnp.asarray(positions),
@@ -460,6 +502,7 @@ class ModelWorker:
             self._base_key, jnp.int32(self._step_counter), None,
             jnp.asarray(override_mask), jnp.asarray(gen_idx),
         )
+        ctx.__exit__(None, None, None)
         self._pending.append((sampled, list(requests), hard_stopped))
         while len(self._pending) > self.config.pipeline_depth:
             self._resolve_one()
@@ -546,11 +589,14 @@ class ModelWorker:
             slot_ids[i] = requests[mapping[i][0]].slot
 
         fn = self._get_detok_fn(B)
+        ctx = self._trace(f"detokenize_b{B}")
+        ctx.__enter__()
         tok_dev = jax.device_put(token_ids, self.detokenizer_device)
         slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
         audio, self.codec_cache = fn(
             model.codec_params, tok_dev, self.codec_cache, slot_dev)
         audio_np = np.asarray(jax.device_get(audio))  # (B, ch, samples)
+        ctx.__exit__(None, None, None)
 
         from ..native import f32_to_i16
 
