@@ -37,7 +37,7 @@ TARGET_FRAMES_PER_S = 100 * 12.5
 def main():
     model = Qwen3TTSLM(dtype=jnp.bfloat16)
     wcfg = WorkerConfig(
-        max_batch_size=BATCH, num_pages=3072, page_size=16,
+        max_batch_size=BATCH, num_pages=2304, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=BATCH,
         warmup=False, pipeline_depth=4, use_pallas=True,
     )

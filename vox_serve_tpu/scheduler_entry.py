@@ -39,13 +39,21 @@ def _run_scheduler_daemon(args) -> None:
         cfg_scale=args.cfg_scale, greedy=args.greedy,
         detokenize_interval=args.detokenize_interval,
     )
+    # --async-scheduling (the reference's overlapped batch selection,
+    # scheduler/base.py:168-215) maps to decode pipelining here: JAX's async
+    # dispatch already overlaps host scheduling with device execution, and
+    # pipeline_depth defers the sampled-token readback.
+    pipeline_depth = args.pipeline_depth
+    if args.async_scheduling and pipeline_depth == 0:
+        pipeline_depth = 2
+
     wcfg = WorkerConfig(
         max_batch_size=args.max_batch_size,
         num_pages=args.max_num_pages,
         page_size=args.page_size,
         use_pallas=args.enable_pallas,
         warmup=not args.no_warmup,
-        pipeline_depth=args.pipeline_depth,
+        pipeline_depth=pipeline_depth,
         tp_size=args.tp_size,
         enable_profiling=args.enable_profiling,
         detokenizer_device_index=(1 if args.enable_disaggregation else None),
