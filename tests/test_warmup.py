@@ -1,0 +1,30 @@
+"""Warmup compiles every bucket and leaves serving state intact."""
+
+import numpy as np
+
+from vox_serve_tpu.models.dummy import DummyLM
+from vox_serve_tpu.requests import Request
+from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+
+def test_warmup_then_serve():
+    model = DummyLM(max_tokens=12)
+    cfg = WorkerConfig(max_batch_size=2, num_pages=64, page_size=8,
+                       prefill_token_buckets=(32,), max_prefill_requests=2,
+                       warmup=True)
+    worker = ModelWorker(model, cfg)
+    # every bucket pre-compiled
+    assert ("prefill", (32, 2)) in worker._lm_fns
+    assert ("decode", (1,)) in worker._lm_fns
+    assert ("decode", (2,)) in worker._lm_fns
+    assert 1 in worker._detok_fns and 2 in worker._detok_fns
+    # allocator untouched by warmup
+    assert worker.allocator.num_free == 63
+    assert len(worker._free_slots) == 2
+    # serving still works after warmup
+    req = Request(request_id="w", prompt="hello")
+    worker.run_lm_prefill([req])
+    assert req.done_lm_prefill
+    worker.run_lm_decode([req])
+    assert req.num_generated >= 2
+    worker.free_kv_cache(req)

@@ -636,11 +636,75 @@ class ModelWorker:
     # warmup: compile every bucket up front (the reference's capture phase)
     # ------------------------------------------------------------------
     def warmup(self) -> None:
+        """Compile every bucketed executable up front with fully-padded
+        synthetic batches (the reference's graph-capture phase,
+        cuda_graph_worker.py:189-749). Padded slots target slot id
+        max_batch_size (scatters dropped) and KV writes target the scratch
+        page, so warmup leaves serving state untouched."""
         t0 = time.monotonic()
-        self.logger.info("warmup: compiling bucketed executables...")
-        # decode buckets compile lazily on first hit in serving; compiling at
-        # init mirrors the reference's graph capture and avoids first-request
-        # latency spikes.
-        # (Implemented as a no-op placeholder until synthetic warmup inputs
-        # are wired; executables compile on first use.)
+        model = self.model
+        cfg = self.config
+        C = model.n_codebooks
+
+        # prefill buckets: all-padding ragged batch
+        for T in sorted(cfg.prefill_token_buckets):
+            B = cfg.max_prefill_requests
+            meta = AttnMetadata(
+                True, jnp.zeros((T,), jnp.int32),
+                jnp.arange(T, dtype=jnp.int32) % cfg.page_size,
+                segment_ids=jnp.full((T,), -1, jnp.int32),
+                q_positions=jnp.zeros((T,), jnp.int32),
+            )
+            feat = msk = None
+            if model.needs_input_features:
+                feat = jnp.zeros((T, model.backbone_config.hidden_size),
+                                 jnp.float32)
+            if model.needs_input_masks:
+                msk = jnp.zeros((T, C), bool)
+            fn = self._get_lm_fn("prefill", (T, B))
+            out = fn(model.params, jnp.zeros((T, C), jnp.int32),
+                     jnp.zeros((T,), jnp.int32), feat, msk, meta,
+                     self.k_pages, self.v_pages, self.rep_cache,
+                     self.feedback, self.last_tokens,
+                     jnp.full((B,), cfg.max_batch_size, jnp.int32),
+                     self._base_key, jnp.int32(0), jnp.zeros((B,), jnp.int32),
+                     jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32))
+            (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+             self.last_tokens) = out
+            self.logger.info("warmup: prefill bucket T=%d compiled", T)
+
+        # decode buckets
+        for B in cfg.decode_buckets:
+            meta = AttnMetadata(
+                False, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                block_tables=jnp.zeros((B, self.max_pages_per_seq), jnp.int32),
+                seq_lens=jnp.ones((B,), jnp.int32),
+            )
+            fn = self._get_lm_fn("decode", (B,))
+            out = fn(model.params, jnp.zeros((B, C), jnp.int32),
+                     jnp.zeros((B,), jnp.int32), None, None, meta,
+                     self.k_pages, self.v_pages, self.rep_cache,
+                     self.feedback, self.last_tokens,
+                     jnp.full((B,), cfg.max_batch_size, jnp.int32),
+                     self._base_key, jnp.int32(0), None,
+                     jnp.zeros((B, C), bool), jnp.zeros((B,), jnp.int32))
+            (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+             self.last_tokens) = out
+            self.logger.info("warmup: decode bucket B=%d compiled", B)
+
+        # detokenize buckets
+        interval = model.detokenize_interval
+        for B in cfg.decode_buckets:
+            fn = self._get_detok_fn(B)
+            toks = jax.device_put(np.zeros((B, interval, C), np.int32),
+                                  self.detokenizer_device)
+            slots = jax.device_put(
+                np.full((B,), cfg.max_batch_size, np.int32),
+                self.detokenizer_device)
+            audio, self.codec_cache = fn(model.codec_params, toks,
+                                         self.codec_cache, slots)
+            jax.block_until_ready(audio)
+            self.logger.info("warmup: detokenize bucket B=%d compiled", B)
+
+        jax.block_until_ready(self.last_tokens)
         self.logger.info("warmup done in %.1fs", time.monotonic() - t0)
