@@ -110,7 +110,71 @@ class Qwen3TTSLM(BaseLMWithDepth):
     def feedback_dim(self):
         return self._cfg.hidden_size
 
+    def _load_checkpoint(self) -> dict | None:
+        """Map the HF checkpoint layout (reference qwen3_tts.py:707-894:
+        talker.model.* / talker.code_predictor.*) into our pytree."""
+        from ..weights import (
+            load_llama_family_backbone, load_safetensors_state,
+            resolve_model_dir,
+        )
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        try:
+            state = load_safetensors_state(model_dir)
+            cfg, dcfg = self._cfg, self._depth_cfg
+            t = "talker.model."
+            cp = "talker.code_predictor."
+            backbone = load_llama_family_backbone(
+                state, cfg.num_layers, prefix=t, qk_norm=True,
+                dtype=self.dtype)
+            depth_backbone = load_llama_family_backbone(
+                state, dcfg.num_layers, prefix=cp + "model.", qk_norm=True,
+                dtype=self.dtype)
+            as_j = lambda n: jnp.asarray(state[n]).astype(self.dtype)
+            n_cp = self.num_code_groups - 1
+            return {
+                "backbone": backbone,
+                "codec_embedding": as_j(t + "codec_embedding.weight"),
+                "text_embedding": as_j(t + "text_embedding.weight"),
+                "text_projection": {
+                    "fc1": {"w": as_j("talker.text_projection.linear_fc1.weight").T,
+                            "b": as_j("talker.text_projection.linear_fc1.bias")},
+                    "fc2": {"w": as_j("talker.text_projection.linear_fc2.weight").T,
+                            "b": as_j("talker.text_projection.linear_fc2.bias")},
+                },
+                "codec_head": as_j("talker.codec_head.weight").T,
+                "depth": {
+                    "backbone": depth_backbone,
+                    "proj": {
+                        "w": as_j(cp + "small_to_mtp_projection.weight").T,
+                        "b": as_j(cp + "small_to_mtp_projection.bias"),
+                    },
+                    "embeds": jnp.stack([
+                        as_j(cp + f"model.codec_embedding.{i}.weight")
+                        for i in range(n_cp)]),
+                    "heads": jnp.stack([
+                        as_j(cp + f"lm_head.{i}.weight").T
+                        for i in range(n_cp)]),
+                },
+            }
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("qwen3").warning(
+                "checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
+
     def _init_params(self):
+        loaded = self._load_checkpoint()
+        if loaded is not None:
+            self.params = loaded
+            self.codec_params = init_qwen3_codec(self._codec_cfg,
+                                                 jax.random.key(12))
+            return
+        self.assets_available = False
         cfg, dcfg = self._cfg, self._depth_cfg
         key = jax.random.key(11)
         ks = jax.random.split(key, 10)

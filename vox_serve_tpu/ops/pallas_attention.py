@@ -140,10 +140,10 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
     max_pages = block_tables.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
 
-    # chunk = up to 128 tokens of KV per DMA round
+    # chunk = up to 128 tokens of KV per DMA round. max_pages need not be a
+    # multiple: the tail chunk's page indices clamp to the last table entry
+    # and its scores are masked by seq_len.
     chunk_pages = max(1, min(128 // page_size, max_pages))
-    while max_pages % chunk_pages != 0:
-        chunk_pages -= 1
 
     q4 = q.reshape(B, KH, G, D)
 

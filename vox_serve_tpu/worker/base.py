@@ -114,11 +114,14 @@ class ModelWorker:
                                                     sharding=kv_sharding)
         self.allocator = PageAllocator(cfg.num_pages)
         # static width of per-request block tables — must cover the longest
-        # prompt plus the full generation budget
-        self.max_pages_per_seq = cdiv(
+        # prompt plus the full generation budget; rounded up to the Pallas
+        # kernel's DMA chunk (128 tokens) so chunks stay full-width
+        width = cdiv(
             max(cfg.prefill_token_buckets) + model.max_tokens + 8,
             cfg.page_size,
         ) + 1
+        chunk_pages = max(1, 128 // cfg.page_size)
+        self.max_pages_per_seq = cdiv(width, chunk_pages) * chunk_pages
 
         # slots
         self._free_slots = list(range(cfg.max_batch_size - 1, -1, -1))
