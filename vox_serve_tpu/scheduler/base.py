@@ -83,6 +83,10 @@ class Scheduler:
     # ------------------------------------------------------------------
     def run_forever(self) -> None:
         self.logger.info("scheduler loop starting (rank %s)", self.rank)
+        # readiness signal: the API server's /health reports warming until
+        # every rank has finished model init + warmup
+        self._send(b"__scheduler__|READY|" + json.dumps(
+            {"rank": self.rank}).encode())
         import os
 
         idle_steps = 0

@@ -66,6 +66,7 @@ class APIServer:
         self.upload_dir.mkdir(parents=True, exist_ok=True)
 
         self.pending_requests: dict[str, dict] = {}
+        self.ready_ranks: set[int] = set()
         self.recently_completed: "collections.OrderedDict[str, float]" = (
             collections.OrderedDict())
         self.recently_completed_ttl_sec = 5.0
@@ -158,6 +159,12 @@ class APIServer:
     def schedulers_alive(self) -> bool:
         return all(p.poll() is None for p in self.scheduler_processes)
 
+    @property
+    def ready(self) -> bool:
+        if not self.scheduler_processes:  # in-process/test mode
+            return True
+        return len(self.ready_ranks) >= self.dp_size
+
     # ------------------------------------------------------------------
     # threads
     # ------------------------------------------------------------------
@@ -201,6 +208,15 @@ class APIServer:
             rid = parts[0].decode()
             mtype = parts[1].decode()
             data = parts[2]
+            if rid == "__scheduler__" and mtype == "READY":
+                try:
+                    rank = json.loads(data.decode()).get("rank", 0)
+                except Exception:
+                    rank = 0
+                self.ready_ranks.add(rank)
+                self.logger.info("scheduler rank %s ready (%d/%d)", rank,
+                                 len(self.ready_ranks), self.dp_size)
+                continue
             with self.request_lock:
                 now = time.time()
                 while self.recently_completed:

@@ -215,6 +215,9 @@ async def stream_end(request: web.Request) -> web.Response:
 
 
 async def health(request: web.Request) -> web.Response:
+    server: APIServer = request.app["server"]
+    if not server.ready:
+        return web.json_response({"status": "warming"}, status=503)
     return web.json_response({"status": "healthy"})
 
 
