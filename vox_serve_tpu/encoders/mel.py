@@ -4,7 +4,6 @@ encoders (GLM Whisper-VQ, Step-Audio-2 encoder, speaker embedders)."""
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ from ..ops.attention import (
     AttnMetadata,
     paged_attention_decode,
     ragged_prefill_attention,
-    write_kv_decode,
     write_kv_prefill,
 )
 from ..ops.norms import rms_norm

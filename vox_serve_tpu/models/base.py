@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import AttnMetadata
-from ..models.backbone import BackboneConfig, backbone_forward, linear
+from ..models.backbone import BackboneConfig, backbone_forward
 from ..sampling import SamplingConfig, sample_and_update
 from ..requests import Request
 

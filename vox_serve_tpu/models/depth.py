@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..models.backbone import linear, _init_linear
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rope, rope_frequencies
+from ..ops.rope import rope_frequencies
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 

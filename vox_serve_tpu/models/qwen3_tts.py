@@ -24,8 +24,6 @@ Behavioral parity:
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
