@@ -41,7 +41,7 @@ class WorkerConfig:
     max_batch_size: int = 8
     num_pages: int = 2048
     page_size: int = 16
-    prefill_token_buckets: tuple[int, ...] = (1024,)
+    prefill_token_buckets: tuple[int, ...] = (128, 1024)
     max_prefill_requests: int = 8
     use_pallas: bool = False
     warmup: bool = True
