@@ -63,6 +63,10 @@ class FakeWorker:
                 >= len(r.lm_output_audio_tokens)
             ):
                 r.done_all = True
+        return list(reqs)
+
+    def flush_detokenize(self):
+        return []
 
     def free_kv_cache(self, req):
         req.kv_pages = []

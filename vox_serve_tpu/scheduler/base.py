@@ -120,8 +120,8 @@ class Scheduler:
         detok = self._select_detokenize_requests()
         lm = self._select_lm_requests()
 
-        self.model_worker.run_detokenize(detok)
-        self._send_responses(detok)
+        emitted = self.model_worker.run_detokenize(detok)
+        self._send_responses(emitted)
 
         if lm:
             if not lm[0].done_lm_prefill:

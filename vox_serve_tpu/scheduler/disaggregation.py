@@ -90,10 +90,12 @@ class DisaggregationScheduler(Scheduler):
             while not self._detok_queue.empty() and len(batch) < self.max_batch_size:
                 batch.append(self._detok_queue.get_nowait())
             try:
-                await loop.run_in_executor(
+                emitted = await loop.run_in_executor(
                     self._detok_pool, self.model_worker.run_detokenize, batch)
+                emitted = emitted + await loop.run_in_executor(
+                    self._detok_pool, self.model_worker.flush_detokenize)
                 async with self._lock:
-                    self._send_responses(batch)
+                    self._send_responses(emitted)
             except Exception as e:  # pragma: no cover
                 self.logger.error("detokenize error: %s", e, exc_info=True)
             finally:

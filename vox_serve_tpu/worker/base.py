@@ -549,18 +549,27 @@ class ModelWorker:
     # ------------------------------------------------------------------
     # detokenize
     # ------------------------------------------------------------------
-    def run_detokenize(self, requests: list[Request]) -> None:
+    def run_detokenize(self, requests: list[Request]) -> list[Request]:
         """Decode `audio_decode_idx` chunk windows into PCM on-device, then
-        trim/emit per the reference rules (worker/base.py:616-681)."""
+        trim/emit per the reference rules (worker/base.py:616-681).
+
+        Like decode, the host readback of audio is pipelined when
+        pipeline_depth > 0: the jit call is issued and the PREVIOUS batch's
+        audio is resolved, so the detokenizer never drains the decode
+        pipeline. Returns the requests whose chunks were just emitted."""
+        resolved: list[Request] = []
         if not requests:
-            return
+            if self._pending_detok is not None:
+                resolved = self._resolve_detok()
+            return resolved
         model = self.model
         interval = model.detokenize_interval
         C = model.n_codebooks
 
         windows = []
-        mapping = []  # (req_idx, chunk_idx)
-        for ri, req in enumerate(requests):
+        mapping = []  # (req, decode_idx, trim_len)
+        finish_check: list[Request] = []
+        for req in requests:
             req.audio_decode_idx = list(req.next_audio_decode_idx)
             if self.codec_cache is not None and len(req.audio_decode_idx) > 1:
                 # Stateful codec caches are per-slot; chunks of one request
@@ -569,19 +578,22 @@ class ModelWorker:
                 # for the following scheduler step.
                 req.audio_decode_idx = req.audio_decode_idx[:1]
                 req.next_audio_decode_idx = req.audio_decode_idx
-            for ci, decode_idx in enumerate(req.audio_decode_idx):
+            finish_check.append(req)
+            for decode_idx in req.audio_decode_idx:
                 toks = req.lm_output_audio_tokens[decode_idx:decode_idx + interval]
                 if not toks:
                     continue
                 arr = np.stack(toks, axis=0)
-                if len(arr) < interval:
-                    pad = np.repeat(arr[-1:], interval - len(arr), axis=0)
+                last_len = len(arr)
+                if last_len < interval:
+                    pad = np.repeat(arr[-1:], interval - last_len, axis=0)
                     arr = np.concatenate([arr, pad], axis=0)
                 windows.append(arr)
-                mapping.append((ri, ci))
+                mapping.append((req, decode_idx, last_len))
         if not windows:
-            self._maybe_finish(requests)
-            return
+            resolved = self._resolve_detok() if self._pending_detok else []
+            self._maybe_finish(finish_check)
+            return resolved + finish_check
 
         n = len(windows)
         B = self._decode_bucket(min(n, self.config.max_batch_size)) if n <= self.config.max_batch_size else n
@@ -589,7 +601,7 @@ class ModelWorker:
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
         for i, w in enumerate(windows):
             token_ids[i] = w
-            slot_ids[i] = requests[mapping[i][0]].slot
+            slot_ids[i] = mapping[i][0].slot
 
         fn = self._get_detok_fn(B)
         ctx = self._trace(f"detokenize_b{B}")
@@ -598,23 +610,45 @@ class ModelWorker:
         slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
         audio, self.codec_cache = fn(
             model.codec_params, tok_dev, self.codec_cache, slot_dev)
-        audio_np = np.asarray(jax.device_get(audio))  # (B, ch, samples)
         ctx.__exit__(None, None, None)
+
+        if self._pending_detok is not None:
+            resolved = self._resolve_detok()
+        self._pending_detok = (audio, mapping, finish_check)
+        if self.config.pipeline_depth == 0:
+            resolved = resolved + self._resolve_detok()
+        return resolved
+
+    _pending_detok = None
+
+    def _resolve_detok(self) -> list[Request]:
+        if self._pending_detok is None:
+            return []
+        audio, mapping, finish_check = self._pending_detok
+        self._pending_detok = None
+        audio_np = np.asarray(jax.device_get(audio))  # (B, ch, samples)
 
         from ..native import f32_to_i16
 
-        for i, (ri, ci) in enumerate(mapping):
-            req = requests[ri]
-            decode_idx = req.audio_decode_idx[ci]
+        touched: list[Request] = []
+        interval = self.model.detokenize_interval
+        for i, (req, decode_idx, last_len) in enumerate(mapping):
             pcm = audio_np[i]
-            last_chunk_len = len(
-                req.lm_output_audio_tokens[decode_idx:decode_idx + interval])
-            if last_chunk_len < interval:
-                trim = int(pcm.shape[1] * (last_chunk_len - 0.5) / interval)
+            if last_len < interval:
+                trim = int(pcm.shape[1] * (last_len - 0.5) / interval)
                 pcm = pcm[:, :max(trim, 0)]
             req.output_audio.put(f32_to_i16(pcm))
+            if req not in touched:
+                touched.append(req)
+        self._maybe_finish(finish_check)
+        for r in finish_check:
+            if r not in touched:
+                touched.append(r)
+        return touched
 
-        self._maybe_finish(requests)
+    def flush_detokenize(self) -> list[Request]:
+        """Resolve any in-flight detokenize batch."""
+        return self._resolve_detok()
 
     def _maybe_finish(self, requests: list[Request]) -> None:
         interval = self.model.detokenize_interval
