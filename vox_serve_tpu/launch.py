@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="in-flight decode steps with deferred readback")
     p.add_argument("--tp-size", type=int, default=1,
                    help="tensor-parallel shards per replica (ICI)")
+    p.add_argument("--first-chunk-frames", type=int, default=0,
+                   help="emit the first chunk after N frames (TTFA)")
     p.add_argument("--enable-profiling", action="store_true",
                    help="jax.profiler trace annotations around worker phases")
     p.add_argument("--dp-size", type=int, default=1)
@@ -97,6 +99,7 @@ def main(argv=None) -> None:
         "no_warmup": args.no_warmup,
         "pipeline_depth": args.pipeline_depth,
         "tp_size": args.tp_size,
+        "first_chunk_frames": args.first_chunk_frames,
         "enable_profiling": args.enable_profiling,
         "detokenize_interval": args.detokenize_interval,
         "log_level": args.log_level,

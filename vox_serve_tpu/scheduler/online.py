@@ -73,8 +73,25 @@ class OnlineScheduler(Scheduler):
         interval = self.model_worker.detokenize_interval
         step = interval - self.model_worker.detokenize_overlap
 
+        # TTFA first-chunk minis: a brand-new stream with >= first_chunk_frames
+        # audio frames gets a short window immediately instead of waiting for
+        # a full interval
+        F = getattr(self.model_worker, "first_chunk_frames", 0)
+        mini_sel: list[Request] = []
+        if F:
+            for req in self.active_requests:
+                if (req.is_streaming and not req.chunk_send_timestamps
+                        and not req.audio_decode_idx
+                        and not req.next_audio_decode_idx
+                        and not req.done_lm_generation
+                        and F <= len(req.lm_output_audio_tokens) < interval):
+                    req.extras["mini_chunk"] = True
+                    mini_sel.append(req)
+
         candidates = []
         for req in self.active_requests:
+            if req.extras.get("mini_chunk"):
+                continue
             next_idx = (req.next_audio_decode_idx[-1] + step
                         if req.next_audio_decode_idx else 0)
             if req.done_lm_generation:
@@ -86,14 +103,14 @@ class OnlineScheduler(Scheduler):
             elif next_idx + interval <= len(req.lm_output_audio_tokens):
                 candidates.append(req)
         if not candidates:
-            return []
+            return mini_sel
 
         critical = [r for r in candidates if r.is_pressing]
         background = [r for r in candidates if not r.is_pressing]
         done_all = [r for r in candidates if r.done_all]
 
         if not critical:
-            return done_all
+            return mini_sel + done_all
 
         # remaining-chunk counts per critical request
         def remaining_chunks(req: Request) -> int:
@@ -165,4 +182,4 @@ class OnlineScheduler(Scheduler):
             if req.done_all and req not in selected:
                 selected.append(req)
 
-        return selected
+        return mini_sel + selected

@@ -55,6 +55,7 @@ def _run_scheduler_daemon(args) -> None:
         warmup=not args.no_warmup,
         pipeline_depth=pipeline_depth,
         tp_size=args.tp_size,
+        first_chunk_frames=args.first_chunk_frames,
         enable_profiling=args.enable_profiling,
         detokenizer_device_index=(1 if args.enable_disaggregation else None),
     )
@@ -85,6 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--pipeline-depth", type=int, default=0)
     p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--first-chunk-frames", type=int, default=0)
     p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)

@@ -61,6 +61,11 @@ class WorkerConfig:
     #: jax.profiler trace annotations around worker phases (the reference's
     #: NVTX ranges, worker/base.py:736-755)
     enable_profiling: bool = False
+    #: TTFA: emit the FIRST chunk of a stream after this many frames (0 =
+    #: disabled -> first chunk waits for a full detokenize_interval window).
+    #: The streaming codecs advance their caches by exactly the decoded
+    #: frames, so a short first window composes with full windows after it.
+    first_chunk_frames: int = 0
 
     @property
     def decode_buckets(self) -> tuple[int, ...]:
@@ -201,6 +206,11 @@ class ModelWorker:
         return self.model.detokenize_interval
 
     @property
+    def first_chunk_frames(self) -> int:
+        f = self.config.first_chunk_frames
+        return f if 0 < f < self.model.detokenize_interval else 0
+
+    @property
     def detokenize_overlap(self) -> int:
         return self.model.detokenize_overlap
 
@@ -290,7 +300,7 @@ class ModelWorker:
 
         return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
 
-    def _get_detok_fn(self, bucket: int):
+    def _get_detok_fn(self, bucket):
         fn = self._detok_fns.get(bucket)
         if fn is None:
             model = self.model
@@ -566,6 +576,20 @@ class ModelWorker:
         interval = model.detokenize_interval
         C = model.n_codebooks
 
+        # first-chunk minis: short windows emitted through their own
+        # executable so a new stream's first audio leaves after
+        # first_chunk_frames instead of a full interval
+        F = self.first_chunk_frames
+        minis = [r for r in requests if r.extras.pop("mini_chunk", False)]
+        pre_resolved: list[Request] = []
+        if minis and F:
+            pre_resolved = self._run_detok_windows(minis, F)
+            requests = [r for r in requests if r not in minis]
+            if not requests:
+                if self.config.pipeline_depth == 0:
+                    pre_resolved += self._resolve_detok()
+                return pre_resolved
+
         windows = []
         mapping = []  # (req, decode_idx, trim_len)
         finish_check: list[Request] = []
@@ -589,11 +613,11 @@ class ModelWorker:
                     pad = np.repeat(arr[-1:], interval - last_len, axis=0)
                     arr = np.concatenate([arr, pad], axis=0)
                 windows.append(arr)
-                mapping.append((req, decode_idx, last_len))
+                mapping.append((req, decode_idx, last_len, interval))
         if not windows:
             resolved = self._resolve_detok() if self._pending_detok else []
             self._maybe_finish(finish_check)
-            return resolved + finish_check
+            return pre_resolved + resolved + finish_check
 
         n = len(windows)
         B = self._decode_bucket(min(n, self.config.max_batch_size)) if n <= self.config.max_batch_size else n
@@ -617,9 +641,43 @@ class ModelWorker:
         self._pending_detok = (audio, mapping, finish_check)
         if self.config.pipeline_depth == 0:
             resolved = resolved + self._resolve_detok()
-        return resolved
+        return pre_resolved + resolved
 
     _pending_detok = None
+
+    def _run_detok_windows(self, requests: list[Request], length: int
+                           ) -> list[Request]:
+        """Issue a detokenize batch of fixed `length`-frame windows starting
+        at frame 0 of each request (first-chunk minis). Returns requests
+        resolved by displacing a previously pending batch."""
+        model = self.model
+        C = model.n_codebooks
+        n = len(requests)
+        B = self._decode_bucket(min(n, self.config.max_batch_size))
+        token_ids = np.zeros((B, length, C), np.int32)
+        slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
+        mapping = []
+        for i, req in enumerate(requests):
+            arr = np.stack(req.lm_output_audio_tokens[:length], axis=0)
+            token_ids[i] = arr
+            slot_ids[i] = req.slot
+            mapping.append((req, 0, length, length))
+            # bookkeeping so the next regular window starts at `length`
+            step = model.detokenize_interval - model.detokenize_overlap
+            req.audio_decode_idx = [length - step]
+            req.next_audio_decode_idx = [length - step]
+        fn = self._get_detok_fn((B, length))
+        tok_dev = jax.device_put(token_ids, self.detokenizer_device)
+        slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
+        resolved: list[Request] = []
+        if self._pending_detok is not None:
+            resolved = self._resolve_detok()
+        audio, self.codec_cache = fn(
+            model.codec_params, tok_dev, self.codec_cache, slot_dev)
+        self._pending_detok = (audio, mapping, [])
+        if self.config.pipeline_depth == 0:
+            resolved = resolved + self._resolve_detok()
+        return resolved
 
     def _resolve_detok(self) -> list[Request]:
         if self._pending_detok is None:
@@ -631,11 +689,10 @@ class ModelWorker:
         from ..native import f32_to_i16
 
         touched: list[Request] = []
-        interval = self.model.detokenize_interval
-        for i, (req, decode_idx, last_len) in enumerate(mapping):
+        for i, (req, decode_idx, last_len, window_len) in enumerate(mapping):
             pcm = audio_np[i]
-            if last_len < interval:
-                trim = int(pcm.shape[1] * (last_len - 0.5) / interval)
+            if last_len < window_len:
+                trim = int(pcm.shape[1] * (last_len - 0.5) / window_len)
                 pcm = pcm[:, :max(trim, 0)]
             req.output_audio.put(f32_to_i16(pcm))
             if req not in touched:
