@@ -786,19 +786,25 @@ class ModelWorker:
              self.last_tokens) = out
             self.logger.info("warmup: decode bucket B=%d compiled", B)
 
-        # detokenize buckets
+        # detokenize buckets (regular interval + first-chunk minis)
         interval = model.detokenize_interval
-        for B in cfg.decode_buckets:
-            fn = self._get_detok_fn(B)
-            toks = jax.device_put(np.zeros((B, interval, C), np.int32),
-                                  self.detokenizer_device)
-            slots = jax.device_put(
-                np.full((B,), cfg.max_batch_size, np.int32),
-                self.detokenizer_device)
-            audio, self.codec_cache = fn(model.codec_params, toks,
-                                         self.codec_cache, slots)
-            jax.block_until_ready(audio)
-            self.logger.info("warmup: detokenize bucket B=%d compiled", B)
+        lengths = [interval]
+        if self.first_chunk_frames:
+            lengths.append(self.first_chunk_frames)
+        for L in lengths:
+            for B in cfg.decode_buckets:
+                key = B if L == interval else (B, L)
+                fn = self._get_detok_fn(key)
+                toks = jax.device_put(np.zeros((B, L, C), np.int32),
+                                      self.detokenizer_device)
+                slots = jax.device_put(
+                    np.full((B,), cfg.max_batch_size, np.int32),
+                    self.detokenizer_device)
+                audio, self.codec_cache = fn(model.codec_params, toks,
+                                             self.codec_cache, slots)
+                jax.block_until_ready(audio)
+                self.logger.info(
+                    "warmup: detokenize bucket B=%d len=%d compiled", B, L)
 
         jax.block_until_ready(self.last_tokens)
         self.logger.info("warmup done in %.1fs", time.monotonic() - t0)
