@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel shards per replica (ICI)")
     p.add_argument("--first-chunk-frames", type=int, default=0,
                    help="emit the first chunk after N frames (TTFA)")
+    p.add_argument("--ramp-frames", type=int, default=0,
+                   help="extend the mini-chunk ramp to N frames before "
+                        "regular detokenize windows (0: one interval)")
     p.add_argument("--enable-profiling", action="store_true",
                    help="jax.profiler trace annotations around worker phases")
     p.add_argument("--dp-size", type=int, default=1)
@@ -100,6 +103,7 @@ def main(argv=None) -> None:
         "pipeline_depth": args.pipeline_depth,
         "tp_size": args.tp_size,
         "first_chunk_frames": args.first_chunk_frames,
+        "ramp_frames": args.ramp_frames,
         "enable_profiling": args.enable_profiling,
         "detokenize_interval": args.detokenize_interval,
         "log_level": args.log_level,

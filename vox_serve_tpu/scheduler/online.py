@@ -80,11 +80,24 @@ class OnlineScheduler(Scheduler):
         mini_sel: list[Request] = []
         if F:
             for req in self.active_requests:
-                if (req.is_streaming and not req.chunk_send_timestamps
-                        and not req.audio_decode_idx
-                        and not req.next_audio_decode_idx
-                        and not req.done_lm_generation
-                        and F <= len(req.lm_output_audio_tokens) < interval):
+                if not req.is_streaming or req.audio_decode_idx \
+                        or req.next_audio_decode_idx:
+                    continue
+                ramp_next = req.extras.get("ramp_next", 0)
+                ramp_end = getattr(self.model_worker, "ramp_frames",
+                                   interval) or interval
+                if ramp_next >= ramp_end:
+                    continue
+                if req.done_lm_generation:
+                    # leave the ramp; the regular final-partial rule takes
+                    # over from the frames already consumed
+                    step_ = interval - self.model_worker.detokenize_overlap
+                    req.audio_decode_idx = [ramp_next - step_]
+                    req.next_audio_decode_idx = [ramp_next - step_]
+                    continue
+                size = req.extras.get("ramp_size", F)
+                if (len(req.lm_output_audio_tokens) >= ramp_next + size
+                        and len(mini_sel) < self.detokenize_max_batch_size):
                     req.extras["mini_chunk"] = True
                     mini_sel.append(req)
 
@@ -92,6 +105,12 @@ class OnlineScheduler(Scheduler):
         for req in self.active_requests:
             if req.extras.get("mini_chunk"):
                 continue
+            if (F and req.is_streaming and not req.done_lm_generation
+                    and not req.audio_decode_idx
+                    and req.extras.get("ramp_next", 0)
+                    < (getattr(self.model_worker, "ramp_frames", interval)
+                       or interval)):
+                continue  # still ramping via mini chunks
             next_idx = (req.next_audio_decode_idx[-1] + step
                         if req.next_audio_decode_idx else 0)
             if req.done_lm_generation:

@@ -56,6 +56,7 @@ def _run_scheduler_daemon(args) -> None:
         pipeline_depth=pipeline_depth,
         tp_size=args.tp_size,
         first_chunk_frames=args.first_chunk_frames,
+        ramp_frames=args.ramp_frames,
         enable_profiling=args.enable_profiling,
         detokenizer_device_index=(1 if args.enable_disaggregation else None),
     )
@@ -87,6 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-depth", type=int, default=0)
     p.add_argument("--tp-size", type=int, default=1)
     p.add_argument("--first-chunk-frames", type=int, default=0)
+    p.add_argument("--ramp-frames", type=int, default=0)
     p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)

@@ -66,6 +66,11 @@ class WorkerConfig:
     #: The streaming codecs advance their caches by exactly the decoded
     #: frames, so a short first window composes with full windows after it.
     first_chunk_frames: int = 0
+    # how far (in frames) the mini-chunk ramp extends before regular windows
+    # take over; 0 -> one detokenize_interval. Longer ramps keep early chunks
+    # ahead of playback when single-stream production is barely faster than
+    # real time (see scheduler/online.py)
+    ramp_frames: int = 0
 
     @property
     def decode_buckets(self) -> tuple[int, ...]:
@@ -209,6 +214,13 @@ class ModelWorker:
     def first_chunk_frames(self) -> int:
         f = self.config.first_chunk_frames
         return f if 0 < f < self.model.detokenize_interval else 0
+
+    @property
+    def ramp_frames(self) -> int:
+        if not self.first_chunk_frames:
+            return 0
+        r = self.config.ramp_frames or self.model.detokenize_interval
+        return max(r, self.model.detokenize_interval)
 
     @property
     def detokenize_overlap(self) -> int:
@@ -583,7 +595,15 @@ class ModelWorker:
         minis = [r for r in requests if r.extras.pop("mini_chunk", False)]
         pre_resolved: list[Request] = []
         if minis and F:
-            pre_resolved = self._run_detok_windows(minis, F)
+            # geometric ramp: mini sizes double (F, 2F, 4F, ... capped at
+            # interval) so dispatch overhead amortizes while early chunks
+            # still beat their playback deadlines. Stateful codec caches
+            # forbid padding mixed sizes into one batch -> group by size.
+            by_size: dict[int, list[Request]] = {}
+            for r in minis:
+                by_size.setdefault(r.extras.get("ramp_size", F), []).append(r)
+            for size, group in sorted(by_size.items()):
+                pre_resolved += self._run_detok_windows(group, size)
             requests = [r for r in requests if r not in minis]
             if not requests:
                 if self.config.pipeline_depth == 0:
@@ -648,25 +668,44 @@ class ModelWorker:
     def _run_detok_windows(self, requests: list[Request], length: int
                            ) -> list[Request]:
         """Issue a detokenize batch of fixed `length`-frame windows starting
-        at frame 0 of each request (first-chunk minis). Returns requests
-        resolved by displacing a previously pending batch."""
+        at each request's ramp position (first-chunk ramp minis: chunks of
+        `first_chunk_frames` tile [0, interval) contiguously before regular
+        windows take over, so early chunks meet playback deadlines). Returns
+        requests resolved by displacing a previously pending batch."""
         model = self.model
         C = model.n_codebooks
+        requests = requests[: self.config.max_batch_size]
         n = len(requests)
-        B = self._decode_bucket(min(n, self.config.max_batch_size))
+        B = self._decode_bucket(n)
         token_ids = np.zeros((B, length, C), np.int32)
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
         mapping = []
+        step = model.detokenize_interval - model.detokenize_overlap
         for i, req in enumerate(requests):
-            arr = np.stack(req.lm_output_audio_tokens[:length], axis=0)
+            start = req.extras.get("ramp_next", 0)
+            arr = np.stack(
+                req.lm_output_audio_tokens[start:start + length], axis=0)
             token_ids[i] = arr
             slot_ids[i] = req.slot
-            mapping.append((req, 0, length, length))
-            # bookkeeping so the next regular window starts at `length`
-            step = model.detokenize_interval - model.detokenize_overlap
-            req.audio_decode_idx = [length - step]
-            req.next_audio_decode_idx = [length - step]
-        fn = self._get_detok_fn((B, length))
+            mapping.append((req, start, length, length))
+            req.extras["ramp_next"] = start + length
+            # next mini decodes as many frames as are already banked as
+            # playback (cap: interval) -> production time of chunk j
+            # (p * S_{j-1}) never exceeds banked playback (q * S_{j-1})
+            # while production rate p <= playback rate q. Sizes: F, F, 2F...
+            req.extras["ramp_size"] = min(
+                req.extras["ramp_next"], model.detokenize_interval)
+            if model.detokenize_overlap > 0:
+                # overlapped-window codecs need the crossfade context of a
+                # full window; ramp only the very first chunk
+                req.extras["ramp_next"] = max(
+                    req.extras["ramp_next"], self.ramp_frames)
+            if req.extras["ramp_next"] >= self.ramp_frames:
+                # ramp complete: regular windows continue from here
+                req.audio_decode_idx = [req.extras["ramp_next"] - step]
+                req.next_audio_decode_idx = [req.extras["ramp_next"] - step]
+        key = B if length == model.detokenize_interval else (B, length)
+        fn = self._get_detok_fn(key)
         tok_dev = jax.device_put(token_ids, self.detokenizer_device)
         slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
         resolved: list[Request] = []
@@ -789,8 +828,10 @@ class ModelWorker:
         # detokenize buckets (regular interval + first-chunk minis)
         interval = model.detokenize_interval
         lengths = [interval]
-        if self.first_chunk_frames:
-            lengths.append(self.first_chunk_frames)
+        L = self.first_chunk_frames
+        while L and L < interval:  # geometric ramp mini sizes
+            lengths.append(L)
+            L *= 2
         for L in lengths:
             for B in cfg.decode_buckets:
                 key = B if L == interval else (B, L)
