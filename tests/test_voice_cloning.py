@@ -1,0 +1,158 @@
+"""Voice-cloning input paths: S3 FSQ tokenizer, perceiver conditioning,
+reference-audio plumbing in Chatterbox and CosyVoice2 preprocess."""
+
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vox_serve_tpu.codecs.flow import FlowConfig
+from vox_serve_tpu.codecs.hifigan import HiFTConfig
+from vox_serve_tpu.encoders.perceiver import (
+    PerceiverConfig, init_perceiver, perceiver_resample,
+)
+from vox_serve_tpu.encoders.s3_tokenizer import (
+    S3TokenizerConfig, fsq_quantize, init_s3_tokenizer, s3_tokenize,
+)
+from vox_serve_tpu.models.backbone import BackboneConfig
+from vox_serve_tpu.models.chatterbox import COND_LEN, ChatterboxLM
+from vox_serve_tpu.models.cosyvoice2 import SPEECH_TOKEN_SIZE, CosyVoice2LM
+
+SMALL_FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=1,
+                        heads=4, estimator_layers=1, estimator_hidden=32,
+                        n_timesteps=2, left_context=8, vocab_size=8192)
+SMALL_HIFT = HiFTConfig(in_channels=16, base_channels=32, nb_harmonics=2,
+                        upsample_rates=(8, 5, 3),
+                        upsample_kernel_sizes=(16, 11, 7),
+                        f0_cond_channels=16)
+
+
+def _small_backbone(vocab, **kw):
+    return BackboneConfig(vocab_size=vocab, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, head_dim=16,
+                          intermediate_size=128, dtype=jnp.float32, **kw)
+
+
+@pytest.fixture()
+def ref_wav(tmp_path):
+    p = str(tmp_path / "ref.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        pcm = (np.sin(np.arange(24000) * 0.05) * 8000).astype(np.int16)
+        w.writeframes(pcm.tobytes())
+    return p
+
+
+def test_fsq_quantize_range_and_determinism():
+    cfg = S3TokenizerConfig(fsq_dims=4, fsq_levels=3)
+    z = jax.random.normal(jax.random.key(0), (2, 7, 4)) * 3
+    ids = fsq_quantize(cfg, z)
+    assert ids.shape == (2, 7)
+    assert int(ids.min()) >= 0 and int(ids.max()) < 3 ** 4
+    assert np.array_equal(np.asarray(ids), np.asarray(fsq_quantize(cfg, z)))
+
+
+def test_s3_tokenizer_shapes():
+    cfg = S3TokenizerConfig(n_mels=20, hidden=32, layers=1, heads=4)
+    params = init_s3_tokenizer(cfg, jax.random.key(1))
+    mel = jax.random.normal(jax.random.key(2), (2, 20, 24))
+    toks = s3_tokenize(params, cfg, mel)
+    assert toks.shape == (2, 12)  # conv stem downsamples x2
+    assert toks.dtype == jnp.int32
+    assert int(toks.max()) < cfg.vocab_size
+
+
+def test_perceiver_static_output_and_masking():
+    cfg = PerceiverConfig(in_dim=16, hidden=32, heads=4, layers=1,
+                          n_latents=8)
+    params = init_perceiver(cfg, jax.random.key(3))
+    feats = jax.random.normal(jax.random.key(4), (1, 10, 16))
+    mask_full = jnp.ones((1, 10), bool)
+    out_full = perceiver_resample(params, cfg, feats, mask_full)
+    assert out_full.shape == (1, 8, 32)
+    # masked tail must not influence the output: same as truncating
+    mask_half = jnp.arange(10)[None] < 5
+    out_masked = perceiver_resample(params, cfg, feats, mask_half)
+    feats_trunc = jnp.concatenate(
+        [feats[:, :5], jnp.zeros((1, 5, 16))], axis=1)
+    out_trunc = perceiver_resample(params, cfg, feats_trunc, mask_half)
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc),
+                               atol=1e-5)
+
+
+def test_chatterbox_clone_conditioning(ref_wav):
+    m = ChatterboxLM(
+        debug_backbone=_small_backbone(6563, llama31_rope_scaling=True),
+        debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+    neutral = m.preprocess(prompt="hello world")
+    clone = m.preprocess(prompt="hello world", audio_path=ref_wav)
+    assert np.abs(neutral.input_features[:COND_LEN]).sum() == 0.0
+    assert np.abs(clone.input_features[:COND_LEN]).sum() > 0.0
+    # deterministic, and text rows unaffected
+    clone2 = m.preprocess(prompt="hello world", audio_path=ref_wav)
+    np.testing.assert_array_equal(clone.input_features,
+                                  clone2.input_features)
+    np.testing.assert_array_equal(neutral.input_features[COND_LEN:],
+                                  clone.input_features[COND_LEN:])
+
+
+def test_chatterbox_bad_reference_falls_back(ref_wav, tmp_path):
+    m = ChatterboxLM(
+        debug_backbone=_small_backbone(6563, llama31_rope_scaling=True),
+        debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"not a wav at all")
+    out = m.preprocess(prompt="hello", audio_path=bad)
+    assert np.abs(out.input_features[:COND_LEN]).sum() == 0.0  # neutral
+
+
+def test_cosyvoice2_reference_tokens(ref_wav):
+    m = CosyVoice2LM(debug_backbone=BackboneConfig(
+        vocab_size=151936, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=128, qkv_bias=True,
+        dtype=jnp.float32), debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+    plain = m.preprocess(prompt="hi there")
+    clone = m.preprocess(prompt="hi there", audio_path=ref_wav)
+    # ICL prompt speech tokens appended after the task id
+    assert clone.input_tokens.shape[0] > plain.input_tokens.shape[0]
+    extra = clone.input_tokens[plain.input_tokens.shape[0]:, 0]
+    assert (extra >= 0).all() and (extra < SPEECH_TOKEN_SIZE).all()
+    toks, spk = m._encode_reference(ref_wav)
+    assert spk.shape == (SMALL_FLOW.spk_dim,)
+    toks2, spk2 = m._encode_reference(ref_wav)
+    np.testing.assert_array_equal(toks, toks2)
+    np.testing.assert_allclose(spk, spk2, atol=1e-6)
+
+
+def test_step_audio2_audio_input(ref_wav):
+    from vox_serve_tpu.models.step_audio_2 import AUDIO_MARKER, StepAudio2LM
+    m = StepAudio2LM(
+        debug_backbone=_small_backbone(158720, qkv_bias=True, rope_dim=8),
+        debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+    plain = m.preprocess(prompt="what was said?")
+    sts = m.preprocess(prompt="what was said?", audio_path=ref_wav)
+    n_markers = int((sts.input_tokens[:, 0] == AUDIO_MARKER).sum())
+    assert n_markers > 0
+    assert sts.input_tokens.shape[0] == plain.input_tokens.shape[0] + n_markers
+    # marker rows are masked and carry nonzero encoder features
+    marker_mask = sts.input_tokens[:, 0] == AUDIO_MARKER
+    assert sts.input_masks[marker_mask].all()
+    assert np.abs(sts.input_features[marker_mask]).sum() > 0
+
+
+def test_glm_audio_input_tokens(ref_wav):
+    from vox_serve_tpu.models.glm_voice import GLMVoiceLM
+    m = GLMVoiceLM(
+        debug_backbone=_small_backbone(168960, qkv_bias=True, rope_dim=8),
+        debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+    plain = m.preprocess(prompt="hello")
+    sts = m.preprocess(prompt="hello", audio_path=ref_wav)
+    # audio mode inlines <|audio_k|> strings -> longer token sequence
+    assert sts.input_tokens.shape[0] > plain.input_tokens.shape[0]
+    sts2 = m.preprocess(prompt="hello", audio_path=ref_wav)
+    np.testing.assert_array_equal(sts.input_tokens, sts2.input_tokens)

@@ -35,10 +35,9 @@ def init_speaker_encoder(cfg: SpeakerEncoderConfig, key: jax.Array) -> dict:
 
     p = {"blocks": []}
     in_ch = cfg.n_mels
-    for i, dil in enumerate((1, 2, 3)[:cfg.layers]):
+    for _ in range(cfg.layers):
         p["blocks"].append({
             "conv": init_conv1d(nk(), in_ch, cfg.channels, 3),
-            "dil": dil,
         })
         in_ch = cfg.channels
     # attentive statistics pooling
@@ -53,9 +52,11 @@ def speaker_embed(params: dict, cfg: SpeakerEncoderConfig,
                   mel: jax.Array) -> jax.Array:
     """mel (B, n_mels, T) -> x-vector (B, out_dim)."""
     x = mel
-    for b in params["blocks"]:
-        x = jax.nn.relu(conv1d(b["conv"], x, padding=b["dil"],
-                               dilation=b["dil"]))
+    # TDNN dilation schedule 1,2,3,... is static (shape-affecting), so it
+    # lives here rather than in the param pytree (jit-traceable leaves only)
+    for i, b in enumerate(params["blocks"]):
+        dil = i + 1
+        x = jax.nn.relu(conv1d(b["conv"], x, padding=dil, dilation=dil))
     # attentive statistics pooling
     att = jnp.tanh(conv1d(params["asp_w"], x))
     att = jax.nn.softmax(conv1d(params["asp_v"], att), axis=-1)  # (B, C, T)

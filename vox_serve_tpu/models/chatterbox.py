@@ -18,12 +18,19 @@ Behavioral parity with reference model/chatterbox.py:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
 from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
+from ..encoders.mel import MelConfig, log_mel_spectrogram
+from ..encoders.perceiver import PerceiverConfig, init_perceiver, perceiver_resample
+from ..encoders.s3_tokenizer import S3TokenizerConfig, init_s3_tokenizer, s3_tokenize
+from ..encoders.speaker import SpeakerEncoderConfig, init_speaker_encoder, speaker_embed
+from ..utils import load_audio_mono
 from ..models.backbone import BackboneConfig, init_backbone_params
 from ..models.base import BaseLM, PreprocessOutput
 from ..sampling import SamplingConfig
@@ -48,7 +55,7 @@ class ChatterboxLM(BaseLM):
 
     def __init__(self, model_name: str = "ResembleAI/chatterbox",
                  dtype=jnp.bfloat16, debug_backbone=None, debug_flow=None,
-                 debug_hift=None, **_):
+                 debug_hift=None, debug_perceiver=None, **_):
         super().__init__(model_name, dtype)
         self._cfg = debug_backbone or BackboneConfig(
             vocab_size=SPEECH_VOCAB, hidden_size=1024, num_layers=30,
@@ -79,7 +86,41 @@ class ChatterboxLM(BaseLM):
             "flow": init_flow(self._flow_cfg, ks[6]),
             "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
         }
+        # voice-cloning conditioning encoder: perceiver resampler over
+        # reference-prompt speech features + speaker x-vector + emotion
+        # scalar -> COND_LEN rows (encoder/chatterbox.py:209-311 T3Cond)
+        H = self._cfg.hidden_size
+        self._perc_cfg = debug_perceiver or PerceiverConfig(
+            in_dim=H, hidden=H, heads=self._cfg.num_heads,
+            n_latents=COND_LEN - 2)
+        self.cond_params = {
+            "perceiver": init_perceiver(self._perc_cfg,
+                                        jax.random.fold_in(key, 11)),
+            "spk": init_speaker_encoder(self._spk_cfg,
+                                        jax.random.fold_in(key, 12)),
+            "spk_proj": (jax.random.normal(jax.random.fold_in(key, 13),
+                                           (self._spk_cfg.out_dim, H))
+                         * 0.02).astype(jnp.float32),
+            "emotion": (jax.random.normal(jax.random.fold_in(key, 14),
+                                          (1, H)) * 0.02
+                        ).astype(jnp.float32),
+        }
+        self._encode_cond = jax.jit(self._cond_fn)
         self.sampling_config = self.default_sampling_config
+
+    _spk_cfg = SpeakerEncoderConfig(out_dim=256)
+
+    def _cond_fn(self, cond_params, ref_mel, ref_feats, ref_mask,
+                 exaggeration):
+        """ref_mel (1, n_mels, T), ref_feats (1, T', H), ref_mask (1, T')
+        -> (COND_LEN, H) conditioning rows: [speaker, emotion,
+        perceiver x n_latents] (chatterbox.py:87-124 Conditionals)."""
+        spk = speaker_embed(cond_params["spk"], self._spk_cfg, ref_mel)
+        spk_row = spk @ cond_params["spk_proj"]  # (1, H)
+        emo_row = exaggeration * cond_params["emotion"]  # (1, H)
+        lat = perceiver_resample(cond_params["perceiver"], self._perc_cfg,
+                                 ref_feats, ref_mask)[0]  # (n_latents, H)
+        return jnp.concatenate([spk_row, emo_row, lat], axis=0)
 
     @property
     def backbone_config(self):
@@ -155,7 +196,18 @@ class ChatterboxLM(BaseLM):
         tpos_tbl = np.asarray(self.params["text_pos"], np.float32)
         spc_tbl = np.asarray(self.params["speech_embed"], np.float32)
         spos_tbl = np.asarray(self.params["speech_pos"], np.float32)
-        # cond rows: perceiver conditioning (zeros offline — neutral voice)
+        # cond rows: perceiver conditioning from the reference audio when
+        # one is given (voice cloning); zeros otherwise (neutral voice)
+        if audio_path is not None:
+            try:
+                ref_mel, ref_feats, ref_mask = self._load_ref(audio_path)
+                cond = self._encode_cond(
+                    self.cond_params, ref_mel, ref_feats, ref_mask,
+                    jnp.float32(exaggeration if exaggeration is not None
+                                else 0.5))
+                feats[:COND_LEN] = np.asarray(cond, np.float32)
+            except Exception:  # unreadable/absent reference: neutral voice
+                pass
         pos = COND_LEN
         for i, t in enumerate(text_ids):
             feats[pos] = text_tbl[t] + tpos_tbl[i]
@@ -163,6 +215,32 @@ class ChatterboxLM(BaseLM):
         feats[pos] = spc_tbl[START_SPEECH] + spos_tbl[0]
         return PreprocessOutput(input_tokens=toks, input_masks=masks,
                                 input_features=feats)
+
+    def _load_ref(self, audio_path):
+        """Reference audio -> (mel (1, M, T), prompt feats (1, T', H),
+        mask (1, T')). Prompt features are speech-embedding rows of the
+        S3-tokenized reference (the reference feeds prompt speech TOKENS to
+        the perceiver, chatterbox.py:87-124); offline this tokenization uses
+        the randomly-initialized S3 encoder, preserving shapes/dataflow."""
+        wav = load_audio_mono(audio_path, self.SAMPLE_RATE)
+        mel_cfg = MelConfig(sample_rate=self.SAMPLE_RATE,
+                            n_mels=self._spk_cfg.n_mels)
+        mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
+        toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)  # (1, T')
+        toks = toks[:, : self._perc_cfg.max_prompt] % SPEECH_VOCAB
+        spc_tbl = jnp.asarray(self.params["speech_embed"], jnp.float32)
+        feats = spc_tbl[toks]  # (1, T', H)
+        mask = jnp.ones(toks.shape, bool)
+        return mel, feats, mask
+
+    @functools.cached_property
+    def _s3_cfg(self):
+        return S3TokenizerConfig(n_mels=self._spk_cfg.n_mels, hidden=256,
+                                 layers=2, heads=4)
+
+    @functools.cached_property
+    def _s3_params(self):
+        return init_s3_tokenizer(self._s3_cfg, jax.random.key(23))
 
     def is_stop(self, token_ids: np.ndarray) -> bool:
         return int(token_ids[0]) == STOP_SPEECH

@@ -15,6 +15,8 @@ Behavioral parity with reference model/cosyvoice2.py:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,7 +24,11 @@ import numpy as np
 from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
 from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
 from ..models.backbone import BackboneConfig, init_backbone_params
+from ..encoders.mel import MelConfig, log_mel_spectrogram
+from ..encoders.s3_tokenizer import S3TokenizerConfig, init_s3_tokenizer, s3_tokenize
+from ..encoders.speaker import SpeakerEncoderConfig, init_speaker_encoder, speaker_embed
 from ..models.base import BaseLM, PreprocessOutput
+from ..utils import load_audio_mono
 from ..sampling import SamplingConfig
 from ..weights import (
     load_embedding, load_head, load_llama_family_backbone,
@@ -33,6 +39,7 @@ SPEECH_TOKEN_SIZE = 6561
 SOS = 0
 TASK_ID = 1
 STOP_IDS = (SPEECH_TOKEN_SIZE, SPEECH_TOKEN_SIZE + 1, SPEECH_TOKEN_SIZE + 2)
+MAX_REF_TOKENS = 150  # cap ICL prompt speech tokens (~6 s at 25 Hz)
 
 
 class CosyVoice2LM(BaseLM):
@@ -150,14 +157,33 @@ class CosyVoice2LM(BaseLM):
                               max_tokens=self.max_tokens)
 
     # ---- host-side ---------------------------------------------------------
-    def preprocess(self, prompt=None, audio_path=None, **kwargs
-                   ) -> PreprocessOutput:
+    def preprocess(self, prompt=None, audio_path=None, ref_text=None,
+                   **kwargs) -> PreprocessOutput:
         text = prompt or ""
         if hasattr(self.text_tokenizer, "encode"):
             text_ids = list(self.text_tokenizer.encode(text))
         else:
             text_ids = list(self.text_tokenizer(text))
         ref = self.default_ref
+        if audio_path is not None:
+            # voice cloning: S3-tokenize the reference audio into prompt
+            # speech tokens + CAMPPlus-style x-vector for the flow decoder
+            # (reference model/cosyvoice2.py:360-373 via ONNX Runtime; here a
+            # jitted JAX path, encoders/s3_tokenizer.py)
+            try:
+                ref = dict(ref)
+                toks, spk = self._encode_reference(audio_path)
+                ref["ref_speech_tokens"] = toks
+                ref["spk"] = spk
+                if ref_text:
+                    if hasattr(self.text_tokenizer, "encode"):
+                        ref["ref_text_ids"] = np.asarray(
+                            self.text_tokenizer.encode(ref_text), np.int32)
+                    else:
+                        ref["ref_text_ids"] = np.asarray(
+                            self.text_tokenizer(ref_text), np.int32)
+            except Exception:  # unreadable reference: neutral voice
+                ref = self.default_ref
         ref_text = list(ref["ref_text_ids"])
         ref_speech = list(ref["ref_speech_tokens"])
 
@@ -185,6 +211,35 @@ class CosyVoice2LM(BaseLM):
         return PreprocessOutput(input_tokens=input_tokens,
                                 input_masks=input_masks,
                                 input_features=feats)
+
+    def _encode_reference(self, audio_path):
+        """Reference WAV -> (speech tokens (T',) int32 in [0, vocab),
+        x-vector (spk_dim,) float32)."""
+        wav = load_audio_mono(audio_path, 16000)
+        mel_cfg = MelConfig(sample_rate=16000, n_mels=self._s3_cfg.n_mels)
+        mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
+        toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)[0]
+        toks = np.asarray(toks, np.int32) % SPEECH_TOKEN_SIZE
+        spk = speaker_embed(self._spk_params, self._spk_cfg_, mel)[0]
+        return toks[:MAX_REF_TOKENS], np.asarray(spk, np.float32)
+
+    @functools.cached_property
+    def _s3_cfg(self):
+        return S3TokenizerConfig(n_mels=80, hidden=256, layers=2, heads=4,
+                                 fsq_levels=3, fsq_dims=8)
+
+    @functools.cached_property
+    def _s3_params(self):
+        return init_s3_tokenizer(self._s3_cfg, jax.random.key(29))
+
+    @functools.cached_property
+    def _spk_cfg_(self):
+        return SpeakerEncoderConfig(n_mels=80,
+                                    out_dim=self._flow_cfg.spk_dim)
+
+    @functools.cached_property
+    def _spk_params(self):
+        return init_speaker_encoder(self._spk_cfg_, jax.random.key(31))
 
     def is_stop(self, token_ids: np.ndarray) -> bool:
         return int(token_ids[0]) in STOP_IDS

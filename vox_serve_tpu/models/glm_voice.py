@@ -16,6 +16,8 @@ its params flow through parallel/sharding.py unchanged.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +25,10 @@ import numpy as np
 from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
 from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
 from ..models.backbone import BackboneConfig, init_backbone_params
+from ..encoders.mel import MelConfig, log_mel_spectrogram
+from ..encoders.whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode
 from ..models.base import BaseLM, PreprocessOutput
+from ..utils import load_audio_mono
 from ..models.sts_common import InterleavedAudioMixin
 from ..sampling import SamplingConfig
 from ..weights import load_text_tokenizer
@@ -111,16 +116,23 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
     # ---- host-side ---------------------------------------------------------
     def preprocess(self, prompt=None, audio_path=None, **kwargs
                    ) -> PreprocessOutput:
-        if audio_path is not None and self.assets_available:
-            raise NotImplementedError(
-                "Whisper-VQ audio encoding requires model assets")
+        audio_str = ""
+        if audio_path is not None:
+            # Whisper-VQ the input speech into discrete tokens inlined as
+            # <|audio_k|> strings in the chat template (reference
+            # glm_voice.py:444-483, encoder/glm.py:217-369)
+            toks = self._encode_audio_tokens(audio_path)
+            audio_str = ("<|begin_of_audio|>"
+                         + "".join(f"<|audio_{int(t)}|>" for t in toks)
+                         + "<|end_of_audio|>")
         mode = "audio" if audio_path else "text"
         system = ("User will provide you with a "
                   f"{'speech' if mode == 'audio' else 'text'} instruction. "
                   "Do it step by step. First, think about the instruction "
                   "and respond in a interleaved manner, with 13 text token "
                   "followed by 26 audio tokens. ")
-        text = (f"<|system|>\n{system}<|user|>\n{prompt}"
+        user = audio_str if audio_path is not None else prompt
+        text = (f"<|system|>\n{system}<|user|>\n{user}"
                 "<|assistant|>streaming_transcription\n")
         if hasattr(self.text_tokenizer, "encode"):
             ids = list(self.text_tokenizer.encode(text))
@@ -128,6 +140,23 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
             ids = list(self.text_tokenizer(text))
         return PreprocessOutput(
             input_tokens=np.asarray(ids, np.int32)[:, None])
+
+    def _encode_audio_tokens(self, audio_path) -> "np.ndarray":
+        wav = load_audio_mono(audio_path, 16000)
+        mel_cfg = MelConfig(sample_rate=16000, n_mels=self._enc_cfg.n_mels)
+        mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
+        return np.asarray(
+            whisper_encode(self._enc_params, self._enc_cfg, mel)[0],
+            np.int32)
+
+    @functools.cached_property
+    def _enc_cfg(self):
+        return WhisperEncoderConfig(n_mels=80, hidden=128, layers=2, heads=4,
+                                    vq_codebook=16384, pool=1)
+
+    @functools.cached_property
+    def _enc_params(self):
+        return init_whisper_encoder(self._enc_cfg, jax.random.key(47))
 
     # ---- traced ------------------------------------------------------------
     def embed(self, params, token_ids, features, masks):

@@ -14,6 +14,8 @@ Behavioral parity with reference model/step_audio_2.py:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,7 +23,10 @@ import numpy as np
 from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
 from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
 from ..models.backbone import BackboneConfig, init_backbone_params
+from ..encoders.mel import MelConfig, log_mel_spectrogram
+from ..encoders.whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode
 from ..models.base import BaseLM, PreprocessOutput
+from ..utils import load_audio_mono
 from ..models.sts_common import InterleavedAudioMixin
 from ..sampling import SamplingConfig
 from ..weights import load_text_tokenizer
@@ -121,13 +126,52 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
         toks = np.asarray(ids, np.int32)[:, None]
         masks = np.zeros((T, 1), bool)
         feats = np.zeros((T, self._cfg.hidden_size), np.float32)
-        if audio_path is not None and self.assets_available:
-            # encoder runs here with real assets; the resulting features are
-            # spliced at the AUDIO_MARKER rows (step_audio_2.py:601-610)
-            raise NotImplementedError(
-                "Step-Audio-2 audio encoder requires model assets")
+        if audio_path is not None:
+            # audio input: whisper-style mel encoder (25 Hz -> 12.5 Hz
+            # pooled) + 2x conv adaptor, features spliced over <audio>
+            # marker rows inserted before the assistant turn (reference
+            # step_audio_2.py:601-610, encoder/step_audio_2.py:197-225)
+            enc = self._encode_audio(audio_path)  # (T_a, H)
+            Ta = enc.shape[0]
+            marker_rows = np.full((Ta, 1), AUDIO_MARKER, np.int32)
+            toks = np.concatenate([marker_rows, toks], axis=0)
+            masks = np.concatenate([np.ones((Ta, 1), bool), masks], axis=0)
+            feats = np.concatenate([enc, feats], axis=0)
         return PreprocessOutput(input_tokens=toks, input_masks=masks,
                                 input_features=feats)
+
+    def _encode_audio(self, audio_path) -> np.ndarray:
+        """WAV -> (T_a, hidden) adaptor features for prefill splicing."""
+        wav = load_audio_mono(audio_path, 16000)
+        mel_cfg = MelConfig(sample_rate=16000,
+                            n_mels=self._enc_cfg.n_mels)
+        mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
+        feats = whisper_encode(self._enc_params, self._enc_cfg, mel)[0]
+        # 2x conv adaptor -> LM hidden (step_audio_2.py:222-243); a strided
+        # matmul over pairs is the shape-equivalent jit-friendly form
+        T2 = (feats.shape[0] // 2) * 2
+        pairs = feats[:T2].reshape(T2 // 2, -1)
+        out = pairs @ self._adaptor_w + self._adaptor_b
+        return np.asarray(out, np.float32)
+
+    @functools.cached_property
+    def _enc_cfg(self):
+        return WhisperEncoderConfig(n_mels=80, hidden=128, layers=2, heads=4,
+                                    vq_codebook=None, pool=2)
+
+    @functools.cached_property
+    def _enc_params(self):
+        return init_whisper_encoder(self._enc_cfg, jax.random.key(41))
+
+    @functools.cached_property
+    def _adaptor_w(self):
+        return np.asarray(jax.random.normal(
+            jax.random.key(43), (2 * self._enc_cfg.hidden,
+                                 self._cfg.hidden_size)) * 0.02, np.float32)
+
+    @functools.cached_property
+    def _adaptor_b(self):
+        return np.zeros((self._cfg.hidden_size,), np.float32)
 
     # ---- traced ------------------------------------------------------------
     def embed(self, params, token_ids, features, masks):

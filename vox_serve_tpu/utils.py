@@ -94,3 +94,37 @@ def env_flag(name: str, default: bool = False) -> bool:
     if v is None:
         return default
     return v.lower() not in ("0", "false", "no", "off", "")
+
+
+def load_audio_mono(path: str, target_sr: int) -> "np.ndarray":
+    """Read a PCM WAV file -> mono float32 in [-1, 1] at target_sr.
+
+    Host-side reference-audio loader for voice cloning / audio input
+    (the reference uses librosa/torchaudio, utils.py:137-219; this build
+    keeps the dependency surface to the stdlib: wave + linear resample).
+    """
+    import wave
+
+    import numpy as np
+
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    if sr != target_sr and len(x):
+        t_out = np.linspace(0.0, len(x) - 1.0,
+                            int(round(len(x) * target_sr / sr)))
+        x = np.interp(t_out, np.arange(len(x)), x).astype(np.float32)
+    return x

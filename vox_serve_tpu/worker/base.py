@@ -89,9 +89,20 @@ class ModelWorker:
         self.config = config or WorkerConfig()
         self.logger = get_logger("worker")
         cfg = self.config
-        model.use_pallas_attention = cfg.use_pallas
-
         bb = model.backbone_config
+        use_pallas = cfg.use_pallas
+        head_dim = bb.resolved_head_dim
+        if use_pallas and head_dim % 128 != 0:
+            # the pallas decode kernel DMAs (page, head_dim) KV tiles, and
+            # Mosaic requires the minor axis aligned to the 128-lane tiling;
+            # models with head_dim 64 (e.g. chatterbox) fall back to the
+            # gather attention path (TODO: padded-D kernel variant)
+            self.logger.warning(
+                "pallas attention disabled: head_dim %d not 128-aligned",
+                head_dim)
+            use_pallas = False
+        model.use_pallas_attention = use_pallas
+
         self.kv_config = KVCacheConfig(
             num_layers=bb.num_layers,
             num_pages=cfg.num_pages,
