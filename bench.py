@@ -2,7 +2,7 @@
 
 Builds the actual Qwen3-TTS-1.7B model (random bf16 weights — runtime/kernel
 performance is weight-agnostic) and measures the COMPLETE per-frame decode
-step at batch 8: dual-channel embedding -> 28-layer talker with paged KV ->
+step: dual-channel embedding -> 28-layer talker with paged KV ->
 suppress-masked fused sampling -> 15-codebook MTP depth scan with feedback.
 That is exactly the hot loop of serving (one audio frame per request per
 step at 12.5 Hz).
@@ -28,7 +28,7 @@ from vox_serve_tpu.models.qwen3_tts import Qwen3TTSLM
 from vox_serve_tpu.requests import Request
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
-BATCH = 192
+BATCH = 352
 STEPS = 40
 WARMUP = 4
 TARGET_FRAMES_PER_S = 100 * 12.5
@@ -37,14 +37,14 @@ TARGET_FRAMES_PER_S = 100 * 12.5
 def main():
     model = Qwen3TTSLM(dtype=jnp.bfloat16)
     wcfg = WorkerConfig(
-        max_batch_size=BATCH, num_pages=2304, page_size=16,
+        max_batch_size=BATCH, num_pages=2816, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=BATCH,
         warmup=False, pipeline_depth=4, use_pallas=True,
     )
     worker = ModelWorker(model, wcfg)
 
-    reqs = [Request(request_id=f"b{i}", prompt="benchmark of the flagship "
-                    "decode path with a realistic prompt length here")
+    reqs = [Request(request_id=f"b{i}",
+                    prompt="A realistic TTS sentence to speak.")
             for i in range(BATCH)]
     for r in reqs:
         worker.run_lm_prefill([r])
@@ -65,7 +65,7 @@ def main():
 
     frames_per_s = BATCH * STEPS / elapsed
     print(json.dumps({
-        "metric": "flagship_decode_frames_per_s_qwen3tts_1p7b_b192",
+        "metric": "flagship_decode_frames_per_s_qwen3tts_1p7b_b352",
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / TARGET_FRAMES_PER_S, 3),
