@@ -9,7 +9,7 @@ from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
 @pytest.fixture(scope="module")
 def worker():
-    model = DummyLM(max_tokens=16)
+    model = DummyLM(max_tokens=48)
     cfg = WorkerConfig(max_batch_size=4, num_pages=64, page_size=8,
                        prefill_token_buckets=(64,), max_prefill_requests=4,
                        warmup=False)
@@ -18,7 +18,9 @@ def worker():
 
 def _mkreq(rid, prompt="hello world"):
     return Request(request_id=rid, prompt=prompt,
-                   sampling_config=SamplingConfig(max_tokens=16))
+                   # max_tokens is an ABSOLUTE position budget (prompt+generated),
+                   # matching the reference's next_position_id semantics
+                   sampling_config=SamplingConfig(max_tokens=48))
 
 
 def test_prefill_then_decode(worker):

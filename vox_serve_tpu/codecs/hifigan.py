@@ -236,3 +236,56 @@ def hift_decode(params: dict, cfg: HiFTConfig, mel: jax.Array,
     wav = _istft(cfg, mag, phase)
     wav = jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)
     return wav, s
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunked) decode — reference HiFTGeneratorCache semantics
+# ---------------------------------------------------------------------------
+
+#: mel frames of context carried between chunks (reference cosyvoice2.py:858)
+HIFT_CTX_FRAMES = 6
+
+
+def init_hift_cache(cfg: HiFTConfig, batch: int,
+                    ctx_frames: int = HIFT_CTX_FRAMES) -> dict:
+    """Per-request streaming state (reference HiFTGeneratorCache,
+    hifigan.py:26-31): `mel` context frames, `source` excitation tail for
+    phase continuity, `speech` held-back output tail for crossfade."""
+    up = cfg.total_upsample
+    return {
+        "mel": jnp.zeros((batch, cfg.in_channels, ctx_frames)),
+        "source": jnp.zeros((batch, 1, ctx_frames * up)),
+        "speech": jnp.zeros((batch, ctx_frames * up)),
+    }
+
+
+def hift_decode_chunk(params: dict, cfg: HiFTConfig, mel: jax.Array,
+                      cache: dict, rng: jax.Array | None = None
+                      ) -> tuple[jax.Array, dict]:
+    """One streaming chunk: mel (B, C, T) new frames -> (wav (B, T*up),
+    new_cache).
+
+    Reference semantics (cosyvoice2.py:1050-1075 + hifigan.py:640-665):
+    prepend the cached context mel, overwrite the regenerated source head
+    with the cached excitation (phase continuity), Hamming-crossfade the
+    head samples against the previous chunk's held-back speech tail, then
+    hold back this chunk's tail for the next call. Output is therefore
+    delayed by ctx frames relative to offline decode — identical shift to
+    the reference streaming path.
+    """
+    ctx = cache["mel"].shape[2]
+    up = cfg.total_upsample
+    n = ctx * up
+    mel_in = jnp.concatenate([cache["mel"].astype(mel.dtype), mel], axis=2)
+    wav, source = hift_decode(params, cfg, mel_in,
+                              source_cache=cache["source"], rng=rng)
+    window = jnp.asarray(np.hamming(2 * n).astype(np.float32))
+    head = wav[:, :n] * window[None, :n] \
+        + cache["speech"].astype(wav.dtype) * window[None, n:]
+    wav = jnp.concatenate([head, wav[:, n:]], axis=1)
+    new_cache = {
+        "mel": mel_in[:, :, -ctx:],
+        "source": source[:, :, -n:],
+        "speech": wav[:, -n:],
+    }
+    return wav[:, :-n], new_cache

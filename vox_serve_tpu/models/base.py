@@ -153,17 +153,25 @@ class BaseLM(abc.ABC):
         if self.is_stop(sampled):
             req.done_lm_generation = True
             req.finish_reason = "stop"
-        elif req.num_generated >= self.effective_max_tokens(req):
-            req.done_lm_generation = True
-            req.finish_reason = "length"
         else:
+            # a cap-hitting token is a valid audio token — emit it
             req.lm_output_audio_tokens.append(sampled)
+            if self.hit_length_cap(req):
+                req.done_lm_generation = True
+                req.finish_reason = "length"
 
     def effective_max_tokens(self, req: Request) -> int:
         mt = req.sampling_config.max_tokens if (
             req.sampling_config and req.sampling_config.max_tokens
         ) else self.sampling_config.max_tokens
         return mt or self.max_tokens
+
+    def hit_length_cap(self, req: Request) -> bool:
+        """Length cap uses the reference's ABSOLUTE-position semantics: stop
+        once prompt + generated positions exceed max_tokens (reference
+        model/*.py ``next_position_id > max_tokens``), not a generated-token
+        count."""
+        return req.next_position_id > self.effective_max_tokens(req)
 
     # input streaming hooks (Qwen3-TTS only in the reference)
     #: which token column carries streamed text (Qwen3 dual-channel: -1)

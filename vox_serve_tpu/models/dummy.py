@@ -108,7 +108,7 @@ class DummyLM(BaseLM):
             if req.extras.get("post_eos", 0) >= 2:
                 req.done_lm_generation = True
                 req.finish_reason = "stop"
-            elif req.num_generated >= self.effective_max_tokens(req):
+            elif self.hit_length_cap(req):
                 req.done_lm_generation = True
                 req.finish_reason = "length"
             return

@@ -29,6 +29,6 @@ class InterleavedAudioMixin:
         if stop:
             req.done_lm_generation = True
             req.finish_reason = "stop"
-        elif req.num_generated >= self.effective_max_tokens(req):
+        elif self.hit_length_cap(req):
             req.done_lm_generation = True
             req.finish_reason = "length"

@@ -177,7 +177,7 @@ def paged_attention_decode(
     scale: float | None = None,
     use_pallas: bool = False,
 ) -> jax.Array:
-    """q: (B, H, D); page pools (L, P, page, KH, D); returns (B, H, D).
+    """q: (B, H, D); page pools (L, KH, P, page, D) — head-major (kv_cache.py:51); returns (B, H, D).
 
     Gathers each request's block table (B, maxP*page, KH, D) and does masked
     attention over it. seq_lens already includes the current token, whose K/V

@@ -77,16 +77,29 @@ class PageAllocator:
             raise ValueError("need at least 2 pages (one reserved)")
         self.num_pages = num_pages
         self._free = list(range(num_pages - 1, 0, -1))  # pop() yields 1,2,...
+        # pages promised to admitted requests for their generation budget but
+        # not yet materialized; admission control counts them as spoken-for so
+        # decode-phase page growth can never hit exhaustion mid-stream
+        self._reserved = 0
 
     @property
     def num_free(self) -> int:
         return len(self._free)
 
-    def alloc(self, n: int = 1) -> list[int]:
-        if n > len(self._free):
+    @property
+    def num_unreserved(self) -> int:
+        return len(self._free) - self._reserved
+
+    def alloc(self, n: int = 1, reserved: int = 0) -> list[int]:
+        """Take n pages; `reserved` of them draw down this caller's prior
+        reservation (the rest must fit the unreserved pool)."""
+        reserved = min(reserved, n, self._reserved)
+        if n - reserved > self.num_unreserved:
             raise PageAllocatorError(
-                f"KV page pool exhausted: requested {n}, free {len(self._free)}"
+                f"KV page pool exhausted: requested {n} ({reserved} reserved)"
+                f", free {len(self._free)} (reserved {self._reserved})"
             )
+        self._reserved -= reserved
         return [self._free.pop() for _ in range(n)]
 
     def free(self, pages: list[int]) -> None:
@@ -96,4 +109,18 @@ class PageAllocator:
             self._free.append(p)
 
     def can_alloc(self, n: int) -> bool:
-        return n <= len(self._free)
+        return n <= self.num_unreserved
+
+    # -- generation-budget reservations (admission control) ---------------
+    def can_reserve(self, n: int) -> bool:
+        return n <= self.num_unreserved
+
+    def reserve(self, n: int) -> None:
+        if not self.can_reserve(n):
+            raise PageAllocatorError(
+                f"cannot reserve {n} pages: free {len(self._free)}, "
+                f"already reserved {self._reserved}")
+        self._reserved += n
+
+    def release_reservation(self, n: int) -> None:
+        self._reserved = max(self._reserved - n, 0)

@@ -188,7 +188,7 @@ def pallas_paged_attention_decode(q, k_pages, v_pages, layer, meta,
                                   scale=None, interpret=False):
     """Drop-in for attention.paged_attention_decode (use_pallas path).
 
-    q: (B, H, D); k_pages/v_pages: (L, P, page, KH, D) — `layer` selects the
+    q: (B, H, D); k_pages/v_pages: (L, KH, P, page, D) — head-major (kv_cache.py:51) — `layer` selects the
     layer plane (traced index OK).
     """
     if k_pages.ndim == 5:

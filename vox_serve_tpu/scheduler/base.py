@@ -120,15 +120,34 @@ class Scheduler:
         detok = self._select_detokenize_requests()
         lm = self._select_lm_requests()
 
-        emitted = self.model_worker.run_detokenize(detok)
+        # per-batch error isolation: a failing request must not kill the rank
+        # (the reference daemon dies on any model/worker exception) — fail the
+        # offending batch with error completions and keep serving
+        try:
+            emitted = self.model_worker.run_detokenize(detok)
+        except Exception as e:
+            self._fail_requests(detok, e, "detokenize")
+            emitted = []
         self._send_responses(emitted)
 
         if lm:
-            if not lm[0].done_lm_prefill:
-                self.model_worker.run_lm_prefill(lm)
-            else:
-                self.model_worker.run_lm_decode(lm)
+            try:
+                if not lm[0].done_lm_prefill:
+                    self.model_worker.run_lm_prefill(lm)
+                else:
+                    self.model_worker.run_lm_decode(lm)
+            except Exception as e:
+                self._fail_requests(lm, e, "lm step")
         return bool(lm or detok)
+
+    def _fail_requests(self, requests: list[Request], exc: Exception,
+                       phase: str) -> None:
+        self.logger.error("%s failed (%s: %s); failing %d request(s)",
+                          phase, type(exc).__name__, exc, len(requests),
+                          exc_info=True)
+        for req in requests:
+            self.model_worker.fail_request(req, f"{phase}: {exc}")
+            self._send_completion(req)
 
     # ------------------------------------------------------------------
     # request intake
@@ -227,6 +246,11 @@ class Scheduler:
                     req.next_audio_decode_idx = [next_idx]
                     out.append(req)
                 else:
+                    # generation ended exactly on a window boundary: clear the
+                    # (already-decoded) window indices or run_detokenize would
+                    # re-decode and re-emit the final chunk (duplicate audio +
+                    # a second advance of stateful codec caches)
+                    req.next_audio_decode_idx = []
                     req.done_all = True
                     out.append(req)
             elif next_idx + interval <= len(req.lm_output_audio_tokens):

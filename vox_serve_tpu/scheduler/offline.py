@@ -55,6 +55,9 @@ class OfflineScheduler(Scheduler):
                 req.next_audio_decode_idx = idxs
                 selected.append(req)
             elif req.done_lm_generation:
+                # boundary-exact finish: clear window indices so the final
+                # chunk is not re-decoded/re-emitted (see base scheduler)
+                req.next_audio_decode_idx = []
                 req.done_all = True
                 selected.append(req)
         return selected

@@ -117,6 +117,9 @@ class OnlineScheduler(Scheduler):
                 if next_idx < len(req.lm_output_audio_tokens):
                     candidates.append(req)
                 else:
+                    # boundary-exact finish: clear window indices so the final
+                    # chunk is not re-decoded/re-emitted (see base scheduler)
+                    req.next_audio_decode_idx = []
                     req.done_all = True
                     candidates.append(req)
             elif next_idx + interval <= len(req.lm_output_audio_tokens):
@@ -133,6 +136,8 @@ class OnlineScheduler(Scheduler):
 
         # remaining-chunk counts per critical request
         def remaining_chunks(req: Request) -> int:
+            if req.done_all:
+                return 0
             next_idx = (req.next_audio_decode_idx[-1] + step
                         if req.next_audio_decode_idx else 0)
             remaining = len(req.lm_output_audio_tokens) - next_idx
@@ -163,6 +168,9 @@ class OnlineScheduler(Scheduler):
         used = 0
 
         def take_chunks(req: Request, budget: int) -> int:
+            if req.done_all:  # nothing left to decode; just flush COMPLETION
+                selected.append(req)
+                return 0
             next_idx = (req.next_audio_decode_idx[-1] + step
                         if req.next_audio_decode_idx else 0)
             idxs = []

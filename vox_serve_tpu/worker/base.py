@@ -30,7 +30,8 @@ import numpy as np
 
 from ..models.base import BaseLM, StepOutput
 from ..ops.attention import AttnMetadata
-from ..ops.kv_cache import KVCacheConfig, PageAllocator, alloc_kv_pages
+from ..ops.kv_cache import (KVCacheConfig, PageAllocator, PageAllocatorError,
+                            alloc_kv_pages)
 from ..requests import Request
 from ..sampling import init_repetition_cache
 from ..utils import cdiv, get_logger, next_power_of_2
@@ -61,6 +62,11 @@ class WorkerConfig:
     #: jax.profiler trace annotations around worker phases (the reference's
     #: NVTX ranges, worker/base.py:736-755)
     enable_profiling: bool = False
+    #: explicit device set for this worker (DP replica pinning: each replica
+    #: owns a disjoint tp_size-slice of the chips, mirroring the reference's
+    #: per-process CUDA_VISIBLE_DEVICES mask, launch.py:188-213). None ->
+    #: jax.devices().
+    devices: Optional[tuple] = None
     #: TTFA: emit the FIRST chunk of a stream after this many frames (0 =
     #: disabled -> first chunk waits for a full detokenize_interval window).
     #: The streaming codecs advance their caches by exactly the decoded
@@ -111,6 +117,9 @@ class ModelWorker:
             head_dim=bb.resolved_head_dim,
             dtype=bb.dtype,
         )
+        # device set: explicit (DP replica pinning) or the process default
+        self._devices = (list(cfg.devices) if cfg.devices is not None
+                         else jax.devices())
         # tensor-parallel mesh (optional)
         self.mesh = None
         kv_sharding = None
@@ -120,7 +129,8 @@ class ModelWorker:
             from ..parallel.mesh import make_mesh
             from ..parallel.sharding import backbone_param_shardings
 
-            self.mesh = make_mesh(dp=1, tp=cfg.tp_size)
+            self.mesh = make_mesh(dp=1, tp=cfg.tp_size,
+                                  devices=self._devices)
             # KV pools (L, KH, P, page, D): shard the kv-head axis
             kv_sharding = NamedSharding(self.mesh, P(None, "tp"))
             bb_sh = backbone_param_shardings(self.mesh,
@@ -161,7 +171,7 @@ class ModelWorker:
                 (cfg.max_batch_size, model.feedback_dim), dtype=bb.dtype
             )
         # device placement: LM on device 0, detokenizer optionally elsewhere
-        devices = jax.devices()
+        devices = self._devices
         self.lm_device = devices[0]
         if cfg.detokenizer_device_index is not None:
             self.detokenizer_device = devices[cfg.detokenizer_device_index]
@@ -252,13 +262,34 @@ class ModelWorker:
     # ------------------------------------------------------------------
     # admission / release
     # ------------------------------------------------------------------
+    def _gen_reserve_pages(self, prompt_len: int, max_tokens: int) -> int:
+        """Pages to reserve at admission for the full generation budget, so
+        decode-phase page growth can never exhaust the pool mid-stream
+        (admission control the reference lacks — its queue.Empty escapes
+        uncaught, reference worker/base.py:289)."""
+        budget = max(max_tokens - prompt_len, 0) + 8
+        return cdiv(budget, self.config.page_size) + 1
+
     def can_admit(self, num_prompt_tokens: int) -> bool:
-        pages = cdiv(max(num_prompt_tokens, 1), self.config.page_size) + 1
-        return bool(self._free_slots) and self.allocator.can_alloc(pages)
+        prompt_pages = cdiv(max(num_prompt_tokens, 1), self.config.page_size)
+        reserve = self._gen_reserve_pages(num_prompt_tokens,
+                                          self.model.max_tokens)
+        return bool(self._free_slots) and self.allocator.can_reserve(
+            prompt_pages + reserve)
 
     def admit(self, req: Request) -> None:
         assert req.slot is None
         req.slot = self._free_slots.pop()
+
+    def fail_request(self, req: Request, reason: str) -> None:
+        """Fail one request without touching the rest of the batch: mark it
+        complete with an error reason and release its resources. The
+        scheduler's completion path then notifies the client."""
+        self.logger.error("request %s failed: %s", req.request_id, reason)
+        req.done_lm_generation = True
+        req.done_all = True
+        req.finish_reason = f"error: {reason}"
+        self.free_kv_cache(req)
 
     def free_kv_cache(self, req: Request) -> None:
         if req.extras.get("inflight"):
@@ -266,6 +297,9 @@ class ModelWorker:
         if req.kv_pages:
             self.allocator.free(req.kv_pages)
             req.kv_pages = []
+        reserved = req.extras.pop("kv_reserved", 0)
+        if reserved:
+            self.allocator.release_reservation(reserved)
         if req.slot is not None:
             self._free_slots.append(req.slot)
             req.slot = None
@@ -376,18 +410,68 @@ class ModelWorker:
         cfg = self.config
         page_size = cfg.page_size
 
+        # ---- admission: per-request failures must not crash the rank ----
+        ready: list[Request] = []
         for req in requests:
             if req.slot is None:
+                if not self._free_slots:
+                    break  # defer the rest to the next step
                 self.admit(req)
             if req.input_tokens is None:
-                po = model.preprocess(req.prompt, req.audio_path,
-                                      **req.model_kwargs)
-                req.input_tokens = np.asarray(po.input_tokens, np.int32)
-                req.input_length = len(req.input_tokens)
-                req.input_features = po.input_features
-                req.input_masks = po.input_masks
-                if po.decoder_cache_init is not None and self.codec_cache is not None:
-                    self._write_slot_cache(req.slot, po.decoder_cache_init)
+                try:
+                    po = model.preprocess(req.prompt, req.audio_path,
+                                          **req.model_kwargs)
+                    req.input_tokens = np.asarray(po.input_tokens, np.int32)
+                    req.input_length = len(req.input_tokens)
+                    req.input_features = po.input_features
+                    req.input_masks = po.input_masks
+                    if (po.decoder_cache_init is not None
+                            and self.codec_cache is not None):
+                        self._write_slot_cache(req.slot, po.decoder_cache_init)
+                except Exception as e:  # fail only this request
+                    self.fail_request(req, f"preprocess failed: {e}")
+                    continue
+            if req.input_length > self.max_prefill_tokens:
+                self.fail_request(
+                    req, f"prompt of {req.input_length} tokens exceeds the "
+                    f"largest prefill bucket {self.max_prefill_tokens}")
+                continue
+            ready.append(req)
+
+        # trim so the batch fits the largest token bucket; overflow defers
+        requests, total = [], 0
+        for req in ready:
+            if requests and total + req.input_length > self.max_prefill_tokens:
+                break
+            total += req.input_length
+            requests.append(req)
+
+        # KV pages + generation-budget reservation; exhaustion = defer
+        admitted: list[Request] = []
+        for req in requests:
+            if req.kv_pages:
+                admitted.append(req)  # retried request, pages already held
+                continue
+            need = cdiv(req.input_length, page_size)
+            reserve = self._gen_reserve_pages(
+                req.input_length, model.effective_max_tokens(req))
+            if need + reserve > self.allocator.num_pages - 1:
+                # would never fit even an empty pool: deferring = deadlock
+                self.fail_request(
+                    req, f"KV demand of {need + reserve} pages exceeds the "
+                    f"pool ({self.allocator.num_pages - 1} usable); lower "
+                    "max_tokens or raise --max-num-pages")
+                continue
+            if not self.allocator.can_alloc(need + reserve):
+                break  # backpressure: keep slot, retry next step
+            req.kv_pages = self.allocator.alloc(need)
+            self.allocator.reserve(reserve)
+            req.extras["kv_reserved"] = reserve
+            req.kv_token_len = req.input_length
+            admitted.append(req)
+        requests = admitted
+        if not requests:
+            return
 
         total = sum(r.input_length for r in requests)
         T = self.prefill_token_bucket(total)
@@ -413,9 +497,7 @@ class ModelWorker:
         slot_ids = np.full((B,), cfg.max_batch_size, np.int32)
         for i, req in enumerate(requests):
             L = req.input_length
-            pages = self.allocator.alloc(cdiv(L, page_size))
-            req.kv_pages = pages
-            req.kv_token_len = L
+            pages = req.kv_pages
             tokens[cursor:cursor + L] = req.input_tokens
             seg[cursor:cursor + L] = i
             pos[cursor:cursor + L] = np.arange(L)
@@ -510,7 +592,22 @@ class ModelWorker:
                 hard_stopped.add(i)
                 continue
             if t % page_size == 0:
-                req.kv_pages.extend(self.allocator.alloc(1))
+                reserved = req.extras.get("kv_reserved", 0)
+                try:
+                    req.kv_pages.extend(
+                        self.allocator.alloc(1, reserved=min(reserved, 1)))
+                except PageAllocatorError:
+                    # backpressure, not a crash: skip this request's step —
+                    # it retries once a completion frees pages (admission
+                    # reservations make this unreachable unless a client
+                    # raised max_tokens beyond the admission-time budget)
+                    self.logger.warning(
+                        "KV pool exhausted; deferring request %s this step",
+                        req.request_id)
+                    hard_stopped.add(i)
+                    continue
+                if reserved:
+                    req.extras["kv_reserved"] = reserved - 1
             page_ids[i] = req.kv_pages[t // page_size]
             offsets[i] = t % page_size
             req.kv_token_len = t + 1
@@ -547,10 +644,12 @@ class ModelWorker:
         sampled, requests, hard_stopped = self._pending.pop(0)
         sampled_np = np.asarray(jax.device_get(sampled))
         for i, req in enumerate(requests):
+            if i in hard_stopped:
+                # never fed this step (hard stop or KV backpressure), so no
+                # inflight increment happened — don't decrement either
+                continue
             req.extras["inflight"] = max(
                 req.extras.get("inflight", 1) - 1, 0)
-            if i in hard_stopped:
-                continue
             if req.done_lm_generation:
                 # speculative step issued past the stop point; discard
                 continue
