@@ -71,7 +71,7 @@ def test_prompt_structure(model):
 
 
 def test_worker_end_to_end(model):
-    wcfg = WorkerConfig(max_batch_size=2, num_pages=256, page_size=16,
+    wcfg = WorkerConfig(max_batch_size=2, num_pages=512, page_size=16,
                         prefill_token_buckets=(64,), max_prefill_requests=2,
                         warmup=False)
     worker = ModelWorker(model, wcfg)

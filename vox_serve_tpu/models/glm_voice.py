@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
-from ..codecs.hifigan import HiFTConfig, hift_decode, init_hift
+from ..codecs.hifigan import (HiFTConfig, hift_decode,
+                              hift_decode_chunk, init_hift,
+                              init_hift_cache)
 from ..models.backbone import BackboneConfig, init_backbone_params
 from ..encoders.mel import MelConfig, log_mel_spectrogram
 from ..encoders.whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode
@@ -175,9 +177,17 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
         mel, new_flow = flow_tokens_to_mel(
             codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache,
             jax.random.key(0))
-        wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
-        new_cache = {"flow": new_flow} if cache is not None else None
+        if cache is not None:
+            # streaming HiFT caches per slot (phase continuity across
+            # chunk boundaries; VERDICT weak #1)
+            wav, new_hift = hift_decode_chunk(
+                codec_params["hift"], self._hift_cfg, mel, cache["hift"])
+            new_cache = {"flow": new_flow, "hift": new_hift}
+        else:
+            wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
+            new_cache = None
         return wav[:, None, :], new_cache
 
     def init_decoder_cache(self, batch):
-        return {"flow": flow_init_cache(self._flow_cfg, batch)}
+        return {"flow": flow_init_cache(self._flow_cfg, batch),
+                "hift": init_hift_cache(self._hift_cfg, batch)}
