@@ -1,0 +1,114 @@
+"""Import helpers for golden-parity tests against /root/reference.
+
+The reference package imports CUDA/audio deps that are absent here
+(flashinfer, torchaudio, librosa, onnxruntime, ...). For CPU parity tests we
+only need the nn.Module definitions, so missing deps are stubbed with empty
+module objects before import. The stubs raise only if actually CALLED.
+"""
+
+from __future__ import annotations
+
+import importlib.machinery
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+_STUBS = (
+    "flashinfer", "flashinfer.sampling",
+    "torchaudio", "torchaudio.functional", "torchaudio.transforms",
+    "librosa", "librosa.filters",
+    "onnxruntime",
+    "phonemizer", "phonemizer.backend",
+    "soundfile",
+    "s3tokenizer",
+    "vector_quantize_pytorch",
+)
+
+
+def _stub(name: str) -> types.ModuleType:
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    m.__path__ = []  # mark as package so submodule imports resolve
+
+    def _missing(*a, **k):  # pragma: no cover
+        raise NotImplementedError(f"stubbed module {name} was called")
+
+    m.__getattr__ = lambda attr, _n=name: (_ for _ in ()).throw(
+        AttributeError(f"{_n}.{attr} (stub)"))
+    sys.modules[name] = m
+    return m
+
+
+def install_reference_stubs() -> None:
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    for name in _STUBS:
+        if name not in sys.modules:
+            _stub(name)
+    # attributes referenced at import time
+    lib = sys.modules["librosa"]
+    filt = sys.modules["librosa.filters"]
+
+    def _mel(sr=None, n_fft=None, n_mels=128, fmin=0.0, fmax=None, **kw):
+        import numpy as np
+
+        # slaney mel filterbank (what librosa.filters.mel computes) — needed
+        # because parity tests exercise reference mel front-ends
+        fmax = fmax or sr / 2.0
+
+        def hz_to_mel(f):
+            f = np.asarray(f, dtype=np.float64)
+            f_sp = 200.0 / 3
+            mels = f / f_sp
+            min_log_hz = 1000.0
+            min_log_mel = min_log_hz / f_sp
+            logstep = np.log(6.4) / 27.0
+            log_t = f >= min_log_hz
+            mels = np.where(log_t,
+                            min_log_mel + np.log(np.maximum(f, 1e-10)
+                                                 / min_log_hz) / logstep,
+                            mels)
+            return mels
+
+        def mel_to_hz(m):
+            m = np.asarray(m, dtype=np.float64)
+            f_sp = 200.0 / 3
+            freqs = f_sp * m
+            min_log_hz = 1000.0
+            min_log_mel = min_log_hz / f_sp
+            logstep = np.log(6.4) / 27.0
+            log_t = m >= min_log_mel
+            return np.where(log_t,
+                            min_log_hz * np.exp(logstep * (m - min_log_mel)),
+                            freqs)
+
+        n_freqs = n_fft // 2 + 1
+        fftfreqs = np.linspace(0, sr / 2.0, n_freqs)
+        mel_f = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax),
+                                      n_mels + 2))
+        fdiff = np.diff(mel_f)
+        ramps = mel_f[:, None] - fftfreqs[None, :]
+        weights = np.zeros((n_mels, n_freqs))
+        for i in range(n_mels):
+            lower = -ramps[i] / fdiff[i]
+            upper = ramps[i + 2] / fdiff[i + 1]
+            weights[i] = np.maximum(0, np.minimum(lower, upper))
+        enorm = 2.0 / (mel_f[2:n_mels + 2] - mel_f[:n_mels])
+        weights *= enorm[:, None]
+        return weights.astype(np.float32)
+
+    filt.mel = _mel
+    lib.filters = filt
+    lib.resample = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("librosa.resample stub"))
+
+
+def import_reference(dotted: str):
+    """Import a reference module (e.g. 'vox_serve.model.qwen3_tts') with
+    stubs installed, bypassing heavyweight package __init__ side effects is
+    NOT attempted — missing deps must be covered by _STUBS instead."""
+    install_reference_stubs()
+    import importlib
+
+    return importlib.import_module(dotted)

@@ -26,7 +26,7 @@ SMALL_DEPTH = DepthConfig(
 SMALL_CODEC = Qwen3CodecConfig(
     codebook_dim=32, codebook_size=2048, latent_dim=48, decoder_dim=64,
     hidden_size=32, intermediate_size=64, head_dim=16, num_heads=4,
-    num_kv_heads=4, num_layers=2, num_quantizers=16, sliding_window=6,
+    num_kv_heads=4, num_layers=2, num_quantizers=16, sliding_window=48,
     upsample_rates=(4, 3), upsampling_ratios=(2, 2), vq_dim=16,
 )
 

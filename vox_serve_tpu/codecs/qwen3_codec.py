@@ -22,6 +22,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import rope_frequencies
@@ -170,6 +171,120 @@ def init_qwen3_codec(cfg: Qwen3CodecConfig, key: jax.Array) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def load_qwen3_codec_params(sd: dict, cfg: Qwen3CodecConfig) -> dict:
+    """Map the Qwen/Qwen3-TTS-Tokenizer-12Hz decoder checkpoint onto the JAX
+    pytree (reference load site: tokenizer/qwen3_codec.py:1816-1843; key
+    layout verified against Qwen3TTSTokenizerV2Decoder.state_dict()).
+
+    ``sd``: name -> array in torch layouts (Linear (out,in); Conv1d
+    (out,in/groups,k); ConvTranspose1d (in,out,k)). Accepts either
+    decoder-level keys (``pre_transformer...``) or full-codec-model keys
+    (``decoder.pre_transformer...``) and ignores encoder/quantizer-input
+    tensors the decode path never touches.
+    """
+    if any(k.startswith("decoder.pre_transformer.") for k in sd):
+        sd = {k[len("decoder."):]: v for k, v in sd.items()
+              if k.startswith("decoder.")}
+
+    def arr(name):
+        return jnp.asarray(np.asarray(sd[name]), jnp.float32)
+
+    def lin(prefix):
+        p = {"w": arr(f"{prefix}.weight").T}
+        if f"{prefix}.bias" in sd:
+            p["b"] = arr(f"{prefix}.bias")
+        return p
+
+    def conv(prefix):
+        p = {"w": arr(f"{prefix}.weight")}
+        if f"{prefix}.bias" in sd:
+            p["b"] = arr(f"{prefix}.bias")
+        return p
+
+    def vq_group(prefix, n_q):
+        return {
+            "embed_sum": jnp.stack([
+                arr(f"{prefix}.vq.layers.{i}._codebook.embedding_sum")
+                for i in range(n_q)]),
+            "usage": jnp.stack([
+                arr(f"{prefix}.vq.layers.{i}._codebook.cluster_usage")
+                for i in range(n_q)]),
+            "out_proj": {"w": arr(f"{prefix}.output_proj.weight")},
+        }
+
+    params: dict = {
+        "rvq_first": vq_group("quantizer.rvq_first", 1),
+        "rvq_rest": vq_group("quantizer.rvq_rest", cfg.num_quantizers - 1),
+        "pre_conv": conv("pre_conv.conv"),
+    }
+
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"pre_transformer.layers.{i}"
+        layers.append({
+            "input_norm": arr(f"{pre}.input_layernorm.weight"),
+            "post_norm": arr(f"{pre}.post_attention_layernorm.weight"),
+            "q": lin(f"{pre}.self_attn.q_proj"),
+            "k": lin(f"{pre}.self_attn.k_proj"),
+            "v": lin(f"{pre}.self_attn.v_proj"),
+            "o": lin(f"{pre}.self_attn.o_proj"),
+            "gate": lin(f"{pre}.mlp.gate_proj"),
+            "up": lin(f"{pre}.mlp.up_proj"),
+            "down": lin(f"{pre}.mlp.down_proj"),
+            "ls_attn": arr(f"{pre}.self_attn_layer_scale.scale"),
+            "ls_mlp": arr(f"{pre}.mlp_layer_scale.scale"),
+        })
+    params["transformer"] = {
+        "layers": layers,
+        "norm": arr("pre_transformer.norm.weight"),
+        "input_proj": lin("pre_transformer.input_proj"),
+        "output_proj": lin("pre_transformer.output_proj"),
+    }
+
+    ups = []
+    for i in range(len(cfg.upsampling_ratios)):
+        ups.append({
+            "trans": conv(f"upsample.{i}.0.conv"),
+            "convnext": {
+                "dw": conv(f"upsample.{i}.1.dwconv.conv"),
+                "norm_w": arr(f"upsample.{i}.1.norm.weight"),
+                "norm_b": arr(f"upsample.{i}.1.norm.bias"),
+                "pw1": lin(f"upsample.{i}.1.pwconv1"),
+                "pw2": lin(f"upsample.{i}.1.pwconv2"),
+                "gamma": arr(f"upsample.{i}.1.gamma"),
+            },
+        })
+    params["upsample"] = ups
+
+    dec: dict = {"conv0": conv("decoder.0.conv")}
+    blocks = []
+    for i in range(len(cfg.upsample_rates)):
+        pre = f"decoder.{i + 1}.block"
+        res = []
+        for j in range(3):
+            res.append({
+                "alpha1": arr(f"{pre}.{j + 2}.act1.alpha"),
+                "beta1": arr(f"{pre}.{j + 2}.act1.beta"),
+                "conv1": conv(f"{pre}.{j + 2}.conv1.conv"),
+                "alpha2": arr(f"{pre}.{j + 2}.act2.alpha"),
+                "beta2": arr(f"{pre}.{j + 2}.act2.beta"),
+                "conv2": conv(f"{pre}.{j + 2}.conv2.conv"),
+            })
+        blocks.append({
+            "alpha": arr(f"{pre}.0.alpha"),
+            "beta": arr(f"{pre}.0.beta"),
+            "trans": conv(f"{pre}.1.conv"),
+            "res": res,
+        })
+    dec["blocks"] = blocks
+    n_up = len(cfg.upsample_rates)
+    dec["alpha_out"] = arr(f"decoder.{n_up + 1}.alpha")
+    dec["beta_out"] = arr(f"decoder.{n_up + 1}.beta")
+    dec["head"] = conv(f"decoder.{n_up + 2}.conv")
+    params["decoder"] = dec
+    return params
+
+
 def qwen3_codec_init_cache(cfg: Qwen3CodecConfig, batch: int) -> dict:
     W = cfg.sliding_window
     KH, hd = cfg.num_kv_heads, cfg.head_dim
@@ -313,18 +428,28 @@ def _transformer(params: dict, cfg: Qwen3CodecConfig, x: jax.Array,
 
     h = linear(tp["input_proj"], x)
 
+    # Exact reference attention semantics (qwen3_codec.py:573-668): batch
+    # forward is PLAIN causal (SDPA is_causal, no sliding mask); streaming
+    # attends over the whole W-slot cache buffer — including zero-filled
+    # slots — with a buffer-causal mask only (q at buffer position W+i sees
+    # kv j <= W+i). The sliding window is enforced by the cache SIZE, never
+    # by a mask, and zero K/V slots act as attention sinks by design.
     if cache is None:
         pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))  # (B, T)
-        # dense sliding-window mask (same for all batch rows)
         p = jnp.arange(T, dtype=jnp.int32)
-        mask = ((p[None, :] <= p[:, None]) & (p[None, :] > p[:, None] - W))
+        mask = (p[None, :] <= p[:, None])
         mask = jnp.tile(mask[None], (B, 1, 1))  # (B, T, T)
-        attn_len = None
         offset = None
     else:
+        assert T <= W, f"chunk of {T} tokens exceeds the {W}-slot KV ring"
         offset = cache["pos"]                                   # (B,)
         pos = offset[:, None] + jnp.arange(T, dtype=jnp.int32)  # (B, T)
-        attn_len = cache["attn_len"]                            # (B,)
+        # reference order: the ring is updated FIRST (shift left by T, new
+        # K/V at the end), then attention runs over exactly the W slots.
+        # query i sits at ring index W-T+i and sees ring j <= W-T+i.
+        kv_j = jnp.arange(W, dtype=jnp.int32)
+        q_i = W - T + jnp.arange(T, dtype=jnp.int32)
+        mask = jnp.tile((kv_j[None, :] <= q_i[:, None])[None], (B, 1, 1))
 
     def rope(q, positions):
         # q: (B, t, heads, hd); positions: (B, t); split-half rotation
@@ -348,21 +473,15 @@ def _transformer(params: dict, cfg: Qwen3CodecConfig, x: jax.Array,
 
         if cache is None:
             k_all, v_all = k, v
-            att_mask = mask  # (B, T, T)
         else:
-            k_all = jnp.concatenate([cache["attn_k"][:, li], k], axis=1)  # (B, W+T, KH, hd)
-            v_all = jnp.concatenate([cache["attn_v"][:, li], v], axis=1)
-            # cache slot i holds global position offset - W + i (right-aligned)
-            kpos_all = jnp.concatenate([
-                offset[:, None] - W + jnp.arange(W, dtype=jnp.int32)[None],
-                pos], axis=1)                                   # (B, W+T)
-            valid = kpos_all >= (offset - jnp.minimum(attn_len, W))[:, None]
-            qpos = pos[:, :, None]                              # (B, T, 1)
-            att_mask = ((kpos_all[:, None, :] <= qpos)
-                        & (kpos_all[:, None, :] > qpos - W)
-                        & valid[:, None, :])                    # (B, T, W+T)
-            new_cache_k.append(k_all[:, -W:])
-            new_cache_v.append(v_all[:, -W:])
+            # update-then-attend: ring = [old[T:], new] (W slots)
+            k_all = jnp.concatenate([cache["attn_k"][:, li], k],
+                                    axis=1)[:, -W:]  # (B, W, KH, hd)
+            v_all = jnp.concatenate([cache["attn_v"][:, li], v],
+                                    axis=1)[:, -W:]
+            new_cache_k.append(k_all)
+            new_cache_v.append(v_all)
+        att_mask = mask
 
         rep = H // KH
         k_r = jnp.repeat(k_all, rep, axis=2) if rep > 1 else k_all
@@ -463,14 +582,19 @@ def qwen3_codec_decode(params: dict, cfg: Qwen3CodecConfig,
                        codes: jax.Array) -> jax.Array:
     """Full decode: (B, 16, T) -> (B, 1, T * 1920).
 
-    Runs the streaming pipeline as one big chunk from a fresh cache — the
-    canonical path (the reference's batch ``forward`` trims (kernel-stride)
-    from both edges of every trans-conv, yielding (T-1)*rate samples per
-    block, so it is NOT sample-aligned with streaming; serving always uses
-    the streaming semantics)."""
+    Runs the streaming pipeline from a fresh cache in ring-sized chunks —
+    the canonical serving path (the reference's batch ``forward`` trims
+    (kernel-stride) from both edges of every trans-conv and uses plain
+    causal attention, so it is NOT sample-aligned with streaming; the
+    published demo decodes via forward_chunk, which this matches —
+    golden-tested in tests/test_qwen3_codec_parity.py)."""
     cache = qwen3_codec_init_cache(cfg, codes.shape[0])
-    wav, _ = _pipeline(params, cfg, codes, cache)
-    return wav
+    W = cfg.sliding_window
+    outs = []
+    for s in range(0, codes.shape[-1], W):
+        wav, cache = _pipeline(params, cfg, codes[:, :, s:s + W], cache)
+        outs.append(wav)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def qwen3_codec_decode_chunk(params: dict, cfg: Qwen3CodecConfig,

@@ -165,12 +165,44 @@ class Qwen3TTSLM(BaseLMWithDepth):
                 type(e).__name__)
             return None
 
+    #: the codec decoder ships as its own HF repo (reference
+    #: qwen3_codec.py:1800: Qwen/Qwen3-TTS-Tokenizer-12Hz)
+    CODEC_REPO = "Qwen/Qwen3-TTS-Tokenizer-12Hz"
+
+    def _load_codec_params(self) -> dict | None:
+        """Load the real codec decoder weights (reference load site:
+        tokenizer/qwen3_codec.py:1816-1843). Mapping golden-tested against
+        the reference torch decoder in tests/test_qwen3_codec_parity.py."""
+        from ..codecs.qwen3_codec import load_qwen3_codec_params
+        from ..weights import load_safetensors_state, resolve_model_dir
+
+        model_dir = resolve_model_dir(self.CODEC_REPO)
+        if model_dir is None:
+            return None
+        try:
+            state = load_safetensors_state(model_dir)
+            return load_qwen3_codec_params(state, self._codec_cfg)
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("qwen3").warning(
+                "codec checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
+
+    def _init_codec_params(self):
+        # real weights only map onto the real architecture, not debug dims
+        codec = (self._load_codec_params()
+                 if self._codec_cfg == Qwen3CodecConfig() else None)
+        self.codec_assets_available = codec is not None
+        self.codec_params = codec if codec is not None else init_qwen3_codec(
+            self._codec_cfg, jax.random.key(12))
+
     def _init_params(self):
         loaded = self._load_checkpoint()
         if loaded is not None:
             self.params = loaded
-            self.codec_params = init_qwen3_codec(self._codec_cfg,
-                                                 jax.random.key(12))
+            self._init_codec_params()
             return
         self.assets_available = False
         cfg, dcfg = self._cfg, self._depth_cfg
@@ -201,8 +233,7 @@ class Qwen3TTSLM(BaseLMWithDepth):
                             self.depth_vocab_size)) * 0.02).astype(self.dtype),
             },
         }
-        self.codec_params = init_qwen3_codec(self._codec_cfg,
-                                             jax.random.key(12))
+        self._init_codec_params()
 
     # ---- metadata ----------------------------------------------------------
     @property
