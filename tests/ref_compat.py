@@ -17,25 +17,49 @@ REFERENCE_ROOT = "/root/reference"
 _STUBS = (
     "flashinfer", "flashinfer.sampling",
     "torchaudio", "torchaudio.functional", "torchaudio.transforms",
+    "torchaudio.compliance", "torchaudio.compliance.kaldi",
     "librosa", "librosa.filters",
-    "onnxruntime",
+    "onnxruntime", "onnx",
+    "diffusers", "diffusers.models",
     "phonemizer", "phonemizer.backend",
     "soundfile",
     "s3tokenizer",
     "vector_quantize_pytorch",
+    "inflect", "kanjize", "sudachipy",
 )
+
+
+class _StubAttr:
+    """Placeholder for anything pulled out of a stubbed module. Usable as a
+    base class / decorator / callable; raises only when truly exercised."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, *a, **k):
+        return _StubAttr()
+
+    def __getattr__(self, name):
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
+        return _StubAttr()
+
+    def __mro_entries__(self, bases):  # allow `class X(Stub)` -> plain object
+        return (object,)
 
 
 def _stub(name: str) -> types.ModuleType:
     m = types.ModuleType(name)
     m.__spec__ = importlib.machinery.ModuleSpec(name, None)
     m.__path__ = []  # mark as package so submodule imports resolve
+    m.__file__ = f"<stub {name}>"
 
-    def _missing(*a, **k):  # pragma: no cover
-        raise NotImplementedError(f"stubbed module {name} was called")
+    def _getattr(attr):
+        if attr.startswith("__") and attr.endswith("__"):
+            raise AttributeError(attr)
+        return _StubAttr()
 
-    m.__getattr__ = lambda attr, _n=name: (_ for _ in ()).throw(
-        AttributeError(f"{_n}.{attr} (stub)"))
+    m.__getattr__ = _getattr
     sys.modules[name] = m
     return m
 

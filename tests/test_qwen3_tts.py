@@ -113,3 +113,76 @@ def test_suppress_bias(model):
     assert a[2048] < -1e30          # suppressed band
     assert a[CODEC_EOS] == 0.0      # EOS exempt
     assert a[100] == 0.0            # normal tokens untouched
+
+
+def test_icl_ref_codes_prompt_structure():
+    """Base-variant ICL voice clone: ref-code rows carry codebook-0 ids on
+    the codec channel and presummed depth-codebook embeddings in
+    input_features (reference qwen3_tts.py:1692-1746)."""
+    m = Qwen3TTSLM(model_name="Qwen/Qwen3-TTS-12Hz-1.7B-Base",
+                   dtype=jnp.float32, debug_backbone=SMALL_BACKBONE,
+                   debug_depth=SMALL_DEPTH, debug_codec=SMALL_CODEC)
+    assert m.tts_model_type == "base"
+    rng = np.random.default_rng(0)
+    ref_codes = rng.integers(0, 2048, size=(6, 16))
+    po = m.preprocess(prompt="hello", language="english",
+                      ref_text="reference words", ref_codes=ref_codes)
+    toks, masks, feats = po.input_tokens, po.input_masks, po.input_features
+    # last 6 rows are the ref-code frames: tts_pad text + cb0 codec ids
+    assert np.all(toks[-6:, -1] == TTS_PAD)
+    assert np.array_equal(toks[-6:, 0], ref_codes[:, 0])
+    assert np.all(masks[-6:, -1])
+    # features hold the presummed depth embeddings (nonzero)
+    assert np.abs(feats[-6:]).max() > 0
+    # row before the ref codes is tts_pad + codec_bos
+    assert toks[-7, -1] == TTS_PAD and toks[-7, 0] == CODEC_BOS
+    # x-vector row exists (codec_pad on codec channel) before tts_bos
+    bos_row = int(np.where(toks[:, -1] == TTS_BOS)[0][0])
+    assert toks[bos_row - 1, 0] == CODEC_PAD
+
+    # expected presum: depth embeds of codebooks 1..15
+    depth_embeds = np.asarray(m.params["depth"]["embeds"], np.float32)
+    cb = ref_codes[:, 1:16]
+    expect = depth_embeds[np.arange(15)[None, :], cb, :].sum(axis=1)
+    np.testing.assert_allclose(feats[-6:], expect, rtol=1e-5, atol=1e-5)
+
+
+def test_icl_rejected_for_input_streaming():
+    m = Qwen3TTSLM(model_name="Qwen/Qwen3-TTS-12Hz-1.7B-Base",
+                   dtype=jnp.float32, debug_backbone=SMALL_BACKBONE,
+                   debug_depth=SMALL_DEPTH, debug_codec=SMALL_CODEC)
+    with pytest.raises(ValueError):
+        m.preprocess(streaming_first_token=5, language="english",
+                     ref_codes=np.zeros((4, 16), np.int64))
+
+
+def test_xvector_from_wav(tmp_path):
+    """With speaker-encoder weights present, the x-vector row becomes a real
+    ECAPA embedding of the reference audio."""
+    import wave
+
+    import jax
+
+    from vox_serve_tpu.encoders.ecapa import EcapaConfig, init_ecapa
+
+    m = Qwen3TTSLM(model_name="Qwen/Qwen3-TTS-12Hz-1.7B-Base",
+                   dtype=jnp.float32, debug_backbone=SMALL_BACKBONE,
+                   debug_depth=SMALL_DEPTH, debug_codec=SMALL_CODEC)
+    m._spk_enc_cfg = EcapaConfig(mel_dim=24, enc_dim=64,
+                                 channels=(16, 16, 16, 16, 48),
+                                 se_channels=8, attention_channels=8)
+    m._spk_enc_params = init_ecapa(m._spk_enc_cfg, jax.random.key(0))
+
+    p = str(tmp_path / "ref.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        pcm = (np.sin(np.arange(12000) * 0.04) * 8000).astype(np.int16)
+        w.writeframes(pcm.tobytes())
+
+    emb = m._extract_speaker_embedding(p)
+    assert emb.shape == (64,)
+    assert np.abs(emb).max() > 0
+    # deterministic
+    np.testing.assert_array_equal(emb, m._extract_speaker_embedding(p))

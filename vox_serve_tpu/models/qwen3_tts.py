@@ -24,6 +24,8 @@ Behavioral parity:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,6 +134,16 @@ class Qwen3TTSLM(BaseLMWithDepth):
                 dtype=self.dtype)
             as_j = lambda n: jnp.asarray(state[n]).astype(self.dtype)
             n_cp = self.num_code_groups - 1
+            # Base variant ships the ECAPA speaker encoder in the same
+            # checkpoint under speaker_encoder.* (mel_dim 128, reference
+            # qwen3_tts.py:282-285,835-891)
+            if any(k.startswith("speaker_encoder.") for k in state):
+                from ..encoders.ecapa import EcapaConfig, load_ecapa_params
+
+                self._spk_enc_cfg = EcapaConfig(
+                    mel_dim=128, enc_dim=self._cfg.hidden_size)
+                self._spk_enc_params = load_ecapa_params(
+                    state, self._spk_enc_cfg)
             return {
                 "backbone": backbone,
                 "codec_embedding": as_j(t + "codec_embedding.weight"),
@@ -328,10 +340,23 @@ class Qwen3TTSLM(BaseLMWithDepth):
         for c in codec_prefix:
             rows.append((TTS_PAD, c, True)); feats.append(None)
 
+        ref_codes = kwargs.get("ref_codes")
+        if ref_codes is None and self.tts_model_type == "base" \
+                and not x_vector_only_mode and audio_path:
+            ref_codes = self._encode_audio_to_codes(audio_path)
+        icl = (self.tts_model_type == "base" and not x_vector_only_mode
+               and ref_codes is not None)
+        if icl and is_streaming:
+            # reference rejects ICL + input streaming (qwen3_tts.py:1448-1451)
+            raise ValueError("ICL voice clone is incompatible with input "
+                             "streaming; use x_vector_only_mode=True")
+
         spk_feat = None
         if self.tts_model_type == "base":
-            # voice clone: speaker embedding position (x-vector);
-            # ICL ref-codes path requires the audio encoder (gated on assets)
+            # voice clone: speaker embedding position. text side = tts_pad,
+            # codec side = x-vector; since embed() always adds the codec
+            # embedding of col 0, store (x_vector - codec_pad_embed) in
+            # input_features (reference qwen3_tts.py:1660-1676)
             spk_vec = self._extract_speaker_embedding(audio_path)
             codec_pad_embed = np.asarray(
                 self.params["codec_embedding"][CODEC_PAD], np.float32)
@@ -345,13 +370,34 @@ class Qwen3TTSLM(BaseLMWithDepth):
 
         rows.append((TTS_BOS, CODEC_PAD, True)); feats.append(None)
 
-        for i, t in enumerate(text_ids):
-            last = i == len(text_ids) - 1
-            codec = CODEC_BOS if (is_streaming and last) else CODEC_PAD
-            rows.append((t, codec, True)); feats.append(None)
-        if not is_streaming:
+        if icl:
+            # ICL mode: ref_text + text + eos + codec_bos + ref-code frames
+            # whose depth-codebook embeddings are presummed into
+            # input_features (reference qwen3_tts.py:1692-1746)
+            ref_codes = np.asarray(ref_codes, np.int64)
+            for t in self._encode_text(ref_text or ""):
+                rows.append((t, CODEC_PAD, True)); feats.append(None)
+            for t in text_ids:
+                rows.append((t, CODEC_PAD, True)); feats.append(None)
             rows.append((TTS_EOS, CODEC_PAD, True)); feats.append(None)
             rows.append((TTS_PAD, CODEC_BOS, True)); feats.append(None)
+            depth_embeds = np.asarray(self.params["depth"]["embeds"],
+                                      np.float32)  # (15, vocab, H)
+            cb = np.clip(ref_codes[:, 1:self.num_code_groups], 0,
+                         self.depth_vocab_size - 1)  # (T, 15)
+            summed = depth_embeds[np.arange(cb.shape[1])[None, :], cb, :]
+            summed = summed.sum(axis=1)  # (T, H)
+            for t in range(ref_codes.shape[0]):
+                rows.append((TTS_PAD, int(ref_codes[t, 0]), True))
+                feats.append(summed[t])
+        else:
+            for i, t in enumerate(text_ids):
+                last = i == len(text_ids) - 1
+                codec = CODEC_BOS if (is_streaming and last) else CODEC_PAD
+                rows.append((t, codec, True)); feats.append(None)
+            if not is_streaming:
+                rows.append((TTS_EOS, CODEC_PAD, True)); feats.append(None)
+                rows.append((TTS_PAD, CODEC_BOS, True)); feats.append(None)
 
         T = len(rows)
         C = self.n_codebooks
@@ -369,9 +415,27 @@ class Qwen3TTSLM(BaseLMWithDepth):
                                 input_features=input_features)
 
     def _extract_speaker_embedding(self, audio_path) -> np.ndarray:
-        # ECAPA speaker encoder runs here when assets are available; offline
-        # dev fallback is a zero vector (x-vector-only neutral voice)
-        return np.zeros((self._cfg.hidden_size,), np.float32)
+        """ECAPA x-vector from reference audio (reference qwen3_tts.py:
+        1283-1329: 24 kHz -> 128-bin log-mel -> Qwen3TTSSpeakerEncoder).
+        Offline fallback: zero vector (neutral voice)."""
+        spk = getattr(self, "_spk_enc_params", None)
+        if spk is None or not audio_path:
+            return np.zeros((self._cfg.hidden_size,), np.float32)
+        from ..encoders.ecapa import ecapa_embed, qwen3_speaker_mel
+        from ..utils import load_audio_mono
+
+        audio = load_audio_mono(audio_path, target_sr=24000)
+        mel = qwen3_speaker_mel(audio, n_mels=self._spk_enc_cfg.mel_dim)
+        emb = ecapa_embed(spk, self._spk_enc_cfg, mel[None].astype(np.float32))
+        return np.asarray(emb[0], np.float32)
+
+    def _encode_audio_to_codes(self, audio_path) -> Optional[np.ndarray]:
+        """Reference audio -> (T, 16) codec codes for ICL voice clone
+        (reference qwen3_tts.py:1330-1360 via the codec *encoder*). The
+        Mimi-style encoder port is pending; until then clients supply
+        precomputed codes via the ``ref_codes`` kwarg and this returns None
+        (x-vector-only clone)."""
+        return None
 
     def is_stop(self, token_ids: np.ndarray) -> bool:
         return int(token_ids[0]) == CODEC_EOS
