@@ -22,10 +22,9 @@ SMALL_DEPTH = DepthConfig(
     intermediate_size=64, max_seq=33, dtype=jnp.float32,
 )
 SMALL_MIMI = MimiConfig(
-    n_codebooks=32, codebook_size=2048, vq_dim=8, codebook_dim=16,
-    latent_dim=16, seanet_dim=32, upsample_ratios=(4, 3),
-    hidden_size=16, intermediate_size=32, head_dim=8, num_heads=2,
-    num_kv_heads=2, num_layers=2, sliding_window=6,
+    n_codebooks=32, codebook_size=2048, vq_dim=8, num_filters=8,
+    upsample_ratios=(4, 3), hidden_size=16, intermediate_size=32,
+    head_dim=8, num_heads=2, num_kv_heads=2, num_layers=2, sliding_window=6,
 )
 
 

@@ -1,15 +1,22 @@
-"""Mimi codec (Moshi family) — decode path for CSM-1B.
+"""Mimi codec (Moshi family) — weight-exact decode path for CSM-1B.
 
-Compact JAX re-implementation of the reference's MimiModel decode
-(tokenizer/mimi.py:2702-3089): split residual VQ (1 semantic + 31 acoustic
-codebooks, 2048 bins) -> streaming transformer with ring KV cache
-(tokenizer/mimi.py:1213 RingKVCache ~ the same rolling-window attention as
-the Qwen3 codec, reused from codecs/qwen3_codec) -> SEANet decoder (ELU +
-causal convs, trans-conv upsampling by (8, 6, 5, 4)) -> 24 kHz waveform,
-1920 samples per 12.5 Hz frame.
+Matches the HF ``MimiModel`` decode pipeline (the reference loads it via
+``CsmForConditionalGeneration.from_pretrained``, model/csm.py:329, with the
+codec under ``codec_model.*``; standalone reference impl at
+tokenizer/mimi.py:2702-3089):
 
-Structure and streaming semantics are complete; checkpoint weight-mapping to
-the HF Mimi layout is round-2 work.
+    split RVQ (1 semantic + 31 acoustic, EuclideanCodebook embed_sum /
+    cluster_usage, per-group output_proj 256->512)
+    -> depthwise causal trans-conv x2 upsample (k=4, s=2, groups=512)
+    -> 8-layer transformer @25 Hz (LayerNorm+bias, GELU fc1/fc2, LayerScale,
+       RoPE, 250-token sliding window) — NO final norm
+    -> SEANet decoder (ELU + causal convs, trans-conv rates 8,6,5,4 with one
+       dim/2 bottleneck residual unit each) -> 24 kHz, 1920 samples/frame.
+
+Streaming is position-exact (the reference RingKVCache masks unwritten slots,
+tokenizer/mimi.py:1290-1305), so chunked decode equals full decode —
+asserted in tests/test_mimi_parity.py together with golden parity vs the HF
+torch module through ``load_mimi_params``.
 """
 
 from __future__ import annotations
@@ -19,10 +26,14 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..models.backbone import _init_linear, linear
+from ..ops.norms import layer_norm
+from ..ops.rope import rope_frequencies
 from .layers import conv1d, conv_transpose1d, init_conv1d, init_conv_transpose1d
-from .qwen3_codec import _causal_conv, _causal_transconv, _transformer
-from ..models.backbone import _init_linear
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,30 +41,28 @@ class MimiConfig:
     n_codebooks: int = 32
     codebook_size: int = 2048
     vq_dim: int = 256
-    codebook_dim: int = 512
-    latent_dim: int = 512
-    seanet_dim: int = 512
-    upsample_ratios: tuple[int, ...] = (8, 6, 5, 4)
-    # transformer (reused from qwen3 codec machinery)
-    hidden_size: int = 512
+    hidden_size: int = 512          # transformer width == quantizer output
     intermediate_size: int = 2048
     head_dim: int = 64
     num_heads: int = 8
     num_kv_heads: int = 8
     num_layers: int = 8
     sliding_window: int = 250
-    rms_eps: float = 1e-5
     rope_theta: float = 10000.0
-    layer_scale_init: float = 0.01
-    upsampling_ratios: tuple[int, ...] = ()  # interface compat
+    norm_eps: float = 1e-5
+    num_filters: int = 64
+    upsample_ratios: tuple[int, ...] = (8, 6, 5, 4)
+    kernel_size: int = 7
+    last_kernel_size: int = 3
+    residual_kernel_size: int = 3
 
     @property
-    def samples_per_frame(self) -> int:
-        return int(math.prod(self.upsample_ratios))  # 960 @ frame rate 25Hz?
+    def seanet_in(self) -> int:
+        return self.num_filters * (2 ** len(self.upsample_ratios))
 
     @property
     def frame_samples(self) -> int:
-        return int(math.prod(self.upsample_ratios)) * 2  # upsample x2 first
+        return int(math.prod(self.upsample_ratios)) * 2  # x2 upsample first
 
 
 def init_mimi(cfg: MimiConfig, key: jax.Array) -> dict:
@@ -67,58 +76,123 @@ def init_mimi(cfg: MimiConfig, key: jax.Array) -> dict:
             "embed_sum": jax.random.normal(
                 nk(), (n_q, cfg.codebook_size, cfg.vq_dim)) * 0.02,
             "usage": jnp.ones((n_q, cfg.codebook_size)),
-            "out_proj": init_conv1d(nk(), cfg.vq_dim, cfg.codebook_dim, 1,
+            "out_proj": init_conv1d(nk(), cfg.vq_dim, cfg.hidden_size, 1,
                                     bias=False),
         }
 
-    # transformer params in the qwen3-codec layout so _transformer() applies
-    H, hd, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
     hs = cfg.hidden_size
+    H, hd, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
     layers = []
     for _ in range(cfg.num_layers):
         layers.append({
-            "input_norm": jnp.ones((hs,)),
-            "post_norm": jnp.ones((hs,)),
+            "ln1_w": jnp.ones((hs,)), "ln1_b": jnp.zeros((hs,)),
+            "ln2_w": jnp.ones((hs,)), "ln2_b": jnp.zeros((hs,)),
             "q": _init_linear(nk(), hs, H * hd, jnp.float32),
             "k": _init_linear(nk(), hs, KH * hd, jnp.float32),
             "v": _init_linear(nk(), hs, KH * hd, jnp.float32),
             "o": _init_linear(nk(), H * hd, hs, jnp.float32),
-            "gate": _init_linear(nk(), hs, cfg.intermediate_size, jnp.float32),
-            "up": _init_linear(nk(), hs, cfg.intermediate_size, jnp.float32),
-            "down": _init_linear(nk(), cfg.intermediate_size, hs, jnp.float32),
-            "ls_attn": jnp.full((hs,), cfg.layer_scale_init),
-            "ls_mlp": jnp.full((hs,), cfg.layer_scale_init),
+            "fc1": _init_linear(nk(), hs, cfg.intermediate_size, jnp.float32),
+            "fc2": _init_linear(nk(), cfg.intermediate_size, hs, jnp.float32),
+            "ls_attn": jnp.full((hs,), 0.01),
+            "ls_mlp": jnp.full((hs,), 0.01),
         })
 
-    # SEANet decoder: init conv, per-ratio [transconv + residual unit], final
-    dim = cfg.seanet_dim
+    dim = cfg.seanet_in
     blocks = []
     for i, ratio in enumerate(cfg.upsample_ratios):
+        cin = dim // (2 ** i)
         out = dim // (2 ** (i + 1))
         blocks.append({
-            "trans": init_conv_transpose1d(nk(), dim // (2 ** i), out,
-                                           2 * ratio),
-            "res_conv1": init_conv1d(nk(), out, out // 2, 3),
+            "trans": init_conv_transpose1d(nk(), cin, out, 2 * ratio),
+            "res_conv1": init_conv1d(nk(), out, out // 2,
+                                     cfg.residual_kernel_size),
             "res_conv2": init_conv1d(nk(), out // 2, out, 1),
         })
     final_in = dim // (2 ** len(cfg.upsample_ratios))
     return {
         "rvq_first": vq_group(1),
         "rvq_rest": vq_group(cfg.n_codebooks - 1),
-        "transformer": {
-            "layers": layers,
-            "norm": jnp.ones((hs,)),
-            "input_proj": _init_linear(nk(), cfg.codebook_dim, hs,
-                                       jnp.float32, bias=True),
-            "output_proj": _init_linear(nk(), hs, cfg.latent_dim, jnp.float32,
-                                        bias=True),
-        },
-        "upsample_trans": init_conv_transpose1d(nk(), cfg.latent_dim,
-                                                cfg.latent_dim, 2),
-        "dec_conv0": init_conv1d(nk(), cfg.latent_dim, dim, 7),
+        "transformer": {"layers": layers},
+        # depthwise x2 upsample (HF: MimiConvTranspose1d groups=512, no bias)
+        "upsample_trans": init_conv_transpose1d(
+            nk(), cfg.hidden_size, cfg.hidden_size, 4, groups=cfg.hidden_size,
+            bias=False),
+        "dec_conv0": init_conv1d(nk(), cfg.hidden_size, dim, cfg.kernel_size),
         "blocks": blocks,
-        "head": init_conv1d(nk(), final_in, 1, 7),
+        "head": init_conv1d(nk(), final_in, 1, cfg.last_kernel_size),
     }
+
+
+def load_mimi_params(sd: dict, cfg: MimiConfig, prefix: str = "") -> dict:
+    """Map the HF MimiModel state_dict (optionally under a prefix, e.g.
+    ``codec_model.`` inside sesame/csm-1b) onto the JAX pytree. Only the
+    decode path is loaded."""
+    def arr(name):
+        return jnp.asarray(np.asarray(sd[prefix + name]), jnp.float32)
+
+    def lin(name):
+        p = {"w": arr(f"{name}.weight").T}
+        if prefix + name + ".bias" in sd:
+            p["b"] = arr(f"{name}.bias")
+        return p
+
+    def conv(name):
+        p = {"w": arr(f"{name}.weight")}
+        if prefix + name + ".bias" in sd:
+            p["b"] = arr(f"{name}.bias")
+        return p
+
+    def vq_group(name, n_q):
+        return {
+            "embed_sum": jnp.stack([
+                arr(f"quantizer.{name}.layers.{i}.codebook.embed_sum")
+                for i in range(n_q)]),
+            "usage": jnp.stack([
+                arr(f"quantizer.{name}.layers.{i}.codebook.cluster_usage")
+                for i in range(n_q)]),
+            "out_proj": {"w": arr(f"quantizer.{name}.output_proj.weight")},
+        }
+
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"decoder_transformer.layers.{i}"
+        layers.append({
+            "ln1_w": arr(f"{pre}.input_layernorm.weight"),
+            "ln1_b": arr(f"{pre}.input_layernorm.bias"),
+            "ln2_w": arr(f"{pre}.post_attention_layernorm.weight"),
+            "ln2_b": arr(f"{pre}.post_attention_layernorm.bias"),
+            "q": lin(f"{pre}.self_attn.q_proj"),
+            "k": lin(f"{pre}.self_attn.k_proj"),
+            "v": lin(f"{pre}.self_attn.v_proj"),
+            "o": lin(f"{pre}.self_attn.o_proj"),
+            "fc1": lin(f"{pre}.mlp.fc1"),
+            "fc2": lin(f"{pre}.mlp.fc2"),
+            "ls_attn": arr(f"{pre}.self_attn_layer_scale.scale"),
+            "ls_mlp": arr(f"{pre}.mlp_layer_scale.scale"),
+        })
+
+    blocks = []
+    for i in range(len(cfg.upsample_ratios)):
+        blocks.append({
+            "trans": conv(f"decoder.layers.{2 + 3 * i}.conv"),
+            "res_conv1": conv(f"decoder.layers.{3 + 3 * i}.block.1.conv"),
+            "res_conv2": conv(f"decoder.layers.{3 + 3 * i}.block.3.conv"),
+        })
+    return {
+        "rvq_first": vq_group("semantic_residual_vector_quantizer", 1),
+        "rvq_rest": vq_group("acoustic_residual_vector_quantizer",
+                             cfg.n_codebooks - 1),
+        "transformer": {"layers": layers},
+        "upsample_trans": conv("upsample.conv"),
+        "dec_conv0": conv("decoder.layers.0.conv"),
+        "blocks": blocks,
+        "head": conv(f"decoder.layers.{2 + 3 * len(cfg.upsample_ratios)}.conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# streaming cache
+# ---------------------------------------------------------------------------
 
 
 def mimi_init_cache(cfg: MimiConfig, batch: int) -> dict:
@@ -130,21 +204,54 @@ def mimi_init_cache(cfg: MimiConfig, batch: int) -> dict:
                              cfg.head_dim)),
         "attn_v": jnp.zeros((batch, cfg.num_layers, W, cfg.num_kv_heads,
                              cfg.head_dim)),
-        "up_trans": jnp.zeros((batch, cfg.latent_dim, 1)),
-        "dec_conv0": jnp.zeros((batch, cfg.latent_dim, 6)),
+        "up_trans": jnp.zeros((batch, cfg.hidden_size, 1)),
+        "dec_conv0": jnp.zeros((batch, cfg.hidden_size, cfg.kernel_size - 1)),
         "blocks": [],
         "head": None,
     }
-    dim = cfg.seanet_dim
+    dim = cfg.seanet_in
     for i, _ in enumerate(cfg.upsample_ratios):
         out = dim // (2 ** (i + 1))
         cache["blocks"].append({
             "trans": jnp.zeros((batch, dim // (2 ** i), 1)),
-            "res": jnp.zeros((batch, out, 2)),
+            "res": jnp.zeros((batch, out, cfg.residual_kernel_size - 1)),
         })
     final_in = dim // (2 ** len(cfg.upsample_ratios))
-    cache["head"] = jnp.zeros((batch, final_in, 6))
+    cache["head"] = jnp.zeros((batch, final_in, cfg.last_kernel_size - 1))
     return cache
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _causal_conv(p, x, pad, cache, dilation=1, groups=1):
+    if cache is None:
+        xin = jnp.pad(x, ((0, 0), (0, 0), (pad, 0)))
+        new_cache = None
+    else:
+        xin = jnp.concatenate([cache, x], axis=-1)
+        new_cache = xin[:, :, -pad:] if pad > 0 else cache
+    y = conv1d(p, xin, padding=0, dilation=dilation, groups=groups)
+    return y, new_cache
+
+
+def _causal_transconv(p, x, stride, kernel, cache, groups=1):
+    """HF MimiConvTranspose1d causal semantics (trim_right_ratio=1: trim all
+    k-s padding from the RIGHT). Streaming: prepend the last input sample,
+    keep outputs [stride : stride + T*stride] — identical to the full path
+    because a zero previous sample contributes nothing at those taps."""
+    if cache is None:
+        cache = jnp.zeros((x.shape[0], x.shape[1], 1), x.dtype)
+        own = True
+    else:
+        own = False
+    xin = jnp.concatenate([cache, x], axis=-1)
+    y = conv_transpose1d(p, xin, stride=stride, groups=groups)
+    T = x.shape[-1]
+    y = y[:, :, stride:stride + T * stride]
+    return y, (None if own else x[:, :, -1:])
 
 
 def _rvq_decode(group: dict, codes: jax.Array) -> jax.Array:
@@ -155,9 +262,97 @@ def _rvq_decode(group: dict, codes: jax.Array) -> jax.Array:
     return conv1d(group["out_proj"], summed.transpose(0, 2, 1))
 
 
+def _mimi_transformer(params: dict, cfg: MimiConfig, x: jax.Array,
+                      cache: dict | None):
+    """x: (B, T, hidden). Position-exact sliding-window attention: streaming
+    masks unwritten ring slots (reference RingKVCache, mimi.py:1290-1305),
+    so chunked == full."""
+    B, T, _ = x.shape
+    H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    W = cfg.sliding_window
+    inv_freq = rope_frequencies(hd, theta=cfg.rope_theta)
+
+    if cache is None:
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        p = jnp.arange(T, dtype=jnp.int32)
+        mask = ((p[None, :] <= p[:, None]) & (p[None, :] > p[:, None] - W))
+        mask = jnp.tile(mask[None], (B, 1, 1))          # (B, T, T)
+        offset = attn_len = None
+    else:
+        offset = cache["pos"]                            # (B,)
+        pos = offset[:, None] + jnp.arange(T, dtype=jnp.int32)
+        attn_len = cache["attn_len"]
+
+    def rope(q, positions):
+        ang = positions[..., None].astype(jnp.float32) * inv_freq[None, None]
+        cos = jnp.cos(ang)[:, :, None, :]
+        sin = jnp.sin(ang)[:, :, None, :]
+        q1, q2 = q[..., :hd // 2], q[..., hd // 2:]
+        return jnp.concatenate([q1 * cos - q2 * sin, q2 * cos + q1 * sin],
+                               axis=-1)
+
+    h = x
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["transformer"]["layers"]):
+        xin = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps=cfg.norm_eps)
+        q = linear(lp["q"], xin).reshape(B, T, H, hd)
+        k = linear(lp["k"], xin).reshape(B, T, KH, hd)
+        v = linear(lp["v"], xin).reshape(B, T, KH, hd)
+        q, k = rope(q, pos), rope(k, pos)
+
+        if cache is None:
+            k_all, v_all = k, v
+            att_mask = mask
+        else:
+            k_all = jnp.concatenate([cache["attn_k"][:, li], k], axis=1)
+            v_all = jnp.concatenate([cache["attn_v"][:, li], v], axis=1)
+            kpos = jnp.concatenate([
+                offset[:, None] - W + jnp.arange(W, dtype=jnp.int32)[None],
+                pos], axis=1)                            # (B, W+T)
+            valid = kpos >= (offset - jnp.minimum(attn_len, W))[:, None]
+            qpos = pos[:, :, None]
+            att_mask = ((kpos[:, None, :] <= qpos)
+                        & (kpos[:, None, :] > qpos - W)
+                        & valid[:, None, :])             # (B, T, W+T)
+            new_k.append(k_all[:, -W:])
+            new_v.append(v_all[:, -W:])
+
+        rep = H // KH
+        k_r = jnp.repeat(k_all, rep, axis=2) if rep > 1 else k_all
+        v_r = jnp.repeat(v_all, rep, axis=2) if rep > 1 else v_all
+        scale = 1.0 / math.sqrt(hd)
+        scores = jnp.einsum("bthd,bshd->bhts", q * scale, k_r)
+        scores = jnp.where(att_mask[:, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhts,bshd->bthd", probs, v_r).reshape(B, T, H * hd)
+        h = h + lp["ls_attn"] * linear(lp["o"], attn)
+
+        xin2 = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps=cfg.norm_eps)
+        mlp = linear(lp["fc2"], jax.nn.gelu(linear(lp["fc1"], xin2),
+                                            approximate=False))
+        h = h + lp["ls_mlp"] * mlp
+
+    new_cache = None
+    if cache is not None:
+        new_cache = dict(cache)
+        new_cache["attn_k"] = jnp.stack(new_k, axis=1)
+        new_cache["attn_v"] = jnp.stack(new_v, axis=1)
+        new_cache["pos"] = cache["pos"] + T
+        new_cache["attn_len"] = jnp.minimum(cache["attn_len"] + T, W)
+    return h, new_cache
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
 def mimi_decode_chunk(params: dict, cfg: MimiConfig, codes: jax.Array,
                       cache: dict | None):
-    """codes (B, 32, T) -> (waveform (B, 1, T * 1920), new cache)."""
+    """codes (B, 32, T) -> (waveform (B, 1, T * 1920), new cache).
+
+    HF decode order (modeling_mimi._decode_frame): quantizer -> x2 upsample
+    -> transformer (@25 Hz) -> SEANet decoder."""
     own_cache = cache is None
     if own_cache:
         cache = mimi_init_cache(cfg, codes.shape[0])
@@ -165,34 +360,40 @@ def mimi_decode_chunk(params: dict, cfg: MimiConfig, codes: jax.Array,
     z = _rvq_decode(params["rvq_first"], codes[:, :1]) + _rvq_decode(
         params["rvq_rest"], codes[:, 1:])               # (B, 512, T)
 
-    h, tr_cache = _transformer(params, cfg, z.transpose(0, 2, 1), cache)
-    h = h.transpose(0, 2, 1)                            # (B, latent, T)
+    # x2 depthwise upsample (12.5 Hz -> 25 Hz)
+    h, up_cache = _causal_transconv(params["upsample_trans"], z, 2, 4,
+                                    None if own_cache else cache["up_trans"],
+                                    groups=cfg.hidden_size)
 
-    # x2 upsample (12.5 Hz -> 25 Hz)
-    h, up_cache = _causal_transconv(params["upsample_trans"], h, 2, 2,
-                                    cache["up_trans"])
+    h, tr_cache = _mimi_transformer(params, cfg, h.transpose(0, 2, 1),
+                                    None if own_cache else cache)
+    x = h.transpose(0, 2, 1)                            # (B, hidden, 2T)
 
-    x, c0 = _causal_conv(params["dec_conv0"], h, 6, cache["dec_conv0"])
+    x, c0 = _causal_conv(params["dec_conv0"], x, cfg.kernel_size - 1,
+                         None if own_cache else cache["dec_conv0"])
     new_blocks = []
     for i, (b, ratio) in enumerate(zip(params["blocks"], cfg.upsample_ratios)):
-        bc = cache["blocks"][i]
+        bc = None if own_cache else cache["blocks"][i]
         x = jax.nn.elu(x)
         x, t_cache = _causal_transconv(b["trans"], x, ratio, 2 * ratio,
-                                       bc["trans"])
+                                       None if bc is None else bc["trans"])
         r = jax.nn.elu(x)
-        r, rc = _causal_conv(b["res_conv1"], r, 2, bc["res"])
+        r, rc = _causal_conv(b["res_conv1"], r, cfg.residual_kernel_size - 1,
+                             None if bc is None else bc["res"])
         r = jax.nn.elu(r)
         r = conv1d(b["res_conv2"], r)
         x = x + r
         new_blocks.append({"trans": t_cache, "res": rc})
     x = jax.nn.elu(x)
-    wav, head_cache = _causal_conv(params["head"], x, 6, cache["head"])
-    wav = jnp.clip(wav, -1.0, 1.0)
+    wav, head_cache = _causal_conv(params["head"], x, cfg.last_kernel_size - 1,
+                                   None if own_cache else cache["head"])
 
+    if own_cache:
+        return wav, None
     new_cache = {
         "pos": tr_cache["pos"], "attn_len": tr_cache["attn_len"],
         "attn_k": tr_cache["attn_k"], "attn_v": tr_cache["attn_v"],
         "up_trans": up_cache, "dec_conv0": c0, "blocks": new_blocks,
         "head": head_cache,
     }
-    return wav, (None if own_cache else new_cache)
+    return wav, new_cache

@@ -59,7 +59,81 @@ class CSMLM(BaseLMWithDepth):
         self._init_params()
         self.sampling_config = self.default_sampling_config
 
+    def _load_checkpoint(self) -> dict | None:
+        """Map the HF sesame/csm-1b checkpoint (transformers
+        CsmForConditionalGeneration layout: backbone_model.* /
+        depth_decoder.* / embed_text_tokens / lm_head; reference loads it via
+        from_pretrained at model/csm.py:329). The same checkpoint carries the
+        Mimi codec under codec_model.* (mapped in codecs/mimi.py)."""
+        from ..weights import (load_llama_family_backbone,
+                               load_safetensors_state, resolve_model_dir)
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        try:
+            state = load_safetensors_state(model_dir)
+            cfg, dcfg = self._cfg, self._depth_cfg
+            as_j = lambda n: jnp.asarray(state[n]).astype(self.dtype)
+            backbone = load_llama_family_backbone(
+                state, cfg.num_layers, prefix="backbone_model.",
+                dtype=self.dtype)
+            depth_backbone = load_llama_family_backbone(
+                state, dcfg.num_layers, prefix="depth_decoder.model.",
+                dtype=self.dtype)
+            params = {
+                "backbone": backbone,
+                "audio_embed": as_j(
+                    "backbone_model.embed_tokens.embed_audio_tokens.weight"),
+                "text_embed": as_j("embed_text_tokens.weight"),
+                "lm_head": as_j("lm_head.weight").T,
+                "depth": {
+                    "backbone": depth_backbone,
+                    "proj": {"w": as_j(
+                        "depth_decoder.model.inputs_embeds_projector.weight"
+                    ).T},
+                    # depth's OWN audio embed table (backbone-hidden wide,
+                    # offset codebook_idx * vocab like the backbone table)
+                    "embeds": as_j("depth_decoder.model.embed_tokens.weight"),
+                    # (n_cb-1, depth_hidden, vocab), applied as h @ W[i]
+                    "heads": as_j("depth_decoder.codebooks_head.weight"),
+                },
+            }
+            codec = None
+            if any(k.startswith("codec_model.") for k in state):
+                from ..codecs.mimi import load_mimi_params
+
+                try:
+                    codec = load_mimi_params(state, self._mimi_cfg,
+                                             prefix="codec_model.")
+                except Exception as e:
+                    from ..utils import get_logger
+
+                    get_logger("csm").warning(
+                        "mimi codec mapping failed (%s); random init",
+                        type(e).__name__)
+            return {"params": params, "codec": codec}
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("csm").warning(
+                "checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
+
     def _init_params(self):
+        loaded = self._load_checkpoint()
+        if loaded is not None:
+            self.params = loaded["params"]
+            if loaded["codec"] is not None:
+                self.codec_params = loaded["codec"]
+                self.codec_assets_available = True
+            else:
+                self.codec_params = init_mimi(self._mimi_cfg,
+                                              jax.random.key(7))
+                self.codec_assets_available = False
+            return
+        self.assets_available = False
         cfg, dcfg = self._cfg, self._depth_cfg
         key = jax.random.key(31)
         ks = jax.random.split(key, 8)
@@ -77,13 +151,18 @@ class CSMLM(BaseLMWithDepth):
                 "backbone": init_depth_params(dcfg, ks[4]),
                 "proj": _init_linear(ks[5], H, dcfg.hidden_size, self.dtype,
                                      bias=False),
+                # depth decoder's own audio embed table (HF csm:
+                # depth_decoder.model.embed_tokens, backbone-hidden wide)
+                "embeds": (jax.random.normal(
+                    ks[7], (N_AUDIO_CB * AUDIO_VOCAB, H)) * 0.02
+                ).astype(self.dtype),
                 # per-position heads for codebooks 1..31
                 "heads": (jax.random.normal(
                     ks[6], (N_AUDIO_CB - 1, dcfg.hidden_size, AUDIO_VOCAB))
                     * 0.02).astype(self.dtype),
             },
         }
-        self.codec_params = init_mimi(self._mimi_cfg, ks[7])
+        self.codec_params = init_mimi(self._mimi_cfg, jax.random.key(77))
 
     # ---- metadata ----------------------------------------------------------
     @property
@@ -173,7 +252,9 @@ class CSMLM(BaseLMWithDepth):
         d = params["depth"]
         dcfg = self._depth_cfg
         B = hidden.shape[0]
-        c0_embed = jnp.take(params["audio_embed"],
+        # depth uses its OWN embed table (HF depth_decoder.model.embed_tokens
+        # with offset codebook_idx * vocab)
+        c0_embed = jnp.take(d["embeds"],
                             jnp.clip(cb0, 0, AUDIO_VOCAB - 1), axis=0)
         x0 = jnp.stack([hidden.astype(self.dtype), c0_embed], axis=1)
         x0p = linear(d["proj"], x0.reshape(B * 2, -1)).reshape(B, 2, -1)
@@ -187,7 +268,7 @@ class CSMLM(BaseLMWithDepth):
             logits = h.astype(jnp.float32) @ head_w.astype(jnp.float32)
             tok = sample(logits[:, None, :], scfg,
                          jax.random.fold_in(rng, i), None)[:, 0]
-            ci = jnp.take(params["audio_embed"],
+            ci = jnp.take(d["embeds"],
                           jnp.clip(tok, 0, AUDIO_VOCAB - 1) + i * AUDIO_VOCAB,
                           axis=0)
             x = linear(d["proj"], ci)[:, None, :]
