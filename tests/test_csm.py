@@ -84,3 +84,49 @@ def test_worker_end_to_end(model):
         pcm = req.output_audio.get_nowait()
         assert len(pcm) == model.output_audio_length * 2
     worker.free_kv_cache(req)
+
+
+def test_audio_context_rows(tmp_path):
+    """With encoder params present, audio context becomes Mimi-code rows with
+    audio channels masked (reference csm.py:487-509), and the default
+    2-speaker context prepends when prompt wavs exist (csm.py:511-568)."""
+    import wave
+
+    from vox_serve_tpu.codecs.mimi import init_mimi_encoder
+
+    model = CSMLM(dtype=jnp.float32, debug_backbone=SMALL_BACKBONE,
+                  debug_depth=SMALL_DEPTH, debug_codec=SMALL_MIMI)
+    model._encoder_params = init_mimi_encoder(SMALL_MIMI, jax.random.key(3))
+
+    def write_wav(path, n):
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(24000)
+            pcm = (np.sin(np.arange(n) * 0.03) * 8000).astype(np.int16)
+            w.writeframes(pcm.tobytes())
+
+    ref = tmp_path / "ref.wav"
+    write_wav(ref, 2 * SMALL_MIMI.frame_samples)
+    po = model.preprocess(prompt="hi", audio_path=str(ref), speaker=1)
+    toks, masks = po.input_tokens, po.input_masks
+    # trailing rows: audio frames (audio channels masked, text not) + EOS row
+    assert masks[-1, 0] and not masks[-1, -1]
+    assert np.all(toks[-1, :-1] == 0)  # EOS frame
+    assert masks[-2, :-1].all()
+    n_text = int(masks[:, -1].sum())
+    assert n_text >= 1 and len(toks) > n_text
+
+    # default context from a fake snapshot dir with prompt wavs
+    (tmp_path / "prompts").mkdir()
+    write_wav(tmp_path / "prompts" / "conversational_a.wav",
+              2 * SMALL_MIMI.frame_samples)
+    write_wav(tmp_path / "prompts" / "conversational_b.wav",
+              2 * SMALL_MIMI.frame_samples)
+    model._set_default_context(tmp_path)
+    assert model._default_context is not None
+    base_len = len(model.preprocess(prompt="hi").input_tokens)
+    ctx_len = len(model._default_context[0])
+    assert ctx_len > 4
+    po2 = model.preprocess(prompt="hi")
+    assert len(po2.input_tokens) == ctx_len + (base_len - ctx_len)

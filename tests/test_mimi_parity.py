@@ -104,3 +104,22 @@ def test_csm_checkpoint_mapping_via_hf_layout():
     assert heads.shape == (31, 32, 2051)
     codec = load_mimi_params(state, JCFG, prefix="codec_model.")
     assert codec["dec_conv0"]["w"].shape[1] == 64
+
+
+def test_encode_matches_hf(hf_mimi):
+    from vox_serve_tpu.codecs.mimi import load_mimi_encoder_params, mimi_encode
+
+    sd = {k: v.detach().numpy() for k, v in hf_mimi.state_dict().items()}
+    enc = load_mimi_encoder_params(sd, JCFG)
+    dec = load_mimi_params(sd, JCFG)
+
+    rng = np.random.default_rng(9)
+    audio = (rng.normal(size=(1, 4 * JCFG.frame_samples)) * 0.1
+             ).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_mimi.encode(torch.from_numpy(audio)[:, None, :]
+                             ).audio_codes.numpy()
+    ours = np.asarray(mimi_encode(enc, dec, JCFG, jnp.asarray(audio)))
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    match = (ours == ref).mean()
+    assert match > 0.99, match

@@ -36,7 +36,7 @@ def test_eos_bias_only_cb0(model):
 
 
 def test_delay_pattern_masks_first_steps(model):
-    wcfg = WorkerConfig(max_batch_size=2, num_pages=128, page_size=16,
+    wcfg = WorkerConfig(max_batch_size=2, num_pages=192, page_size=16,
                         prefill_token_buckets=(64,), max_prefill_requests=2,
                         warmup=False)
     worker = ModelWorker(model, wcfg)

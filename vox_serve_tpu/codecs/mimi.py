@@ -123,6 +123,199 @@ def init_mimi(cfg: MimiConfig, key: jax.Array) -> dict:
     }
 
 
+def init_mimi_encoder(cfg: MimiConfig, key: jax.Array) -> dict:
+    """Encoder params (audio -> codes): SEANet encoder, encoder transformer,
+    x2 downsample, per-group RVQ input projections. Used for CSM audio
+    context prompts and voice-clone reference tokenization."""
+    keys = iter(jax.random.split(key, 256))
+
+    def nk():
+        return next(keys)
+
+    hs = cfg.hidden_size
+    H, hd, KH = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "ln1_w": jnp.ones((hs,)), "ln1_b": jnp.zeros((hs,)),
+            "ln2_w": jnp.ones((hs,)), "ln2_b": jnp.zeros((hs,)),
+            "q": _init_linear(nk(), hs, H * hd, jnp.float32),
+            "k": _init_linear(nk(), hs, KH * hd, jnp.float32),
+            "v": _init_linear(nk(), hs, KH * hd, jnp.float32),
+            "o": _init_linear(nk(), H * hd, hs, jnp.float32),
+            "fc1": _init_linear(nk(), hs, cfg.intermediate_size, jnp.float32),
+            "fc2": _init_linear(nk(), cfg.intermediate_size, hs, jnp.float32),
+            "ls_attn": jnp.full((hs,), 0.01),
+            "ls_mlp": jnp.full((hs,), 0.01),
+        })
+
+    blocks = []
+    f = cfg.num_filters
+    for j, ratio in enumerate(reversed(cfg.upsample_ratios)):
+        cin = f * (2 ** j)
+        blocks.append({
+            "res_conv1": init_conv1d(nk(), cin, cin // 2,
+                                     cfg.residual_kernel_size),
+            "res_conv2": init_conv1d(nk(), cin // 2, cin, 1),
+            "down": init_conv1d(nk(), cin, 2 * cin, 2 * ratio),
+        })
+    def vq_group(n_q):
+        return {
+            "embed_sum": jax.random.normal(
+                nk(), (n_q, cfg.codebook_size, cfg.vq_dim)) * 0.02,
+            "usage": jnp.ones((n_q, cfg.codebook_size)),
+        }
+
+    return {
+        "enc_conv0": init_conv1d(nk(), 1, f, cfg.kernel_size),
+        "enc_blocks": blocks,
+        "enc_final": init_conv1d(nk(), cfg.seanet_in, hs,
+                                 cfg.last_kernel_size),
+        "enc_transformer": {"layers": layers},
+        "downsample": init_conv1d(nk(), hs, hs, 4, bias=False),
+        "in_proj_first": init_conv1d(nk(), hs, cfg.vq_dim, 1, bias=False),
+        "in_proj_rest": init_conv1d(nk(), hs, cfg.vq_dim, 1, bias=False),
+        "rvq_first": vq_group(1),
+        "rvq_rest": vq_group(cfg.n_codebooks - 1),
+    }
+
+
+def load_mimi_encoder_params(sd: dict, cfg: MimiConfig,
+                             prefix: str = "") -> dict:
+    """Map the HF MimiModel ENCODER state_dict onto the JAX pytree."""
+    def arr(name):
+        return jnp.asarray(np.asarray(sd[prefix + name]), jnp.float32)
+
+    def lin(name):
+        p = {"w": arr(f"{name}.weight").T}
+        if prefix + name + ".bias" in sd:
+            p["b"] = arr(f"{name}.bias")
+        return p
+
+    def conv(name):
+        p = {"w": arr(f"{name}.weight")}
+        if prefix + name + ".bias" in sd:
+            p["b"] = arr(f"{name}.bias")
+        return p
+
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"encoder_transformer.layers.{i}"
+        layers.append({
+            "ln1_w": arr(f"{pre}.input_layernorm.weight"),
+            "ln1_b": arr(f"{pre}.input_layernorm.bias"),
+            "ln2_w": arr(f"{pre}.post_attention_layernorm.weight"),
+            "ln2_b": arr(f"{pre}.post_attention_layernorm.bias"),
+            "q": lin(f"{pre}.self_attn.q_proj"),
+            "k": lin(f"{pre}.self_attn.k_proj"),
+            "v": lin(f"{pre}.self_attn.v_proj"),
+            "o": lin(f"{pre}.self_attn.o_proj"),
+            "fc1": lin(f"{pre}.mlp.fc1"),
+            "fc2": lin(f"{pre}.mlp.fc2"),
+            "ls_attn": arr(f"{pre}.self_attn_layer_scale.scale"),
+            "ls_mlp": arr(f"{pre}.mlp_layer_scale.scale"),
+        })
+    blocks = []
+    for j in range(len(cfg.upsample_ratios)):
+        blocks.append({
+            "res_conv1": conv(f"encoder.layers.{1 + 3 * j}.block.1.conv"),
+            "res_conv2": conv(f"encoder.layers.{1 + 3 * j}.block.3.conv"),
+            "down": conv(f"encoder.layers.{3 + 3 * j}.conv"),
+        })
+    def vq_group(name, n_q):
+        return {
+            "embed_sum": jnp.stack([
+                arr(f"quantizer.{name}.layers.{i}.codebook.embed_sum")
+                for i in range(n_q)]),
+            "usage": jnp.stack([
+                arr(f"quantizer.{name}.layers.{i}.codebook.cluster_usage")
+                for i in range(n_q)]),
+        }
+
+    return {
+        "enc_conv0": conv("encoder.layers.0.conv"),
+        "enc_blocks": blocks,
+        "enc_final": conv(
+            f"encoder.layers.{2 + 3 * len(cfg.upsample_ratios)}.conv"),
+        "enc_transformer": {"layers": layers},
+        "downsample": conv("downsample.conv"),
+        "in_proj_first": {"w": arr(
+            "quantizer.semantic_residual_vector_quantizer.input_proj.weight")},
+        "in_proj_rest": {"w": arr(
+            "quantizer.acoustic_residual_vector_quantizer.input_proj.weight")},
+        "rvq_first": vq_group("semantic_residual_vector_quantizer", 1),
+        "rvq_rest": vq_group("acoustic_residual_vector_quantizer",
+                             cfg.n_codebooks - 1),
+    }
+
+
+def _enc_causal_conv(p, x, kernel, stride=1, dilation=1):
+    """HF MimiConv1d causal padding: pad_left = k_eff - stride, plus right
+    extra so the last frame is full (modeling_mimi MimiConv1d)."""
+    k_eff = (kernel - 1) * dilation + 1
+    pad_total = k_eff - stride
+    length = x.shape[-1]
+    n_frames = (length - k_eff + pad_total) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + (k_eff - pad_total)
+    extra = int(ideal - length)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad_total, max(extra, 0))))
+    return conv1d(p, x, stride=stride, dilation=dilation)
+
+
+def _rvq_encode(embed_sum, usage, z, n_q):
+    """z (B, T, vq) -> codes (B, n_q, T) by residual nearest-centroid."""
+    embed = embed_sum / jnp.clip(usage, 1e-5)[..., None]  # (n_q, bins, vq)
+    codes = []
+    residual = z
+    for i in range(n_q):
+        e = embed[i]                                     # (bins, vq)
+        d = (jnp.sum(jnp.square(residual), -1, keepdims=True)
+             - 2.0 * residual @ e.T
+             + jnp.sum(jnp.square(e), -1)[None, None, :])
+        idx = jnp.argmin(d, axis=-1)                     # (B, T)
+        residual = residual - jnp.take(e, idx, axis=0)
+        codes.append(idx)
+    return jnp.stack(codes, axis=1).astype(jnp.int32)
+
+
+def mimi_encode(enc_params: dict, dec_params: dict | None, cfg: MimiConfig,
+                audio: jax.Array) -> jax.Array:
+    """audio (B, S) float -> codes (B, n_codebooks, T) at 12.5 Hz.
+
+    HF order (modeling_mimi._encode_frame): SEANet encoder -> encoder
+    transformer -> x2 downsample -> split RVQ encode. Codebooks come from
+    enc_params when present (the Qwen3 codec encoder owns its quantizer),
+    else from the decoder pytree (shared in plain Mimi)."""
+    vq = enc_params if "rvq_first" in enc_params else dec_params
+    x = audio[:, None, :]
+    x = _enc_causal_conv(enc_params["enc_conv0"], x, cfg.kernel_size)
+    for j, ratio in enumerate(reversed(cfg.upsample_ratios)):
+        b = enc_params["enc_blocks"][j]
+        r = jax.nn.elu(x)
+        r = _enc_causal_conv(b["res_conv1"], r, cfg.residual_kernel_size)
+        r = jax.nn.elu(r)
+        r = conv1d(b["res_conv2"], r)
+        x = x + r
+        x = jax.nn.elu(x)
+        x = _enc_causal_conv(b["down"], x, 2 * ratio, stride=ratio)
+    x = jax.nn.elu(x)
+    x = _enc_causal_conv(enc_params["enc_final"], x, cfg.last_kernel_size)
+
+    h, _ = _mimi_transformer({"transformer": enc_params["enc_transformer"]},
+                             cfg, x.transpose(0, 2, 1), None)
+    x = h.transpose(0, 2, 1)
+    x = _enc_causal_conv(enc_params["downsample"], x, 4, stride=2)
+
+    z_sem = conv1d(enc_params["in_proj_first"], x).transpose(0, 2, 1)
+    z_ac = conv1d(enc_params["in_proj_rest"], x).transpose(0, 2, 1)
+    sem = _rvq_encode(vq["rvq_first"]["embed_sum"],
+                      vq["rvq_first"]["usage"], z_sem, 1)
+    ac = _rvq_encode(vq["rvq_rest"]["embed_sum"],
+                     vq["rvq_rest"]["usage"], z_ac,
+                     cfg.n_codebooks - 1)
+    return jnp.concatenate([sem, ac], axis=1)
+
+
 def load_mimi_params(sd: dict, cfg: MimiConfig, prefix: str = "") -> dict:
     """Map the HF MimiModel state_dict (optionally under a prefix, e.g.
     ``codec_model.`` inside sesame/csm-1b) onto the JAX pytree. Only the

@@ -71,19 +71,25 @@ class ChatterboxLM(BaseLM):
         key = jax.random.key(71)
         ks = jax.random.split(key, 7)
         H = self._cfg.hidden_size
-        self.params = {
-            "backbone": init_backbone_params(self._cfg, ks[0]),
-            "text_embed": (jax.random.normal(ks[1], (TEXT_VOCAB, H)) * 0.02
-                           ).astype(dtype),
-            "speech_embed": (jax.random.normal(ks[2], (SPEECH_VOCAB, H))
-                             * 0.02).astype(dtype),
-            "text_pos": (jax.random.normal(ks[3], (2048, H)) * 0.02
-                         ).astype(dtype),
-            "speech_pos": (jax.random.normal(ks[4], (4096, H)) * 0.02
-                           ).astype(dtype),
-            "speech_head": (jax.random.normal(ks[5], (H, SPEECH_VOCAB))
-                            * 0.02).astype(dtype),
-        }
+        loaded = None if debug_backbone is not None else self._load_checkpoint()
+        if loaded is not None:
+            self.params = loaded
+        else:
+            if debug_backbone is None:
+                self.assets_available = False
+            self.params = {
+                "backbone": init_backbone_params(self._cfg, ks[0]),
+                "text_embed": (jax.random.normal(ks[1], (TEXT_VOCAB, H)) * 0.02
+                               ).astype(dtype),
+                "speech_embed": (jax.random.normal(ks[2], (SPEECH_VOCAB, H))
+                                 * 0.02).astype(dtype),
+                "text_pos": (jax.random.normal(ks[3], (2048, H)) * 0.02
+                             ).astype(dtype),
+                "speech_pos": (jax.random.normal(ks[4], (4096, H)) * 0.02
+                               ).astype(dtype),
+                "speech_head": (jax.random.normal(ks[5], (H, SPEECH_VOCAB))
+                                * 0.02).astype(dtype),
+            }
         self.codec_params = {
             "flow": init_flow(self._flow_cfg, ks[6]),
             "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
@@ -111,6 +117,43 @@ class ChatterboxLM(BaseLM):
         self.sampling_config = self.default_sampling_config
 
     _spk_cfg = SpeakerEncoderConfig(out_dim=256)
+
+    def _load_checkpoint(self) -> dict | None:
+        """Map the ResembleAI/chatterbox ``t3_cfg.safetensors`` checkpoint
+        (reference strict load at model/chatterbox.py:419-426: tfmr.* llama
+        backbone, text/speech embeddings, learned position tables, speech
+        head). The sibling files (s3gen / ve / conds) hold the decoder and
+        conditioning weights and are mapped separately."""
+        from ..weights import (load_llama_family_backbone,
+                               load_safetensors_file, resolve_model_dir)
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        path = model_dir / "t3_cfg.safetensors"
+        if not path.exists():
+            return None
+        try:
+            state = load_safetensors_file(path)
+            as_j = lambda n: jnp.asarray(state[n]).astype(self.dtype)
+            backbone = load_llama_family_backbone(
+                state, self._cfg.num_layers, prefix="tfmr.",
+                dtype=self.dtype)
+            return {
+                "backbone": backbone,
+                "text_embed": as_j("text_emb.weight"),
+                "speech_embed": as_j("speech_emb.weight"),
+                "text_pos": as_j("text_pos_emb.emb.weight"),
+                "speech_pos": as_j("speech_pos_emb.emb.weight"),
+                "speech_head": as_j("speech_head.weight").T,
+            }
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("chatterbox").warning(
+                "checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
 
     def _cond_fn(self, cond_params, ref_mel, ref_feats, ref_mask,
                  exaggeration):

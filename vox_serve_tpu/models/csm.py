@@ -16,6 +16,8 @@ Behavioral parity with reference model/csm.py:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,20 +101,24 @@ class CSMLM(BaseLMWithDepth):
                     "heads": as_j("depth_decoder.codebooks_head.weight"),
                 },
             }
-            codec = None
+            codec = encoder = None
             if any(k.startswith("codec_model.") for k in state):
-                from ..codecs.mimi import load_mimi_params
+                from ..codecs.mimi import (load_mimi_encoder_params,
+                                           load_mimi_params)
 
                 try:
                     codec = load_mimi_params(state, self._mimi_cfg,
                                              prefix="codec_model.")
+                    encoder = load_mimi_encoder_params(
+                        state, self._mimi_cfg, prefix="codec_model.")
                 except Exception as e:
                     from ..utils import get_logger
 
                     get_logger("csm").warning(
                         "mimi codec mapping failed (%s); random init",
                         type(e).__name__)
-            return {"params": params, "codec": codec}
+            return {"params": params, "codec": codec, "encoder": encoder,
+                    "model_dir": model_dir}
         except Exception as e:
             from ..utils import get_logger
 
@@ -120,6 +126,9 @@ class CSMLM(BaseLMWithDepth):
                 "checkpoint mapping failed (%s); random init",
                 type(e).__name__)
             return None
+
+    #: default 2-speaker audio-context prompts (reference csm.py:511-568)
+    _default_context: Optional[tuple] = None
 
     def _init_params(self):
         loaded = self._load_checkpoint()
@@ -132,6 +141,9 @@ class CSMLM(BaseLMWithDepth):
                 self.codec_params = init_mimi(self._mimi_cfg,
                                               jax.random.key(7))
                 self.codec_assets_available = False
+            self._encoder_params = loaded["encoder"]
+            if loaded["encoder"] is not None:
+                self._set_default_context(loaded["model_dir"])
             return
         self.assets_available = False
         cfg, dcfg = self._cfg, self._depth_cfg
@@ -163,6 +175,7 @@ class CSMLM(BaseLMWithDepth):
             },
         }
         self.codec_params = init_mimi(self._mimi_cfg, jax.random.key(77))
+        self._encoder_params = None
 
     # ---- metadata ----------------------------------------------------------
     @property
@@ -206,22 +219,103 @@ class CSMLM(BaseLMWithDepth):
         return SamplingConfig(top_k=50, temperature=0.9,
                               max_tokens=self.max_tokens)
 
-    # ---- host-side ---------------------------------------------------------
-    def preprocess(self, prompt=None, audio_path=None, speaker=0, **kwargs
-                   ) -> PreprocessOutput:
-        text = f"[{speaker}]{prompt or ''}"
-        if hasattr(self.text_tokenizer, "encode"):
-            ids = list(self.text_tokenizer.encode(text))
-        else:
-            ids = list(self.text_tokenizer(text))
+    # ---- audio context (reference csm.py:511-568) ---------------------------
+    #: transcripts of the official sesame/csm-1b speaker prompts
+    #: (prompts/conversational_{a,b}.wav; texts from the sesame run_csm
+    #: example referenced at csm.py:513)
+    _PROMPT_TEXTS = (
+        "like revising for an exam I'd have to try and like keep up the "
+        "momentum because I'd start really early I'd be like okay I'm gonna "
+        "start revising now and then like you're revising for ages and then "
+        "I just like start losing steam I didn't do that for the exam we had "
+        "recently to be fair that was a more of a last minute scenario but "
+        "like yeah I'm trying to like yeah I noticed this yesterday that "
+        "like Mondays I sort of start the day with this not like a panic "
+        "but like a",
+        "like a super Mario level. Like it's very like high detail. And "
+        "like, once you get into the park, it just like, everything looks "
+        "like a computer game and they have all these, like, you know, if, "
+        "if there's like a, you know, like in a Mario game, they will have "
+        "like a question block. And if you like, you know, punch it, a coin "
+        "will come out. So like everyone, when they come into the park, "
+        "they get like this little bracelet and then you can go punching "
+        "question blocks around.",
+    )
+
+    def _encode_text_segment(self, text: str, speaker: int) -> tuple:
+        ids = self._encode_text(f"[{speaker}]{text}")
         T = len(ids)
         toks = np.zeros((T, 33), np.int32)
         masks = np.zeros((T, 33), bool)
         toks[:, -1] = np.asarray(ids, np.int32)
         masks[:, -1] = True
-        # NOTE: the reference prepends two default speaker audio-context
-        # segments downloaded from HF (csm.py:511-568); offline builds start
-        # from the text segment only.
+        return toks, masks
+
+    def _encode_text(self, text: str) -> list[int]:
+        if hasattr(self.text_tokenizer, "encode"):
+            return list(self.text_tokenizer.encode(text))
+        return list(self.text_tokenizer(text))
+
+    def _tokenize_audio_segment(self, audio: np.ndarray) -> tuple:
+        """audio (S,) 24 kHz -> (T+1, 33) rows: Mimi codes on the 32 audio
+        channels plus a trailing zero EOS frame (reference csm.py:487-509)."""
+        from ..codecs.mimi import mimi_encode
+
+        codes = mimi_encode(self._encoder_params, self.codec_params,
+                            self._mimi_cfg, jnp.asarray(audio)[None])
+        codes = np.asarray(codes[0]).T                   # (T, 32)
+        codes = np.concatenate([codes, np.zeros((1, 32), codes.dtype)])
+        T = len(codes)
+        toks = np.zeros((T, 33), np.int32)
+        masks = np.zeros((T, 33), bool)
+        toks[:, :-1] = codes
+        masks[:, :-1] = True
+        return toks, masks
+
+    def _set_default_context(self, model_dir) -> None:
+        """Build the default 2-speaker context from the prompt wavs shipped
+        inside the sesame/csm-1b snapshot (reference csm.py:511-568)."""
+        from pathlib import Path
+
+        from ..utils import load_audio_mono
+
+        try:
+            segs_t, segs_m = [], []
+            for spk, name in enumerate(("conversational_a",
+                                        "conversational_b")):
+                wav = Path(model_dir) / "prompts" / f"{name}.wav"
+                if not wav.exists():
+                    return
+                tt, tm = self._encode_text_segment(
+                    self._PROMPT_TEXTS[spk], speaker=spk)
+                at, am = self._tokenize_audio_segment(
+                    load_audio_mono(str(wav), target_sr=self.SAMPLE_RATE))
+                segs_t += [tt, at]
+                segs_m += [tm, am]
+            self._default_context = (np.concatenate(segs_t),
+                                     np.concatenate(segs_m))
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("csm").warning(
+                "default context build failed (%s); text-only prompts",
+                type(e).__name__)
+
+    # ---- host-side ---------------------------------------------------------
+    def preprocess(self, prompt=None, audio_path=None, speaker=0, **kwargs
+                   ) -> PreprocessOutput:
+        toks, masks = self._encode_text_segment(prompt or "", int(speaker))
+        if audio_path and getattr(self, "_encoder_params", None) is not None:
+            from ..utils import load_audio_mono
+
+            at, am = self._tokenize_audio_segment(
+                load_audio_mono(audio_path, target_sr=self.SAMPLE_RATE))
+            toks = np.concatenate([toks, at])
+            masks = np.concatenate([masks, am])
+        if self._default_context is not None:
+            ct, cm = self._default_context
+            toks = np.concatenate([ct, toks])
+            masks = np.concatenate([cm, masks])
         return PreprocessOutput(input_tokens=toks, input_masks=masks)
 
     def is_stop(self, token_ids: np.ndarray) -> bool:

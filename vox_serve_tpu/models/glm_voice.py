@@ -64,18 +64,57 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
         key = jax.random.key(51)
         ks = jax.random.split(key, 4)
         H = self._cfg.hidden_size
-        self.params = {
-            "backbone": init_backbone_params(self._cfg, ks[0]),
-            "embed": (jax.random.normal(ks[1], (self._cfg.vocab_size, H))
-                      * 0.02).astype(dtype),
-            "head": (jax.random.normal(ks[2], (H, self._cfg.vocab_size))
-                     * 0.02).astype(dtype),
-        }
+        loaded = None if debug_backbone is not None else self._load_checkpoint()
+        if loaded is not None:
+            self.params = loaded
+        else:
+            if debug_backbone is None:
+                self.assets_available = False
+            self.params = {
+                "backbone": init_backbone_params(self._cfg, ks[0]),
+                "embed": (jax.random.normal(ks[1], (self._cfg.vocab_size, H))
+                          * 0.02).astype(dtype),
+                "head": (jax.random.normal(ks[2], (H, self._cfg.vocab_size))
+                         * 0.02).astype(dtype),
+            }
         self.codec_params = {
             "flow": init_flow(self._flow_cfg, ks[3]),
             "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
         }
         self.sampling_config = self.default_sampling_config
+
+    def _load_checkpoint(self) -> dict | None:
+        """Map zai-org/glm-4-voice-9b (ChatGLM layout: transformer.encoder.*
+        fused qkv / fused h_to_4h, transformer.embedding.word_embeddings,
+        transformer.output_layer; reference load at glm_voice.py:318-323)."""
+        from ..weights import (load_glm_backbone, load_safetensors_state,
+                               resolve_model_dir)
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        try:
+            state = load_safetensors_state(model_dir)
+            cfg = self._cfg
+            backbone = load_glm_backbone(
+                state, cfg.num_layers, cfg.num_heads, cfg.num_kv_heads,
+                cfg.resolved_head_dim, dtype=self.dtype)
+            return {
+                "backbone": backbone,
+                "embed": jnp.asarray(
+                    state["transformer.embedding.word_embeddings.weight"]
+                ).astype(self.dtype),
+                "head": jnp.asarray(
+                    state["transformer.output_layer.weight"].T
+                ).astype(self.dtype),
+            }
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("glm").warning(
+                "checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
 
     @property
     def backbone_config(self):

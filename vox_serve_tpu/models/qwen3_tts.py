@@ -193,6 +193,7 @@ class Qwen3TTSLM(BaseLMWithDepth):
             return None
         try:
             state = load_safetensors_state(model_dir)
+            self._load_codec_encoder(state)
             return load_qwen3_codec_params(state, self._codec_cfg)
         except Exception as e:
             from ..utils import get_logger
@@ -429,13 +430,47 @@ class Qwen3TTSLM(BaseLMWithDepth):
         emb = ecapa_embed(spk, self._spk_enc_cfg, mel[None].astype(np.float32))
         return np.asarray(emb[0], np.float32)
 
+    #: valid quantizers of the 32-codebook encoder used for ICL ref codes
+    #: (reference Qwen3TTSTokenizerV2Model.encoder_valid_num_quantizers)
+    ENCODER_VALID_QUANTIZERS = 16
+
+    def _load_codec_encoder(self, state: dict) -> None:
+        """The codec checkpoint's encoder is a MimiModel under ``encoder.*``
+        (reference qwen3_codec.py:1669-1680) with its own quantizer — loaded
+        for the ICL ref-codes path."""
+        from ..codecs.mimi import MimiConfig, load_mimi_encoder_params
+
+        try:
+            self._enc_mimi_cfg = MimiConfig(
+                n_codebooks=32, codebook_size=2048, vq_dim=256,
+                hidden_size=512, intermediate_size=2048, head_dim=64,
+                num_heads=8, num_kv_heads=8, num_layers=8,
+                sliding_window=250, num_filters=64)
+            self._codec_encoder = load_mimi_encoder_params(
+                state, self._enc_mimi_cfg, prefix="encoder.")
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("qwen3").warning(
+                "codec encoder mapping failed (%s); ICL needs explicit "
+                "ref_codes", type(e).__name__)
+            self._codec_encoder = None
+
     def _encode_audio_to_codes(self, audio_path) -> Optional[np.ndarray]:
         """Reference audio -> (T, 16) codec codes for ICL voice clone
-        (reference qwen3_tts.py:1330-1360 via the codec *encoder*). The
-        Mimi-style encoder port is pending; until then clients supply
-        precomputed codes via the ``ref_codes`` kwarg and this returns None
-        (x-vector-only clone)."""
-        return None
+        (reference qwen3_tts.py:1330-1360): the 32-quantizer Mimi-style
+        encoder runs at 24 kHz and the first 16 codebooks feed the prompt.
+        Returns None when encoder assets are unavailable (x-vector-only)."""
+        enc = getattr(self, "_codec_encoder", None)
+        if enc is None or not audio_path:
+            return None
+        from ..codecs.mimi import mimi_encode
+        from ..utils import load_audio_mono
+
+        audio = load_audio_mono(audio_path, target_sr=24000)
+        codes = mimi_encode(enc, None, self._enc_mimi_cfg,
+                            jnp.asarray(audio)[None])
+        return np.asarray(codes[0]).T[:, :self.ENCODER_VALID_QUANTIZERS]
 
     def is_stop(self, token_ids: np.ndarray) -> bool:
         return int(token_ids[0]) == CODEC_EOS

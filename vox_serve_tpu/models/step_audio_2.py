@@ -63,18 +63,56 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
         key = jax.random.key(61)
         ks = jax.random.split(key, 4)
         H = self._cfg.hidden_size
-        self.params = {
-            "backbone": init_backbone_params(self._cfg, ks[0]),
-            "embed": (jax.random.normal(ks[1], (self._cfg.vocab_size, H))
-                      * 0.02).astype(dtype),
-            "head": (jax.random.normal(ks[2], (H, self._cfg.vocab_size))
-                     * 0.02).astype(dtype),
-        }
+        loaded = None if debug_backbone is not None else self._load_checkpoint()
+        if loaded is not None:
+            self.params = loaded
+        else:
+            if debug_backbone is None:
+                self.assets_available = False
+            self.params = {
+                "backbone": init_backbone_params(self._cfg, ks[0]),
+                "embed": (jax.random.normal(ks[1], (self._cfg.vocab_size, H))
+                          * 0.02).astype(dtype),
+                "head": (jax.random.normal(ks[2], (H, self._cfg.vocab_size))
+                         * 0.02).astype(dtype),
+            }
         self.codec_params = {
             "flow": init_flow(self._flow_cfg, ks[3]),
             "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
         }
         self.sampling_config = self.default_sampling_config
+
+    def _load_checkpoint(self) -> dict | None:
+        """Map stepfun-ai/Step-Audio-2-mini (Qwen2.5-style: model.layers.*
+        with qkv bias, model.embed_tokens, lm_head; reference load at
+        model/step_audio_2.py:306-308)."""
+        from ..weights import (load_llama_family_backbone,
+                               load_safetensors_state, resolve_model_dir)
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        try:
+            state = load_safetensors_state(model_dir)
+            backbone = load_llama_family_backbone(
+                state, self._cfg.num_layers, prefix="model.",
+                qkv_bias=True, dtype=self.dtype)
+            embed = jnp.asarray(
+                state["model.embed_tokens.weight"]).astype(self.dtype)
+            head_name = ("lm_head.weight" if "lm_head.weight" in state
+                         else "model.embed_tokens.weight")
+            return {
+                "backbone": backbone,
+                "embed": embed,
+                "head": jnp.asarray(state[head_name].T).astype(self.dtype),
+            }
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("step_audio_2").warning(
+                "checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
 
     @property
     def backbone_config(self):

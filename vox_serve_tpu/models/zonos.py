@@ -74,11 +74,59 @@ class ZonosLM(BaseLM):
         bias[1:, EOS_TOKEN] = float(np.finfo(np.float32).min)
         self._eos_bias = jnp.asarray(bias)
 
+    def _load_checkpoint(self) -> dict | None:
+        """Map Zyphra/Zonos-v0.1-transformer (reference strict-copy loader,
+        model/zonos.py:555-571): backbone.* LayerNorm layers with fused
+        in_proj and GLU MLP, 9 per-codebook embeddings.{i} (1026 rows) and
+        heads.{i} (1025 rows), phoneme embedder from the prefix
+        conditioner."""
+        from ..weights import (load_safetensors_state, load_zonos_backbone,
+                               resolve_model_dir)
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        try:
+            state = load_safetensors_state(model_dir)
+            cfg = self._cfg
+            as_j = lambda n: jnp.asarray(state[n]).astype(self.dtype)
+            backbone = load_zonos_backbone(
+                state, cfg.num_layers, cfg.num_heads, cfg.num_kv_heads,
+                cfg.resolved_head_dim, dtype=self.dtype)
+            params = {
+                "backbone": backbone,
+                "embeds": jnp.stack([as_j(f"embeddings.{i}.weight")
+                                     for i in range(N_CB)]),
+                "heads": jnp.stack([as_j(f"heads.{i}.weight").T
+                                    for i in range(N_CB)]),
+            }
+            phoneme = [k for k in state
+                       if k.endswith("phoneme_embedder.weight")]
+            if phoneme:
+                params["phoneme_embed"] = as_j(phoneme[0])
+            else:
+                params["phoneme_embed"] = self.params["phoneme_embed"] \
+                    if hasattr(self, "params") else (jnp.zeros(
+                        (256, cfg.hidden_size), self.dtype))
+            return params
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("zonos").warning(
+                "checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
+
     def _init_params(self):
         cfg = self._cfg
         key = jax.random.key(41)
         ks = jax.random.split(key, 6)
         H = cfg.hidden_size
+        loaded = self._load_checkpoint() if cfg.hidden_size >= 1024 else None
+        if loaded is not None:
+            self.params = loaded
+            self.codec_params = init_snac_decoder(self._dac_cfg, ks[4])
+            return
         self.params = {
             "backbone": init_backbone_params(cfg, ks[0]),
             # 9 embedding tables (1026 rows: 1024 codes + EOS + mask)

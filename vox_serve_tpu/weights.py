@@ -69,6 +69,15 @@ def load_safetensors_state(model_dir: Path) -> dict[str, np.ndarray]:
     return state
 
 
+def load_safetensors_file(path: Path) -> dict[str, np.ndarray]:
+    """Load one specific safetensors file (repos like ResembleAI/chatterbox
+    ship several distinct checkpoints side by side — t3_cfg / s3gen / ve —
+    that must not be merged)."""
+    from safetensors.numpy import load_file
+
+    return load_file(str(path))
+
+
 def _stack(state: dict, template: str, n_layers: int,
            transpose: bool = False, dtype=jnp.bfloat16) -> jnp.ndarray:
     arrs = []
@@ -133,6 +142,127 @@ def load_llama_family_backbone(
         "final_norm": jnp.asarray(state[p + "norm.weight"]).astype(dtype),
     }
     return params
+
+
+def load_glm_backbone(
+    state: dict[str, np.ndarray],
+    num_layers: int,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    prefix: str = "transformer.encoder.",
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Map the ChatGLM layout (zai-org/glm-4-voice-9b; reference loads it at
+    model/glm_voice.py:318-323) into the stacked backbone pytree: fused
+    ``self_attention.query_key_value`` split into q/k/v rows, fused
+    ``mlp.dense_h_to_4h`` split into gate/up halves (swiglu order:
+    chunk[0]=gate, chunk[1]=up, reference glm_voice.py:95-100)."""
+    L = num_layers
+    p = prefix
+    qd, kd = num_heads * head_dim, num_kv_heads * head_dim
+
+    def stack(template, transpose=False):
+        return _stack(state, p + template, L, transpose=transpose,
+                      dtype=dtype)
+
+    qkv_w = np.stack([
+        state[p + f"layers.{i}.self_attention.query_key_value.weight"]
+        for i in range(L)])          # (L, q+2k, H)
+    qkv_b = np.stack([
+        state[p + f"layers.{i}.self_attention.query_key_value.bias"]
+        for i in range(L)])
+
+    def part_w(lo, hi):
+        return jnp.asarray(qkv_w[:, lo:hi].transpose(0, 2, 1)).astype(dtype)
+
+    def part_b(lo, hi):
+        return jnp.asarray(qkv_b[:, lo:hi]).astype(dtype)
+
+    h4h = np.stack([state[p + f"layers.{i}.mlp.dense_h_to_4h.weight"]
+                    for i in range(L)])  # (L, 2*ffn, H)
+    ffn = h4h.shape[1] // 2
+
+    return {
+        "layers": {
+            "attn": {
+                "q": {"w": part_w(0, qd), "b": part_b(0, qd)},
+                "k": {"w": part_w(qd, qd + kd), "b": part_b(qd, qd + kd)},
+                "v": {"w": part_w(qd + kd, qd + 2 * kd),
+                      "b": part_b(qd + kd, qd + 2 * kd)},
+                "o": {"w": stack("layers.{i}.self_attention.dense.weight",
+                                 transpose=True)},
+            },
+            "mlp": {
+                "gate": {"w": jnp.asarray(
+                    h4h[:, :ffn].transpose(0, 2, 1)).astype(dtype)},
+                "up": {"w": jnp.asarray(
+                    h4h[:, ffn:].transpose(0, 2, 1)).astype(dtype)},
+                "down": {"w": stack("layers.{i}.mlp.dense_4h_to_h.weight",
+                                    transpose=True)},
+            },
+            "input_norm": stack("layers.{i}.input_layernorm.weight"),
+            "post_norm": stack("layers.{i}.post_attention_layernorm.weight"),
+        },
+        "final_norm": jnp.asarray(
+            state[p + "final_layernorm.weight"]).astype(dtype),
+    }
+
+
+def load_zonos_backbone(
+    state: dict[str, np.ndarray],
+    num_layers: int,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    prefix: str = "backbone.",
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Map the Zyphra/Zonos-v0.1-transformer layout (reference strict copy at
+    model/zonos.py:555-571): per-layer LayerNorms with bias (norm / norm2 /
+    norm_f), fused ``mixer.in_proj`` split into q/k/v rows, GLU MLP whose
+    fc1 FIRST half is the up path and SECOND half the silu gate
+    (zonos.py:70-74: ``y, gate = fc1(x).chunk(2)``)."""
+    L = num_layers
+    p = prefix
+    qd, kd = num_heads * head_dim, num_kv_heads * head_dim
+
+    in_proj = np.stack([state[p + f"layers.{i}.mixer.in_proj.weight"]
+                        for i in range(L)])            # (L, q+2k, H)
+    fc1 = np.stack([state[p + f"layers.{i}.mlp.fc1.weight"]
+                    for i in range(L)])                # (L, 2*ffn, H)
+    ffn = fc1.shape[1] // 2
+
+    def tr(a):
+        return jnp.asarray(a.transpose(0, 2, 1)).astype(dtype)
+
+    def stack(template):
+        return _stack(state, p + template, L, dtype=dtype)
+
+    return {
+        "layers": {
+            "attn": {
+                "q": {"w": tr(in_proj[:, :qd])},
+                "k": {"w": tr(in_proj[:, qd:qd + kd])},
+                "v": {"w": tr(in_proj[:, qd + kd:qd + 2 * kd])},
+                "o": {"w": _stack(state,
+                                  p + "layers.{i}.mixer.out_proj.weight", L,
+                                  transpose=True, dtype=dtype)},
+            },
+            "mlp": {
+                "up": {"w": tr(fc1[:, :ffn])},
+                "gate": {"w": tr(fc1[:, ffn:])},
+                "down": {"w": _stack(state, p + "layers.{i}.mlp.fc2.weight",
+                                     L, transpose=True, dtype=dtype)},
+            },
+            "input_norm": stack("layers.{i}.norm.weight"),
+            "input_norm_b": stack("layers.{i}.norm.bias"),
+            "post_norm": stack("layers.{i}.norm2.weight"),
+            "post_norm_b": stack("layers.{i}.norm2.bias"),
+        },
+        "final_norm": jnp.asarray(state[p + "norm_f.weight"]).astype(dtype),
+        "final_norm_b": jnp.asarray(state[p + "norm_f.bias"]).astype(dtype),
+    }
 
 
 def load_embedding(state: dict, name: str, dtype=jnp.bfloat16) -> jnp.ndarray:
