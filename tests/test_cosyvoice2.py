@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vox_serve_tpu.codecs.cosyvoice_flow import CosyFlowConfig
 from vox_serve_tpu.codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
 from vox_serve_tpu.codecs.hifigan import HiFTConfig, hift_decode, init_hift
 from vox_serve_tpu.models.backbone import BackboneConfig
@@ -20,6 +21,11 @@ SMALL_BACKBONE = BackboneConfig(
 SMALL_FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=2,
                         heads=4, estimator_layers=2, estimator_hidden=32,
                         n_timesteps=3, left_context=8)
+SMALL_COSY_FLOW = CosyFlowConfig(
+    input_size=32, output_size=32, heads=4, linear_units=64, num_blocks=1,
+    up_blocks=1, vocab_size=6561, spk_dim=8, mel_dim=16, est_channels=16,
+    est_head_dim=8, est_heads=2, est_n_blocks=1, est_mid_blocks=1,
+    n_timesteps=2)
 SMALL_HIFT = HiFTConfig(in_channels=16, base_channels=32, nb_harmonics=4,
                         upsample_rates=(8, 5, 3), upsample_kernel_sizes=(16, 11, 7),
                         f0_cond_channels=16)
@@ -56,7 +62,7 @@ def test_flow_shapes_and_streaming_cache():
 @pytest.fixture(scope="module")
 def model():
     return CosyVoice2LM(dtype=jnp.float32, debug_backbone=SMALL_BACKBONE,
-                        debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+                        debug_flow=SMALL_COSY_FLOW, debug_hift=SMALL_HIFT)
 
 
 def test_prompt_structure(model):

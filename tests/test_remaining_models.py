@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vox_serve_tpu.codecs.cosyvoice_flow import CosyFlowConfig
 from vox_serve_tpu.codecs.flow import FlowConfig
 from vox_serve_tpu.codecs.hifigan import HiFTConfig
 from vox_serve_tpu.models.backbone import BackboneConfig
@@ -18,6 +19,11 @@ from vox_serve_tpu.models.step_audio_2 import StepAudio2LM
 from vox_serve_tpu.requests import Request
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
+SMALL_COSY_FLOW = CosyFlowConfig(
+    input_size=32, output_size=32, heads=4, linear_units=64, num_blocks=1,
+    up_blocks=1, vocab_size=6561, spk_dim=8, mel_dim=16, est_channels=16,
+    est_head_dim=8, est_heads=2, est_n_blocks=1, est_mid_blocks=1,
+    n_timesteps=2)
 SMALL_FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=1,
                         heads=4, estimator_layers=1, estimator_hidden=32,
                         n_timesteps=2, left_context=8, vocab_size=8192)
@@ -51,7 +57,7 @@ def _run_through_worker(model, prompt="hello", steps=30):
 def test_chatterbox_prompt_and_decode():
     m = ChatterboxLM(dtype=jnp.float32,
                      debug_backbone=_small_backbone(6563, llama31_rope_scaling=True),
-                     debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+                     debug_flow=SMALL_COSY_FLOW, debug_hift=SMALL_HIFT)
     po = m.preprocess(prompt="hello there")
     assert po.input_tokens.shape[1] == 1
     assert len(po.input_tokens) > COND_LEN + 2

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vox_serve_tpu.codecs.cosyvoice_flow import CosyFlowConfig
 from vox_serve_tpu.codecs.flow import FlowConfig
 from vox_serve_tpu.codecs.hifigan import HiFTConfig
 from vox_serve_tpu.encoders.perceiver import (
@@ -20,6 +21,11 @@ from vox_serve_tpu.models.backbone import BackboneConfig
 from vox_serve_tpu.models.chatterbox import COND_LEN, ChatterboxLM
 from vox_serve_tpu.models.cosyvoice2 import SPEECH_TOKEN_SIZE, CosyVoice2LM
 
+SMALL_COSY_FLOW = CosyFlowConfig(
+    input_size=32, output_size=32, heads=4, linear_units=64, num_blocks=1,
+    up_blocks=1, vocab_size=6561, spk_dim=8, mel_dim=16, est_channels=16,
+    est_head_dim=8, est_heads=2, est_n_blocks=1, est_mid_blocks=1,
+    n_timesteps=2)
 SMALL_FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=1,
                         heads=4, estimator_layers=1, estimator_hidden=32,
                         n_timesteps=2, left_context=8, vocab_size=8192)
@@ -87,7 +93,7 @@ def test_perceiver_static_output_and_masking():
 def test_chatterbox_clone_conditioning(ref_wav):
     m = ChatterboxLM(
         debug_backbone=_small_backbone(6563, llama31_rope_scaling=True),
-        debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+        debug_flow=SMALL_COSY_FLOW, debug_hift=SMALL_HIFT)
     neutral = m.preprocess(prompt="hello world")
     clone = m.preprocess(prompt="hello world", audio_path=ref_wav)
     assert np.abs(neutral.input_features[:COND_LEN]).sum() == 0.0
@@ -103,7 +109,7 @@ def test_chatterbox_clone_conditioning(ref_wav):
 def test_chatterbox_bad_reference_falls_back(ref_wav, tmp_path):
     m = ChatterboxLM(
         debug_backbone=_small_backbone(6563, llama31_rope_scaling=True),
-        debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+        debug_flow=SMALL_COSY_FLOW, debug_hift=SMALL_HIFT)
     bad = str(tmp_path / "bad.wav")
     with open(bad, "wb") as f:
         f.write(b"not a wav at all")
@@ -115,7 +121,7 @@ def test_cosyvoice2_reference_tokens(ref_wav):
     m = CosyVoice2LM(debug_backbone=BackboneConfig(
         vocab_size=151936, hidden_size=64, num_layers=2, num_heads=4,
         num_kv_heads=2, head_dim=16, intermediate_size=128, qkv_bias=True,
-        dtype=jnp.float32), debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+        dtype=jnp.float32), debug_flow=SMALL_COSY_FLOW, debug_hift=SMALL_HIFT)
     plain = m.preprocess(prompt="hi there")
     clone = m.preprocess(prompt="hi there", audio_path=ref_wav)
     # ICL prompt speech tokens appended after the task id
@@ -123,7 +129,7 @@ def test_cosyvoice2_reference_tokens(ref_wav):
     extra = clone.input_tokens[plain.input_tokens.shape[0]:, 0]
     assert (extra >= 0).all() and (extra < SPEECH_TOKEN_SIZE).all()
     toks, spk = m._encode_reference(ref_wav)
-    assert spk.shape == (SMALL_FLOW.spk_dim,)
+    assert spk.shape == (SMALL_COSY_FLOW.spk_dim,)
     toks2, spk2 = m._encode_reference(ref_wav)
     np.testing.assert_array_equal(toks, toks2)
     np.testing.assert_allclose(spk, spk2, atol=1e-6)

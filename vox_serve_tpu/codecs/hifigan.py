@@ -238,6 +238,78 @@ def hift_decode(params: dict, cfg: HiFTConfig, mel: jax.Array,
     return wav, s
 
 
+def load_hift_params(sd: dict, cfg: HiFTConfig, prefix: str = "") -> dict:
+    """Map the published hift.pt checkpoint (HiFTGenerator.state_dict(),
+    reference tokenizer/hifigan.py:429-531; the same module ships with
+    CosyVoice2, Chatterbox s3gen under ``mel2wav.``, GLM and Step-Audio-2)
+    onto the JAX pytree. torch weight_norm (weight_g, weight_v) pairs are
+    folded into plain weights."""
+    from .layers import fold_weight_norm
+
+    def arr(name):
+        return np.asarray(sd[prefix + name])
+
+    def wn_conv(name):
+        # accept old-style (weight_g/weight_v), parametrized
+        # (parametrizations.weight.original0/1) and already-folded weights
+        if prefix + name + ".weight_g" in sd:
+            w = fold_weight_norm(arr(f"{name}.weight_g"),
+                                 arr(f"{name}.weight_v"))
+        elif prefix + name + ".parametrizations.weight.original0" in sd:
+            w = fold_weight_norm(
+                arr(f"{name}.parametrizations.weight.original0"),
+                arr(f"{name}.parametrizations.weight.original1"))
+        else:
+            w = arr(f"{name}.weight")
+        p = {"w": jnp.asarray(w, jnp.float32)}
+        if prefix + name + ".bias" in sd:
+            p["b"] = jnp.asarray(arr(f"{name}.bias"), jnp.float32)
+        return p
+
+    def conv(name):
+        p = {"w": jnp.asarray(arr(f"{name}.weight"), jnp.float32)}
+        if prefix + name + ".bias" in sd:
+            p["b"] = jnp.asarray(arr(f"{name}.bias"), jnp.float32)
+        return p
+
+    def resblock(name, n=3):
+        return {
+            "convs1": [wn_conv(f"{name}.convs1.{j}") for j in range(n)],
+            "convs2": [wn_conv(f"{name}.convs2.{j}") for j in range(n)],
+            "alpha1": [jnp.asarray(arr(f"{name}.activations1.{j}.alpha"
+                                       ).reshape(-1), jnp.float32)
+                       for j in range(n)],
+            "alpha2": [jnp.asarray(arr(f"{name}.activations2.{j}.alpha"
+                                       ).reshape(-1), jnp.float32)
+                       for j in range(n)],
+        }
+
+    n_up = len(cfg.upsample_rates)
+    n_k = len(cfg.resblock_kernel_sizes)
+    return {
+        "f0_convs": [wn_conv(f"f0_predictor.condnet.{2 * i}")
+                     for i in range(5)],
+        "f0_out_w": jnp.asarray(arr("f0_predictor.classifier.weight").T,
+                                jnp.float32),
+        "f0_out_b": jnp.asarray(arr("f0_predictor.classifier.bias"),
+                                jnp.float32),
+        "source_linear_w": jnp.asarray(arr("m_source.l_linear.weight").T,
+                                       jnp.float32),
+        "source_linear_b": jnp.asarray(arr("m_source.l_linear.bias"),
+                                       jnp.float32),
+        "conv_pre": wn_conv("conv_pre"),
+        "ups": [wn_conv(f"ups.{i}") for i in range(n_up)],
+        "source_downs": [conv(f"source_downs.{i}") for i in range(n_up)],
+        "source_resblocks": [
+            resblock(f"source_resblocks.{i}",
+                     len(cfg.resblock_dilations[i])) for i in range(n_up)],
+        "resblocks": [resblock(f"resblocks.{i * n_k + j}",
+                               len(cfg.resblock_dilations[j]))
+                      for i in range(n_up) for j in range(n_k)],
+        "conv_post": wn_conv("conv_post"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # streaming (chunked) decode — reference HiFTGeneratorCache semantics
 # ---------------------------------------------------------------------------

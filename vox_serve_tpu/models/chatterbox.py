@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
-from ..codecs.hifigan import (HiFTConfig, hift_decode,
-                              hift_decode_chunk, init_hift,
-                              init_hift_cache)
+from ..codecs.cosyvoice_flow import (CosyFlowConfig, init_cosy_flow,
+                                     load_cosy_flow_params)
+from ..models.flow_common import CosyFlowDecodeMixin
+from ..codecs.hifigan import HiFTConfig, init_hift
 from ..encoders.mel import MelConfig, log_mel_spectrogram
 from ..encoders.perceiver import PerceiverConfig, init_perceiver, perceiver_resample
 from ..encoders.s3_tokenizer import S3TokenizerConfig, init_s3_tokenizer, s3_tokenize
@@ -47,7 +47,7 @@ STOP_TEXT = 0
 COND_LEN = 34  # perceiver output length (32) + speaker + emotion
 
 
-class ChatterboxLM(BaseLM):
+class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
     SAMPLE_RATE = 24000
     supports_audio_input = True
     needs_input_features = True
@@ -64,7 +64,7 @@ class ChatterboxLM(BaseLM):
             num_heads=16, num_kv_heads=16, intermediate_size=4096,
             llama31_rope_scaling=True, rope_theta=500_000.0, dtype=dtype,
         )
-        self._flow_cfg = debug_flow or FlowConfig(vocab_size=SPEECH_VOCAB)
+        self._flow_cfg = debug_flow or CosyFlowConfig(vocab_size=6561)
         self._hift_cfg = debug_hift or HiFTConfig()
         self.text_tokenizer, self.assets_available = load_text_tokenizer(
             model_name, TEXT_VOCAB)
@@ -91,8 +91,10 @@ class ChatterboxLM(BaseLM):
                                 * 0.02).astype(dtype),
             }
         self.codec_params = {
-            "flow": init_flow(self._flow_cfg, ks[6]),
-            "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
+            "flow": self._load_flow_checkpoint()
+            or init_cosy_flow(self._flow_cfg, ks[6]),
+            "hift": self._load_hift_checkpoint()
+            or init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
         }
         # voice-cloning conditioning encoder: perceiver resampler over
         # reference-prompt speech features + speaker x-vector + emotion
@@ -313,30 +315,51 @@ class ChatterboxLM(BaseLM):
         return (hidden @ params["speech_head"])[:, None, :]
 
     # ---- codec -------------------------------------------------------------
-    def detokenize(self, codec_params, token_ids, cache):
-        tokens = jnp.clip(token_ids[:, :, 0], 0, 6560)
-        B = tokens.shape[0]
-        spk = jnp.zeros((B, self._flow_cfg.spk_dim))
-        flow_cache = cache["flow"] if cache is not None else None
-        mel, new_flow = flow_tokens_to_mel(
-            codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache,
-            jax.random.key(0))
-        # keep derives from the ACTUAL window length so multi-chunk
-        # catch-up windows ((k-1)*step+interval tokens) decode correctly
-        keep = (token_ids.shape[1] - self.detokenize_overlap) * \
-            self._flow_cfg.upsample
-        mel = mel[:, :, -keep:]
-        if cache is not None:
-            # streaming HiFT caches per slot (phase continuity across
-            # chunk boundaries; VERDICT weak #1)
-            wav, new_hift = hift_decode_chunk(
-                codec_params["hift"], self._hift_cfg, mel, cache["hift"])
-            new_cache = {"flow": new_flow, "hift": new_hift}
-        else:
-            wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
-            new_cache = None
-        return wav[:, None, :], new_cache
+    # detokenize / init_decoder_cache come from CosyFlowDecodeMixin (the
+    # weight-exact CosyVoice-family flow the reference s3gen uses +
+    # streaming HiFT, left-context recompute)
 
-    def init_decoder_cache(self, batch):
-        return {"flow": flow_init_cache(self._flow_cfg, batch),
-                "hift": init_hift_cache(self._hift_cfg, batch)}
+    def _load_flow_checkpoint(self):
+        """Map the s3gen.safetensors flow weights (reference
+        model/chatterbox.py:430-437 loads them strict=False; the flow
+        submodule lives under the ``flow.`` prefix)."""
+        from ..weights import load_safetensors_file, resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        path = model_dir / "s3gen.safetensors"
+        if not path.exists():
+            return None
+        try:
+            sd = load_safetensors_file(path)
+            return load_cosy_flow_params(sd, self._flow_cfg, prefix="flow.")
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("chatterbox").warning(
+                "flow checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
+
+    def _load_hift_checkpoint(self):
+        """HiFT weights live in s3gen.safetensors under ``mel2wav.``."""
+        from ..codecs.hifigan import load_hift_params
+        from ..weights import load_safetensors_file, resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        path = model_dir / "s3gen.safetensors"
+        if not path.exists():
+            return None
+        try:
+            sd = load_safetensors_file(path)
+            return load_hift_params(sd, self._hift_cfg, prefix="mel2wav.")
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("chatterbox").warning(
+                "hift checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None

@@ -21,10 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
-from ..codecs.hifigan import (HiFTConfig, hift_decode,
-                              hift_decode_chunk, init_hift,
-                              init_hift_cache)
+from ..codecs.cosyvoice_flow import (CosyFlowConfig, init_cosy_flow,
+                                     load_cosy_flow_params)
+from ..codecs.hifigan import HiFTConfig, init_hift
+from ..models.flow_common import CosyFlowDecodeMixin
 from ..models.backbone import BackboneConfig, init_backbone_params
 from ..encoders.mel import MelConfig, log_mel_spectrogram
 from ..encoders.s3_tokenizer import S3TokenizerConfig, init_s3_tokenizer, s3_tokenize
@@ -44,7 +44,7 @@ STOP_IDS = (SPEECH_TOKEN_SIZE, SPEECH_TOKEN_SIZE + 1, SPEECH_TOKEN_SIZE + 2)
 MAX_REF_TOKENS = 150  # cap ICL prompt speech tokens (~6 s at 25 Hz)
 
 
-class CosyVoice2LM(BaseLM):
+class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
     SAMPLE_RATE = 24000
     needs_input_features = True
     needs_input_masks = True
@@ -59,7 +59,7 @@ class CosyVoice2LM(BaseLM):
             num_kv_heads=2, intermediate_size=4864, qkv_bias=True,
             rope_theta=1_000_000.0, dtype=dtype,
         )
-        self._flow_cfg = debug_flow or FlowConfig()
+        self._flow_cfg = debug_flow or CosyFlowConfig()
         self._hift_cfg = debug_hift or HiFTConfig()
         self.text_tokenizer, self.assets_available = load_text_tokenizer(
             model_name, self._cfg.vocab_size)
@@ -108,8 +108,10 @@ class CosyVoice2LM(BaseLM):
             "head": head,
         }
         self.codec_params = {
-            "flow": init_flow(self._flow_cfg, ks[5]),
-            "hift": init_hift(self._hift_cfg, ks[6]),
+            "flow": self._load_flow_checkpoint(model_dir)
+            or init_cosy_flow(self._flow_cfg, ks[5]),
+            "hift": self._load_hift_checkpoint(model_dir)
+            or init_hift(self._hift_cfg, ks[6]),
         }
         # default speaker reference (offline: neutral zero x-vector, no ICL)
         self.default_ref = {
@@ -210,9 +212,14 @@ class CosyVoice2LM(BaseLM):
         for st in ref_speech:
             feats[pos] = np.asarray(speech_embed_tbl[int(st)], np.float32)
             pos += 1
+        # thread the x-vector into the flow decoder's per-slot cache
+        dci = None
+        if np.any(np.asarray(ref["spk"])):
+            dci = self.make_flow_cache_row(spk=ref["spk"])
         return PreprocessOutput(input_tokens=input_tokens,
                                 input_masks=input_masks,
-                                input_features=feats)
+                                input_features=feats,
+                                decoder_cache_init=dci)
 
     def _encode_reference(self, audio_path):
         """Reference WAV -> (speech tokens (T',) int32 in [0, vocab),
@@ -258,39 +265,53 @@ class CosyVoice2LM(BaseLM):
         return (hidden @ params["head"])[:, None, :]
 
     # ---- codec -------------------------------------------------------------
-    def detokenize(self, codec_params, token_ids, cache):
-        """(B, 28, 1) tokens -> (B, 1, 24000). Flow decodes the full window;
-        the leading `overlap` tokens are re-decoded context and their mel
-        frames are dropped before vocoding."""
-        B = token_ids.shape[0]
-        tokens = jnp.clip(token_ids[:, :, 0], 0, SPEECH_TOKEN_SIZE - 1)
-        spk = cache["spk"] if cache is not None else jnp.zeros(
-            (B, self._flow_cfg.spk_dim))
-        flow_cache = cache["flow"] if cache is not None else None
-        rng = jax.random.key(0)
-        mel, new_flow_cache = flow_tokens_to_mel(
-            codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache, rng)
-        # keep derives from the ACTUAL window length so multi-chunk
-        # catch-up windows ((k-1)*step+interval tokens) decode correctly
-        keep = (token_ids.shape[1] - self.detokenize_overlap) * \
-            self._flow_cfg.upsample
-        mel = mel[:, :, -keep:]
-        if cache is not None:
-            # streaming HiFT: mel/source/speech caches carried per slot so
-            # chunk boundaries stay phase-continuous (VERDICT weak #1;
-            # reference cosyvoice2.py:1050-1075)
-            wav, new_hift = hift_decode_chunk(
-                codec_params["hift"], self._hift_cfg, mel, cache["hift"])
-            new_cache = {"flow": new_flow_cache, "spk": spk,
-                         "hift": new_hift}
-        else:
-            wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
-            new_cache = None
-        return wav[:, None, :], new_cache
+    # detokenize / init_decoder_cache come from CosyFlowDecodeMixin: the
+    # weight-exact CosyVoice flow (codecs/cosyvoice_flow.py) + streaming HiFT
+    # with left-context recompute (models/flow_common.py)
 
-    def init_decoder_cache(self, batch):
-        return {
-            "flow": flow_init_cache(self._flow_cfg, batch),
-            "spk": jnp.zeros((batch, self._flow_cfg.spk_dim)),
-            "hift": init_hift_cache(self._hift_cfg, batch),
-        }
+    def _load_flow_checkpoint(self, model_dir):
+        """Map flow.pt from the local snapshot (reference cosyvoice2.py
+        downloads flow.pt/hift.pt alongside the LLM checkpoint)."""
+        if model_dir is None:
+            return None
+        path = model_dir / "flow.pt"
+        if not path.exists():
+            return None
+        try:
+            import torch
+
+            sd = {k: v.numpy() for k, v in torch.load(
+                str(path), map_location="cpu", weights_only=True).items()}
+            return load_cosy_flow_params(sd, self._flow_cfg)
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("cosyvoice2").warning(
+                "flow checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
+
+    def _load_hift_checkpoint(self, model_dir):
+        """Map hift.pt (reference cosyvoice2.py:802-855: keys carry a
+        ``generator.`` prefix that is stripped before the strict load)."""
+        if model_dir is None:
+            return None
+        path = model_dir / "hift.pt"
+        if not path.exists():
+            return None
+        try:
+            import torch
+
+            from ..codecs.hifigan import load_hift_params
+
+            sd = {k.replace("generator.", ""): v.numpy()
+                  for k, v in torch.load(str(path), map_location="cpu",
+                                         weights_only=True).items()}
+            return load_hift_params(sd, self._hift_cfg)
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("cosyvoice2").warning(
+                "hift checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
