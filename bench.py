@@ -69,7 +69,11 @@ def main():
         max_batch_size=BATCH, num_pages=4096, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=1,
         warmup=False, pipeline_depth=2, use_pallas=not smoke,
-        kv_reserve_fraction=0.05, first_chunk_frames=2,
+        kv_reserve_fraction=0.05,
+        # keep the compile count down (remote TPU compiles are minutes each):
+        # two decode buckets, interval-length detok only, no catch-up lengths
+        decode_buckets_override=(1, BATCH), multi_chunk_ks=(),
+        first_chunk_frames=0,
     )
     worker = ModelWorker(model, wcfg)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)

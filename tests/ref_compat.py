@@ -127,6 +127,52 @@ def install_reference_stubs() -> None:
     lib.resample = lambda *a, **k: (_ for _ in ()).throw(
         NotImplementedError("librosa.resample stub"))
 
+    # minimal faithful diffusers.models.attention_processor.Attention
+    # (self-attention path only; same parameter names as diffusers so
+    # reference checkpoints map identically)
+    ap = _stub("diffusers.models.attention_processor")
+    try:
+        import torch
+        import torch.nn.functional as F
+        from torch import nn
+
+        class _DiffusersAttention(nn.Module):
+            def __init__(self, query_dim, cross_attention_dim=None, heads=8,
+                         dim_head=64, dropout=0.0, bias=False,
+                         upcast_attention=False, **kw):
+                super().__init__()
+                inner = heads * dim_head
+                cross = cross_attention_dim or query_dim
+                self.heads = heads
+                self.to_q = nn.Linear(query_dim, inner, bias=bias)
+                self.to_k = nn.Linear(cross, inner, bias=bias)
+                self.to_v = nn.Linear(cross, inner, bias=bias)
+                self.to_out = nn.ModuleList(
+                    [nn.Linear(inner, query_dim), nn.Dropout(dropout)])
+
+            def forward(self, hidden_states, encoder_hidden_states=None,
+                        attention_mask=None, **kw):
+                ctx = (encoder_hidden_states if encoder_hidden_states
+                       is not None else hidden_states)
+                B, T, _ = hidden_states.shape
+                q = self.to_q(hidden_states)
+                k = self.to_k(ctx)
+                v = self.to_v(ctx)
+                hd = q.shape[-1] // self.heads
+                q = q.view(B, T, self.heads, hd).transpose(1, 2)
+                k = k.view(B, -1, self.heads, hd).transpose(1, 2)
+                v = v.view(B, -1, self.heads, hd).transpose(1, 2)
+                if attention_mask is not None and attention_mask.ndim == 3:
+                    attention_mask = attention_mask[:, None]
+                out = F.scaled_dot_product_attention(
+                    q, k, v, attn_mask=attention_mask)
+                out = out.transpose(1, 2).reshape(B, T, -1)
+                return self.to_out[1](self.to_out[0](out))
+
+        ap.Attention = _DiffusersAttention
+    except Exception:  # torch unavailable: leave the plain stub
+        pass
+
 
 def import_reference(dotted: str):
     """Import a reference module (e.g. 'vox_serve.model.qwen3_tts') with

@@ -96,6 +96,83 @@ def init_snac_decoder(cfg: SNACConfig, key: jax.Array) -> dict:
     return params
 
 
+def load_snac_params(sd: dict, cfg: SNACConfig, prefix: str = "") -> dict:
+    """Map the published SNAC checkpoint (hubertsiuzdak/snac_24khz layout,
+    reference tokenizer/snac.py:360-486) onto the JAX pytree, folding
+    weight-norm. Only the decode path (quantizer out_proj + decoder)."""
+    import numpy as np
+
+    from .layers import fold_weight_norm
+
+    def arr(name):
+        return np.asarray(sd[prefix + name])
+
+    def wn(name):
+        if prefix + name + ".parametrizations.weight.original0" in sd:
+            w = fold_weight_norm(
+                arr(f"{name}.parametrizations.weight.original0"),
+                arr(f"{name}.parametrizations.weight.original1"))
+        elif prefix + name + ".weight_g" in sd:
+            w = fold_weight_norm(arr(f"{name}.weight_g"),
+                                 arr(f"{name}.weight_v"))
+        else:
+            w = arr(f"{name}.weight")
+        p = {"w": jnp.asarray(w, jnp.float32)}
+        if prefix + name + ".bias" in sd:
+            p["b"] = jnp.asarray(arr(f"{name}.bias"), jnp.float32)
+        return p
+
+    def alpha(name):
+        return jnp.asarray(arr(name), jnp.float32)
+
+    params: dict = {"quantizers": []}
+    for i in range(len(cfg.vq_strides)):
+        params["quantizers"].append({
+            "codebook": jnp.asarray(
+                arr(f"quantizer.quantizers.{i}.codebook.weight"), jnp.float32),
+            "out_proj": wn(f"quantizer.quantizers.{i}.out_proj"),
+        })
+
+    dec: dict = {}
+    d = "decoder.model"
+    if cfg.depthwise:
+        dec["stem_dw"] = wn(f"{d}.0")
+        dec["stem_pw"] = wn(f"{d}.1")
+        base = 2
+    else:
+        dec["stem"] = wn(f"{d}.0")
+        base = 1
+    if cfg.attn_window_size:
+        base += 1  # LocalMHA occupies one slot
+    blocks = []
+    for i in range(len(cfg.decoder_rates)):
+        pre = f"{d}.{base + i}.block"
+        b = {
+            "alpha_in": alpha(f"{pre}.0.alpha"),
+            "up": wn(f"{pre}.1"),
+            "res": [],
+        }
+        res_start = 2
+        if cfg.noise:
+            b["noise"] = wn(f"{pre}.2.linear")
+            res_start = 3
+        for j in range(3):
+            rp = f"{pre}.{res_start + j}.block"
+            b["res"].append({
+                "alpha1": alpha(f"{rp}.0.alpha"),
+                "conv1": wn(f"{rp}.1"),
+                "alpha2": alpha(f"{rp}.2.alpha"),
+                "conv2": wn(f"{rp}.3"),
+            })
+        blocks.append(b)
+    dec["blocks"] = blocks
+    n = base + len(cfg.decoder_rates)
+    dec["alpha_out"] = alpha(f"{d}.{n}.alpha")
+    dec["head"] = wn(f"{d}.{n + 1}")
+    params["decoder"] = dec
+    return params
+
+
 def _residual_unit(p: dict, x: jax.Array, dilation: int, groups: int) -> jax.Array:
     pad = (7 - 1) * dilation // 2
     y = snake(x, p["alpha1"])

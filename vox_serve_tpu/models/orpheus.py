@@ -82,9 +82,42 @@ class OrpheusLM(BaseLM):
                     ).astype(self.dtype),
             }
             self.assets_available = False
-        # SNAC decoder (hubertsiuzdak/snac_24khz) — random init offline
-        self.codec_params = init_snac_decoder(self._snac_cfg,
-                                              jax.random.key(7))
+        # SNAC decoder (hubertsiuzdak/snac_24khz, reference orpheus.py:247-249)
+        self.codec_params = (self._load_snac()
+                             or init_snac_decoder(self._snac_cfg,
+                                                  jax.random.key(7)))
+
+    def _load_snac(self):
+        """Map the published SNAC checkpoint (golden-tested in
+        tests/test_snac_parity.py). snac_24khz ships pytorch_model.bin."""
+        if self._snac_cfg != SNACConfig():
+            return None  # debug dims can't take real weights
+        from ..weights import resolve_model_dir
+
+        model_dir = resolve_model_dir("hubertsiuzdak/snac_24khz")
+        if model_dir is None:
+            return None
+        try:
+            from ..codecs.snac import load_snac_params
+
+            try:
+                from ..weights import load_safetensors_state
+
+                sd = load_safetensors_state(model_dir)
+            except FileNotFoundError:
+                import torch
+
+                sd = {k: v.numpy() for k, v in torch.load(
+                    str(model_dir / "pytorch_model.bin"),
+                    map_location="cpu", weights_only=True).items()}
+            return load_snac_params(sd, self._snac_cfg)
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("orpheus").warning(
+                "snac checkpoint mapping failed (%s); random init",
+                type(e).__name__)
+            return None
 
     # ---- metadata --------------------------------------------------------
     @property

@@ -87,8 +87,17 @@ class WorkerConfig:
     #: the request's decode step until a completion frees pages.
     kv_reserve_fraction: float = 1.0
 
+    #: explicit decode-bucket lattice (sorted ascending, last must equal
+    #: max_batch_size). None -> power-of-2 lattice. Fewer buckets = fewer
+    #: compiles (important when startup time is budgeted, e.g. benches) at
+    #: the cost of more padding.
+    decode_buckets_override: Optional[tuple[int, ...]] = None
+
     @property
     def decode_buckets(self) -> tuple[int, ...]:
+        if self.decode_buckets_override is not None:
+            assert self.decode_buckets_override[-1] == self.max_batch_size
+            return tuple(self.decode_buckets_override)
         b, out = 1, []
         while b < self.max_batch_size:
             out.append(b)
