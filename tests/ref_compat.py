@@ -26,6 +26,7 @@ _STUBS = (
     "s3tokenizer",
     "vector_quantize_pytorch",
     "inflect", "kanjize", "sudachipy",
+    "pydub",
 )
 
 

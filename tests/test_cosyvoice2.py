@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 from vox_serve_tpu.codecs.cosyvoice_flow import CosyFlowConfig
-from vox_serve_tpu.codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
 from vox_serve_tpu.codecs.hifigan import HiFTConfig, hift_decode, init_hift
 from vox_serve_tpu.models.backbone import BackboneConfig
 from vox_serve_tpu.models.cosyvoice2 import SOS, STOP_IDS, TASK_ID, CosyVoice2LM
@@ -18,9 +17,6 @@ SMALL_BACKBONE = BackboneConfig(
     num_kv_heads=2, head_dim=16, intermediate_size=128, qkv_bias=True,
     dtype=jnp.float32,
 )
-SMALL_FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=2,
-                        heads=4, estimator_layers=2, estimator_hidden=32,
-                        n_timesteps=3, left_context=8)
 SMALL_COSY_FLOW = CosyFlowConfig(
     input_size=32, output_size=32, heads=4, linear_units=64, num_blocks=1,
     up_blocks=1, vocab_size=6561, spk_dim=8, mel_dim=16, est_channels=16,
@@ -39,24 +35,6 @@ def test_hift_shapes_and_range():
     assert wav.shape == (2, 10 * cfg.total_upsample)
     assert source.shape == (2, 1, 10 * cfg.total_upsample)
     assert np.all(np.abs(np.asarray(wav)) <= cfg.audio_limit + 1e-6)
-
-
-def test_flow_shapes_and_streaming_cache():
-    cfg = SMALL_FLOW
-    params = init_flow(cfg, jax.random.key(0))
-    tokens = jax.random.randint(jax.random.key(1), (2, 12), 0, 6561)
-    spk = jnp.zeros((2, cfg.spk_dim))
-    mel, _ = flow_tokens_to_mel(params, cfg, tokens, spk, None,
-                                jax.random.key(2))
-    assert mel.shape == (2, cfg.mel_dim, 24)
-    # streaming: two chunks produce the right shapes and the cache advances
-    cache = flow_init_cache(cfg, 2)
-    m1, cache = flow_tokens_to_mel(params, cfg, tokens[:, :6], spk, cache,
-                                   jax.random.key(3))
-    m2, cache = flow_tokens_to_mel(params, cfg, tokens[:, 6:], spk, cache,
-                                   jax.random.key(4))
-    assert m1.shape == m2.shape == (2, cfg.mel_dim, 12)
-    assert int(cache["enc_len"][0]) > 0
 
 
 @pytest.fixture(scope="module")

@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from vox_serve_tpu.codecs.cosyvoice_flow import CosyFlowConfig
-from vox_serve_tpu.codecs.flow import FlowConfig
+from vox_serve_tpu.codecs.glm_flow import GLMFlowConfig
+from vox_serve_tpu.codecs.step_dit import StepFlowConfig
 from vox_serve_tpu.codecs.hifigan import HiFTConfig
 from vox_serve_tpu.models.backbone import BackboneConfig
 from vox_serve_tpu.models.chatterbox import (
@@ -24,9 +25,15 @@ SMALL_COSY_FLOW = CosyFlowConfig(
     up_blocks=1, vocab_size=6561, spk_dim=8, mel_dim=16, est_channels=16,
     est_head_dim=8, est_heads=2, est_n_blocks=1, est_mid_blocks=1,
     n_timesteps=2)
-SMALL_FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=1,
-                        heads=4, estimator_layers=1, estimator_hidden=32,
-                        n_timesteps=2, left_context=8, vocab_size=8192)
+SMALL_STEP_FLOW = StepFlowConfig(
+    input_size=32, output_size=32, heads=4, linear_units=64, num_blocks=1,
+    up_blocks=1, vocab_size=6656, spk_dim=8, mel_dim=16, dit_depth=1,
+    dit_hidden=32, dit_heads=2, dit_head_dim=16, n_timesteps=2)
+SMALL_GLM_FLOW = GLMFlowConfig(
+    input_size=32, output_size=32, heads=4, linear_units=64, num_blocks=1,
+    vocab_size=16384, spk_dim=8, mel_dim=16, est_channels=(16, 16),
+    est_head_dim=8, est_heads=2, est_n_blocks=1, est_mid_blocks=1,
+    n_timesteps=2, regulator_layers=1)
 SMALL_HIFT = HiFTConfig(in_channels=16, base_channels=32, nb_harmonics=2,
                         upsample_rates=(8, 5, 3), upsample_kernel_sizes=(16, 11, 7),
                         f0_cond_channels=16)
@@ -76,7 +83,7 @@ def test_chatterbox_prompt_and_decode():
 def test_glm_interleaved_audio_filtering():
     m = GLMVoiceLM(dtype=jnp.float32,
                    debug_backbone=_small_backbone(168960, qkv_bias=True, rope_dim=8),
-                   debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+                   debug_flow=SMALL_GLM_FLOW, debug_hift=SMALL_HIFT)
     req = Request(request_id="g", prompt="x")
     # text token -> not audio
     m.update_request_state(req, np.array([100], np.int32))
@@ -93,7 +100,7 @@ def test_glm_interleaved_audio_filtering():
 def test_glm_through_worker():
     m = GLMVoiceLM(dtype=jnp.float32,
                    debug_backbone=_small_backbone(168960, qkv_bias=True, rope_dim=8),
-                   debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+                   debug_flow=SMALL_GLM_FLOW, debug_hift=SMALL_HIFT)
     worker, req = _run_through_worker(m, steps=10)
     worker.free_kv_cache(req)
 
@@ -101,7 +108,7 @@ def test_glm_through_worker():
 def test_step_audio2_through_worker():
     m = StepAudio2LM(dtype=jnp.float32,
                      debug_backbone=_small_backbone(158720, qkv_bias=True),
-                     debug_flow=SMALL_FLOW, debug_hift=SMALL_HIFT)
+                     debug_flow=SMALL_STEP_FLOW, debug_hift=SMALL_HIFT)
     assert m.is_stop(np.array([151643], np.int32))
     req = Request(request_id="s", prompt="x")
     m.update_request_state(req, np.array([STEP_AUDIO_OFFSET + 3], np.int32))

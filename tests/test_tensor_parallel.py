@@ -8,7 +8,7 @@ import pytest
 
 from vox_serve_tpu.models.backbone import BackboneConfig
 from vox_serve_tpu.models.glm_voice import GLMVoiceLM
-from vox_serve_tpu.codecs.flow import FlowConfig
+from vox_serve_tpu.codecs.glm_flow import GLMFlowConfig
 from vox_serve_tpu.codecs.hifigan import HiFTConfig
 from vox_serve_tpu.requests import Request
 from vox_serve_tpu.sampling import SamplingConfig
@@ -19,9 +19,11 @@ SMALL = BackboneConfig(
     num_kv_heads=4, head_dim=16, intermediate_size=128, qkv_bias=True,
     rope_dim=8, dtype=jnp.float32,
 )
-FLOW = FlowConfig(hidden=32, mel_dim=16, spk_dim=8, encoder_layers=1, heads=4,
-                  estimator_layers=1, estimator_hidden=32, n_timesteps=2,
-                  left_context=8, vocab_size=8192)
+FLOW = GLMFlowConfig(
+    input_size=32, output_size=32, heads=4, linear_units=64, num_blocks=1,
+    vocab_size=16384, spk_dim=8, mel_dim=16, est_channels=(16, 16),
+    est_head_dim=8, est_heads=2, est_n_blocks=1, est_mid_blocks=1,
+    n_timesteps=2, regulator_layers=1)
 HIFT = HiFTConfig(in_channels=16, base_channels=32, nb_harmonics=2,
                   upsample_rates=(8, 5, 3), upsample_kernel_sizes=(16, 11, 7),
                   f0_cond_channels=16)

@@ -295,6 +295,58 @@ def load_cosy_flow_params(sd: dict, cfg: CosyFlowConfig,
 
     enc = "encoder"
     return {
+        **load_cosy_encoder_section(sd, cfg, prefix),
+        "estimator": est,
+    }
+
+
+
+
+def load_cosy_encoder_section(sd: dict, cfg: CosyFlowConfig,
+                              prefix: str = "") -> dict:
+    """Shared mapping of the non-estimator parts (input embedding, speaker
+    affine, upsample conformer encoder, encoder_proj) — identical key layout
+    in CosyVoice2 flow.pt, Chatterbox s3gen, and Step-Audio-2 token2wav
+    (UpsampleConformerEncoderV2 reuses the same module names)."""
+    def arr(name):
+        return jnp.asarray(np.asarray(sd[prefix + name]), jnp.float32)
+
+    def lin(name, bias=True):
+        p = {"w": arr(f"{name}.weight").T}
+        if bias and prefix + name + ".bias" in sd:
+            p["b"] = arr(f"{name}.bias")
+        return p
+
+    def conv(name):
+        p = {"w": arr(f"{name}.weight")}
+        if prefix + name + ".bias" in sd:
+            p["b"] = arr(f"{name}.bias")
+        return p
+
+    def ln(name):
+        return {"w": arr(f"{name}.weight"), "b": arr(f"{name}.bias")}
+
+    def conformer_layer(pre):
+        return {
+            "self_attn": {
+                "linear_q": lin(f"{pre}.self_attn.linear_q"),
+                "linear_k": lin(f"{pre}.self_attn.linear_k"),
+                "linear_v": lin(f"{pre}.self_attn.linear_v"),
+                "linear_out": lin(f"{pre}.self_attn.linear_out"),
+                "linear_pos": lin(f"{pre}.self_attn.linear_pos", bias=False),
+                "pos_bias_u": arr(f"{pre}.self_attn.pos_bias_u"),
+                "pos_bias_v": arr(f"{pre}.self_attn.pos_bias_v"),
+            },
+            "feed_forward": {
+                "w_1": lin(f"{pre}.feed_forward.w_1"),
+                "w_2": lin(f"{pre}.feed_forward.w_2"),
+            },
+            "norm_mha": ln(f"{pre}.norm_mha"),
+            "norm_ff": ln(f"{pre}.norm_ff"),
+        }
+
+    enc = "encoder"
+    return {
         "input_embedding": arr("input_embedding.weight"),
         "spk_embed_affine_layer": lin("spk_embed_affine_layer"),
         "encoder": {
@@ -314,7 +366,6 @@ def load_cosy_flow_params(sd: dict, cfg: CosyFlowConfig,
             "after_norm": ln(f"{enc}.after_norm"),
         },
         "encoder_proj": lin("encoder_proj"),
-        "estimator": est,
     }
 
 
@@ -390,10 +441,16 @@ def _chunk_mask(T: int, chunk: int) -> np.ndarray:
 
 
 def _encoder_forward(params: dict, cfg: CosyFlowConfig, token_emb: jax.Array,
-                     valid: jax.Array, streaming: bool) -> jax.Array:
-    """token_emb (B, T, input_size), valid (B, T) bool -> (B, 2T, d).
-    UpsampleConformerEncoder.forward with finalize=True (zero-padded
-    lookahead, cosyvoice_flow.py:1110-1170)."""
+                     valid: jax.Array, streaming: bool,
+                     context: int = 0) -> jax.Array:
+    """token_emb (B, T, input_size), valid (B, T) bool -> (B, 2(T-context), d).
+
+    UpsampleConformerEncoder.forward. ``context=0`` is finalize=True
+    (zero-padded lookahead, cosyvoice_flow.py:1110-1170); ``context=k``
+    treats the LAST k tokens as real lookahead for the pre-lookahead conv
+    only — they feed conv1 but are dropped before the attention stack
+    (finalize=False semantics; also Step-Audio-2's
+    UpsampleConformerEncoderV2.forward_chunk)."""
     enc = params["encoder"]
     B, T, _ = token_emb.shape
     d = cfg.output_size
@@ -401,24 +458,27 @@ def _encoder_forward(params: dict, cfg: CosyFlowConfig, token_emb: jax.Array,
     x = linear(enc["embed_out"], token_emb)
     x = layer_norm(x, enc["embed_norm"]["w"], enc["embed_norm"]["b"], eps=1e-5)
     x = x * math.sqrt(d)
-    pos_emb = jnp.asarray(_rel_pos_emb(d, T))
 
+    # pre-lookahead: conv1 sees `pre_lookahead` future tokens (real context
+    # for the last `context`, zero-padding beyond); conv2 is causal;
+    # residual on the body (cosyvoice_flow.py:561-605)
+    pl = enc["pre_lookahead"]
+    xt = x.transpose(0, 2, 1)
+    y = jnp.pad(xt, ((0, 0), (0, 0), (0, cfg.pre_lookahead - context)))
+    y = jax.nn.leaky_relu(conv1d(pl["conv1"], y), 0.01)
+    y = jnp.pad(y, ((0, 0), (0, 0), (2, 0)))
+    y = conv1d(pl["conv2"], y)
+    T = T - context
+    x = x[:, :T] + y.transpose(0, 2, 1)
+    valid = valid[:, :T]
+
+    pos_emb = jnp.asarray(_rel_pos_emb(d, T))
     key_mask = valid[:, None, :]                              # (B, 1, T)
     if streaming:
         cm = jnp.asarray(_chunk_mask(T, cfg.static_chunk_size))[None]
         mask = key_mask & cm
     else:
         mask = jnp.broadcast_to(key_mask, (B, T, T))
-
-    # pre-lookahead: conv1 sees `pre_lookahead` zero-padded future tokens,
-    # conv2 is causal; residual (cosyvoice_flow.py:561-605)
-    pl = enc["pre_lookahead"]
-    xt = x.transpose(0, 2, 1)
-    y = jnp.pad(xt, ((0, 0), (0, 0), (0, cfg.pre_lookahead)))
-    y = jax.nn.leaky_relu(conv1d(pl["conv1"], y), 0.01)
-    y = jnp.pad(y, ((0, 0), (0, 0), (2, 0)))
-    y = conv1d(pl["conv2"], y)
-    x = x + y.transpose(0, 2, 1)
 
     for lp in enc["encoders"]:
         x = _conformer_layer(lp, cfg, x, pos_emb, mask)

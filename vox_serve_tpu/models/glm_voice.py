@@ -22,10 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
-from ..codecs.hifigan import (HiFTConfig, hift_decode,
-                              hift_decode_chunk, init_hift,
-                              init_hift_cache)
+from ..codecs.glm_flow import (GLMFlowConfig, glm_flow_forward, init_glm_flow,
+                               load_glm_flow_params)
+from ..codecs.hifigan import (HiFTConfig, hift_decode, hift_decode_chunk,
+                              init_hift, init_hift_cache, load_hift_params)
 from ..models.backbone import BackboneConfig, init_backbone_params
 from ..encoders.mel import MelConfig, log_mel_spectrogram
 from ..encoders.whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode
@@ -41,7 +41,7 @@ AUDIO_VOCAB = 16384
 
 
 class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
-    SAMPLE_RATE = 24000
+    SAMPLE_RATE = 22050  # GLM HiFT vocoder rate (glm.py:2385)
     supports_audio_input = True
     stop_token_ids = STOP_IDS
     audio_offset = AUDIO_OFFSET
@@ -57,8 +57,11 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
             rope_theta=10000.0, rope_dim=64,  # partial rotary
             rms_eps=1.5625e-07, dtype=dtype,
         )
-        self._flow_cfg = debug_flow or FlowConfig(vocab_size=AUDIO_VOCAB)
-        self._hift_cfg = debug_hift or HiFTConfig()
+        self._flow_cfg = debug_flow or GLMFlowConfig(vocab_size=AUDIO_VOCAB)
+        self._hift_cfg = debug_hift or HiFTConfig(
+            sampling_rate=22050, upsample_rates=(8, 8),
+            upsample_kernel_sizes=(16, 16),
+            source_resblock_kernel_sizes=(7, 11))  # GLMHiFTModel dims
         self.text_tokenizer, self.assets_available = load_text_tokenizer(
             model_name, self._cfg.vocab_size)
         key = jax.random.key(51)
@@ -78,8 +81,10 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
                          * 0.02).astype(dtype),
             }
         self.codec_params = {
-            "flow": init_flow(self._flow_cfg, ks[3]),
-            "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
+            "flow": self._load_codec("flow.pt", self._load_flow)
+            or init_glm_flow(self._flow_cfg, ks[3]),
+            "hift": self._load_codec("hift.pt", self._load_hift)
+            or init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
         }
         self.sampling_config = self.default_sampling_config
 
@@ -140,9 +145,46 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
     def max_tokens(self):
         return 2048
 
+    #: the GLM decoder checkpoints live in their own repo
+    #: (reference glm_voice.py:335-346)
+    DECODER_REPO = "zai-org/glm-4-voice-decoder"
+
+    def _load_codec(self, filename, mapper):
+        from ..weights import resolve_model_dir
+
+        if not isinstance(self._flow_cfg, GLMFlowConfig) or \
+                self._flow_cfg != GLMFlowConfig(vocab_size=AUDIO_VOCAB):
+            return None  # debug dims
+        model_dir = resolve_model_dir(self.DECODER_REPO)
+        if model_dir is None or not (model_dir / filename).exists():
+            return None
+        try:
+            import torch
+
+            sd = {k: v.numpy() for k, v in torch.load(
+                str(model_dir / filename), map_location="cpu",
+                weights_only=True).items()}
+            return mapper(sd)
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("glm").warning(
+                "%s mapping failed (%s); random init", filename,
+                type(e).__name__)
+            return None
+
+    def _load_flow(self, sd):
+        return load_glm_flow_params(sd, self._flow_cfg)
+
+    def _load_hift(self, sd):
+        return load_hift_params(
+            {k.replace("generator.", ""): v for k, v in sd.items()},
+            self._hift_cfg)
+
     @property
     def output_audio_length(self):
-        return self.detokenize_interval * self._flow_cfg.upsample * \
+        # feat_len(interval) mel frames x 256 samples/frame at 22.05 kHz
+        return self._flow_cfg.feat_len(self.detokenize_interval) * \
             self._hift_cfg.total_upsample
 
     @property
@@ -208,25 +250,24 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
 
     # ---- codec -------------------------------------------------------------
     def detokenize(self, codec_params, token_ids, cache):
+        """Each window decodes independently through the GLM flow (the
+        reference GLMAudioDecoder.forward is stateless per chunk,
+        glm.py:2640-2651); phase continuity across chunks comes from the
+        streaming HiFT caches."""
         tokens = jnp.clip(token_ids[:, :, 0] - AUDIO_OFFSET, 0,
                           AUDIO_VOCAB - 1)
         B = tokens.shape[0]
         spk = jnp.zeros((B, self._flow_cfg.spk_dim))
-        flow_cache = cache["flow"] if cache is not None else None
-        mel, new_flow = flow_tokens_to_mel(
-            codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache,
-            jax.random.key(0))
+        mel = glm_flow_forward(codec_params["flow"], self._flow_cfg, tokens,
+                               spk, jax.random.key(0))
         if cache is not None:
-            # streaming HiFT caches per slot (phase continuity across
-            # chunk boundaries; VERDICT weak #1)
             wav, new_hift = hift_decode_chunk(
                 codec_params["hift"], self._hift_cfg, mel, cache["hift"])
-            new_cache = {"flow": new_flow, "hift": new_hift}
+            new_cache = {"hift": new_hift}
         else:
             wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
             new_cache = None
         return wav[:, None, :], new_cache
 
     def init_decoder_cache(self, batch):
-        return {"flow": flow_init_cache(self._flow_cfg, batch),
-                "hift": init_hift_cache(self._hift_cfg, batch)}
+        return {"hift": init_hift_cache(self._hift_cfg, batch)}

@@ -20,10 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.flow import FlowConfig, flow_init_cache, flow_tokens_to_mel, init_flow
-from ..codecs.hifigan import (HiFTConfig, hift_decode,
-                              hift_decode_chunk, init_hift,
-                              init_hift_cache)
+from ..codecs.step_dit import (StepFlowConfig, init_step_flow,
+                               load_step_flow_params, step_flow_forward)
+from ..codecs.hifigan import (HiFTConfig, hift_decode, hift_decode_chunk,
+                              init_hift, init_hift_cache, load_hift_params)
 from ..models.backbone import BackboneConfig, init_backbone_params
 from ..encoders.mel import MelConfig, log_mel_spectrogram
 from ..encoders.whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode
@@ -56,7 +56,7 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
             num_heads=28, num_kv_heads=4, intermediate_size=18944,
             qkv_bias=True, rope_theta=1_000_000.0, dtype=dtype,
         )
-        self._flow_cfg = debug_flow or FlowConfig(vocab_size=AUDIO_VOCAB)
+        self._flow_cfg = debug_flow or StepFlowConfig(vocab_size=AUDIO_VOCAB)
         self._hift_cfg = debug_hift or HiFTConfig()
         self.text_tokenizer, self.assets_available = load_text_tokenizer(
             model_name, self._cfg.vocab_size)
@@ -77,8 +77,10 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
                          * 0.02).astype(dtype),
             }
         self.codec_params = {
-            "flow": init_flow(self._flow_cfg, ks[3]),
-            "hift": init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
+            "flow": self._load_codec("token2wav/flow.pt", self._load_flow)
+            or init_step_flow(self._flow_cfg, ks[3]),
+            "hift": self._load_codec("token2wav/hift.pt", self._load_hift)
+            or init_hift(self._hift_cfg, jax.random.fold_in(key, 9)),
         }
         self.sampling_config = self.default_sampling_config
 
@@ -225,31 +227,62 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
         return (hidden @ params["head"])[:, None, :]
 
     # ---- codec -------------------------------------------------------------
+    def _load_codec(self, filename, mapper):
+        """token2wav/{flow,hift}.pt ship inside the main snapshot
+        (reference step_audio_2.py:1810-1830)."""
+        from ..weights import resolve_model_dir
+
+        if self._flow_cfg != StepFlowConfig(vocab_size=AUDIO_VOCAB):
+            return None  # debug dims
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None or not (model_dir / filename).exists():
+            return None
+        try:
+            import torch
+
+            sd = {k: v.numpy() for k, v in torch.load(
+                str(model_dir / filename), map_location="cpu",
+                weights_only=True).items()}
+            return mapper(sd)
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("step_audio_2").warning(
+                "%s mapping failed (%s); random init", filename,
+                type(e).__name__)
+            return None
+
+    def _load_flow(self, sd):
+        return load_step_flow_params(sd, self._flow_cfg)
+
+    def _load_hift(self, sd):
+        return load_hift_params(
+            {k.replace("generator.", ""): v for k, v in sd.items()},
+            self._hift_cfg)
+
     def detokenize(self, codec_params, token_ids, cache):
+        """Window layout: the last `overlap` tokens are the DiT flow's
+        pre-lookahead context (Step's inference_chunk semantics,
+        step_audio_2.py:1731-1804); emitted mel covers the first
+        (T - overlap) tokens, which tiles contiguously across windows."""
         tokens = jnp.clip(token_ids[:, :, 0] - AUDIO_OFFSET, 0,
                           AUDIO_VOCAB - 1)
-        B = tokens.shape[0]
+        B, T = tokens.shape
         spk = jnp.zeros((B, self._flow_cfg.spk_dim))
-        flow_cache = cache["flow"] if cache is not None else None
-        mel, new_flow = flow_tokens_to_mel(
-            codec_params["flow"], self._flow_cfg, tokens, spk, flow_cache,
-            jax.random.key(0))
-        # keep derives from the ACTUAL window length so multi-chunk
-        # catch-up windows ((k-1)*step+interval tokens) decode correctly
-        keep = (token_ids.shape[1] - self.detokenize_overlap) * \
-            self._flow_cfg.upsample
-        mel = mel[:, :, -keep:]
+        conds = jnp.zeros(
+            (B, 2 * (T - self.detokenize_overlap), self._flow_cfg.mel_dim))
+        mel = step_flow_forward(
+            codec_params["flow"], self._flow_cfg, tokens,
+            jnp.ones((B, T), bool), spk, conds, jax.random.key(0),
+            context=self.detokenize_overlap)
         if cache is not None:
-            # streaming HiFT caches per slot (phase continuity across
-            # chunk boundaries; VERDICT weak #1)
             wav, new_hift = hift_decode_chunk(
                 codec_params["hift"], self._hift_cfg, mel, cache["hift"])
-            new_cache = {"flow": new_flow, "hift": new_hift}
+            new_cache = {"hift": new_hift}
         else:
             wav, _ = hift_decode(codec_params["hift"], self._hift_cfg, mel)
             new_cache = None
         return wav[:, None, :], new_cache
 
     def init_decoder_cache(self, batch):
-        return {"flow": flow_init_cache(self._flow_cfg, batch),
-                "hift": init_hift_cache(self._hift_cfg, batch)}
+        return {"hift": init_hift_cache(self._hift_cfg, batch)}

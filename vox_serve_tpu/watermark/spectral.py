@@ -35,6 +35,10 @@ class WatermarkConfig:
     strength: float = 0.015
     message: tuple[int, ...] = SILENTCIPHER_KEY
     message_bits: int = 40  # 5 bytes
+    #: serving sample rate of the audio passed to apply_watermark (the real
+    #: silentcipher model runs at 44.1 kHz and resamples, reference
+    #: worker/base.py:115-121)
+    sample_rate: int = 24000
 
 
 def _message_pattern(cfg: WatermarkConfig, n_bins: int) -> np.ndarray:
@@ -48,7 +52,58 @@ def _message_pattern(cfg: WatermarkConfig, n_bins: int) -> np.ndarray:
     return pat / np.linalg.norm(pat)
 
 
+def _try_load_real_silentcipher(cfg: WatermarkConfig):
+    """Load the published sony/silentcipher 44.1 kHz checkpoint when a local
+    snapshot exists (weight-compatible port, watermark/silentcipher.py;
+    golden-tested in tests/test_silentcipher_parity.py)."""
+    try:
+        from ..weights import resolve_model_dir
+
+        model_dir = resolve_model_dir("sony/silentcipher")
+        if model_dir is None:
+            return None
+        ckpt = model_dir / "44_1_khz" / "73999_iteration"
+        if not (ckpt / "enc_c.ckpt").exists():
+            return None
+        import yaml
+
+        from .silentcipher import (SilentCipherConfig,
+                                   load_silentcipher_params,
+                                   message_to_symbols)
+
+        hp = yaml.safe_load(open(ckpt / "hparams.yaml"))
+        sc_cfg = SilentCipherConfig(
+            n_fft=hp.get("N_FFT", 1024), hop=hp.get("HOP_LENGTH", 512),
+            sr=hp.get("SR", 44100),
+            message_dim=hp.get("message_dim", 5),
+            message_len=hp.get("message_len", 21),
+            message_band_size=hp.get("message_band_size", 1024),
+            message_sdr=hp.get("message_sdr", 36.0),
+            frame_level_normalization=hp.get("frame_level_normalization",
+                                             True))
+        params = load_silentcipher_params(str(ckpt), sc_cfg)
+        onehot = message_to_symbols(list(cfg.message), sc_cfg)
+        return {"sc": params, "sc_msg": jnp.asarray(onehot),
+                "_sc_cfg": sc_cfg}
+    except Exception as e:
+        from ..utils import get_logger
+
+        get_logger("watermark").warning(
+            "silentcipher checkpoint load failed (%s)", type(e).__name__)
+        return None
+
+
 def init_watermarker(cfg: WatermarkConfig, key: jax.Array) -> dict:
+    if cfg.style == "silentcipher":
+        real = _try_load_real_silentcipher(cfg)
+        if real is not None:
+            return real
+    from ..utils import get_logger
+
+    get_logger("watermark").warning(
+        "published %s weights unavailable; serving with the NON-STANDARD dev "
+        "spectral watermark — reference detectors will NOT read these marks",
+        cfg.style)
     n_bins = cfg.n_fft // 2 + 1
     k1, k2 = jax.random.split(key)
     return {
@@ -88,6 +143,19 @@ def apply_watermark(params: dict, cfg: WatermarkConfig,
                     audio: jax.Array) -> jax.Array:
     """audio: (B, T) float in [-1, 1] -> watermarked audio, same shape.
     Pure function; composes into the jitted detokenize step."""
+    if "sc" in params:
+        # real silentcipher: resample to the 44.1 kHz model rate, embed,
+        # resample back (reference silentcipher.py:525-530 round-trip)
+        from .silentcipher import sc_encode, sinc_resample
+
+        sc_cfg = params["_sc_cfg"]
+        B, T = audio.shape
+        y = sinc_resample(audio, cfg.sample_rate, sc_cfg.sr)
+        y = sc_encode(params["sc"], sc_cfg, y, params["sc_msg"])
+        out = sinc_resample(y, sc_cfg.sr, cfg.sample_rate)
+        if out.shape[1] < T:
+            out = jnp.pad(out, ((0, 0), (0, T - out.shape[1])))
+        return out[:, :T]
     B, T = audio.shape
     spec, window = _stft(audio, cfg.n_fft, cfg.hop)
     mag = jnp.abs(spec)

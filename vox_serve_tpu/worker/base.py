@@ -204,7 +204,8 @@ class ModelWorker:
             from ..watermark import WatermarkConfig, init_watermarker
 
             self.watermark_cfg = WatermarkConfig(
-                style=model.watermarker_type or "silentcipher")
+                style=model.watermarker_type or "silentcipher",
+                sample_rate=model.sample_rate)
             self.watermark_params = init_watermarker(
                 self.watermark_cfg, jax.random.key(cfg.seed + 101))
 
