@@ -64,6 +64,18 @@ def test_pallas_decode_single_token_seq():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("D", [64, 32])
+def test_pallas_decode_folded_head_dim(D):
+    # head_dim < 128 (CSM/Chatterbox D=64): the kernel folds token pairs into
+    # the 128-lane axis; parity must hold vs the gather path
+    q, k_pages, v_pages, meta = _setup(D=D, seed=11)
+    ref = paged_attention_decode(q, k_pages, v_pages, 0, meta)
+    out = pallas_paged_attention_decode(q, k_pages, v_pages, 0, meta,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_pallas_decode_page_size_128():
     q, k_pages, v_pages, meta = _setup(B=2, page=128, max_pages=4, seed=7)
     meta = AttnMetadata(

@@ -33,15 +33,15 @@ def _decode_kernel(
     block_tables_ref,  # (B, maxP) int32 in SMEM
     seq_lens_ref,      # (B,) int32 in SMEM
     # inputs
-    q_ref,             # (1, 1, G, D) VMEM block
+    q_ref,             # (1, 1, fold, G, D*fold) VMEM block (fold-offset padded)
     k_hbm,             # (KH, P, page, D) in ANY/HBM — head-major layout so a
     v_hbm,             # page DMA is an aligned (page, D) tile
     # output
     o_ref,             # (1, 1, G, D) VMEM block
     # scratch
-    k_scratch,         # (2, CP, page, D) VMEM
-    v_scratch,         # (2, CP, page, D)
-    acc_ref,           # (G, D) f32
+    k_scratch,         # (2, CP, page/fold, D*fold) VMEM
+    v_scratch,         # (2, CP, page/fold, D*fold)
+    acc_ref,           # (G, D*fold) f32
     m_ref,             # (G, 128) f32 (row max, broadcast along lanes)
     l_ref,             # (G, 128) f32 (row sum)
     sems,              # DMA semaphores (2, 2, CP)
@@ -50,6 +50,8 @@ def _decode_kernel(
     chunk_pages: int,
     max_pages: int,
     scale: float,
+    head_dim: int,
+    fold: int,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -85,7 +87,14 @@ def _decode_kernel(
 
     start_chunk_dma(0, 0)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, D)
+    width = head_dim * fold  # lane width of the folded KV tiles (128 if folded)
+    rows = chunk_tokens // fold
+
+    # per-fold-offset padded queries, prepared on host: q_all[j] has the real
+    # query in lane block [j*D, (j+1)*D) and zeros elsewhere, so
+    # q_all[j] @ k_folded^T picks out exactly the tokens at fold offset j
+    # without any in-kernel lane slicing (Mosaic rejects minor-dim reshapes).
+    q_all = q_ref[0, 0].astype(jnp.float32) * scale  # (fold, G, width)
 
     def body(c, _):
         slot = jax.lax.rem(c, 2)
@@ -97,38 +106,65 @@ def _decode_kernel(
 
         wait_chunk_dma(slot)
 
-        k = k_scratch[slot].astype(jnp.float32)  # (CP, page, D)
-        v = v_scratch[slot].astype(jnp.float32)
-        k = k.reshape(chunk_tokens, k.shape[-1])
-        v = v.reshape(chunk_tokens, v.shape[-1])
+        # collapse leading dims only — minor (lane) dim unchanged, legal cast
+        k = k_scratch[slot].astype(jnp.float32).reshape(rows, width)
+        v = v_scratch[slot].astype(jnp.float32).reshape(rows, width)
 
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, chunk_tokens)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1) \
+            // head_dim
 
-        token_idx = c * chunk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1)
-        scores = jnp.where(token_idx < seq_len, scores, NEG_INF)
+        # scores per fold offset: block j covers tokens c*chunk + fold*i + j
+        blocks = []
+        for j in range(fold):
+            s = jax.lax.dot_general(
+                q_all[j], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, rows)
+            idx = c * chunk_tokens + fold * row_idx + j
+            blocks.append(jnp.where(idx < seq_len, s, NEG_INF))
 
         m_prev = m_ref[:, :1]                         # (G, 1)
-        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_cur = jnp.max(blocks[0], axis=1, keepdims=True)
+        for s in blocks[1:]:
+            m_cur = jnp.maximum(m_cur, jnp.max(s, axis=1, keepdims=True))
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(scores - m_new)                   # (G, chunk)
         alpha = jnp.exp(m_prev - m_new)               # (G, 1)
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        l_new = l_ref[:, :1] * alpha
+        acc = acc_ref[...] * alpha                    # (G, width)
+        for j in range(fold):
+            p = jnp.exp(blocks[j] - m_new)            # (G, rows)
+            l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
+            # mask v to lane block j so p_j only lands in its own block
+            vj = v if fold == 1 else jnp.where(lane_blk == j, v, 0.0)
+            acc = acc + jax.lax.dot_general(
+                p, vj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        l_ref[:, :1] = l_new
         m_ref[:, :1] = m_new
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc_ref[...] = acc
         return 0
 
     jax.lax.fori_loop(0, num_chunks, body, 0)
 
     l = l_ref[:, :1]
     l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+    acc = acc_ref[...]
+    if fold > 1:
+        # fold the (G, width) accumulator back to (G, D): out[g, d] =
+        # sum_j acc[g, j*D + d], via a constant 0/1 selection matmul
+        # (lane-dim reshapes are illegal in Mosaic; a matmul is not)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (width, head_dim), 0)
+               % head_dim
+               == jax.lax.broadcasted_iota(jnp.int32, (width, head_dim), 1)
+               ).astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            acc, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -140,18 +176,42 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
     max_pages = block_tables.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
 
+    # head_dim < 128 (e.g. CSM/Chatterbox D=64): FOLD token groups into the
+    # lane axis — (page, D) rows view as (page/fold, 128) tiles, a pure
+    # bitcast (row-major layout unchanged), so the page DMA stays 128-lane
+    # aligned. The kernel computes attention directly in folded space (Mosaic
+    # rejects minor-dim reshapes): per-offset score blocks against the folded
+    # KV, masked-V accumulation, and a selection matmul to fold the output.
+    fold = max(1, 128 // D)
+    if fold > 1:
+        if page_size % fold != 0:
+            raise ValueError(
+                f"page_size {page_size} must be divisible by 128/{D}")
+        k_pages = k_pages.reshape(KH, P, page_size // fold, D * fold)
+        v_pages = v_pages.reshape(KH, P, page_size // fold, D * fold)
+    width = D * fold
+    folded_page = page_size // fold
+
     # chunk = up to 128 tokens of KV per DMA round. max_pages need not be a
     # multiple: the tail chunk's page indices clamp to the last table entry
     # and its scores are masked by seq_len.
     chunk_pages = max(1, min(128 // page_size, max_pages))
 
+    # q padded per fold offset: q_pad[b, h, j, g, j*D:(j+1)*D] = q[b, h*G+g]
     q4 = q.reshape(B, KH, G, D)
+    if fold > 1:
+        eye = jnp.eye(fold, dtype=q.dtype)
+        q4 = jnp.einsum("jf,bhgd->bhjgfd", eye, q4)
+        q4 = q4.reshape(B, KH, fold, G, width)
+    else:
+        q4 = q4.reshape(B, KH, 1, G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, KH),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, fold, G, width),
+                         lambda b, h, *_: (b, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -159,9 +219,9 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_pages, page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, chunk_pages, page_size, D), v_pages.dtype),
-            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((2, chunk_pages, folded_page, width), k_pages.dtype),
+            pltpu.VMEM((2, chunk_pages, folded_page, width), v_pages.dtype),
+            pltpu.VMEM((G, width), jnp.float32),
             pltpu.VMEM((G, 128), jnp.float32),
             pltpu.VMEM((G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
@@ -174,6 +234,8 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
         chunk_pages=chunk_pages,
         max_pages=max_pages,
         scale=scale,
+        head_dim=D,
+        fold=fold,
     )
     out = pl.pallas_call(
         kernel,

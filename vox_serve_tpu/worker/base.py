@@ -116,14 +116,15 @@ class ModelWorker:
         bb = model.backbone_config
         use_pallas = cfg.use_pallas
         head_dim = bb.resolved_head_dim
-        if use_pallas and head_dim % 128 != 0:
-            # the pallas decode kernel DMAs (page, head_dim) KV tiles, and
-            # Mosaic requires the minor axis aligned to the 128-lane tiling;
-            # models with head_dim 64 (e.g. chatterbox) fall back to the
-            # gather attention path (TODO: padded-D kernel variant)
+        fold = max(1, 128 // head_dim) if head_dim <= 128 else 1
+        if use_pallas and (128 % head_dim != 0
+                           or cfg.page_size % fold != 0):
+            # the kernel folds sub-128 head dims into the lane axis
+            # (pallas_attention.py); that needs 128 % D == 0 and the page
+            # size divisible by the fold factor
             self.logger.warning(
-                "pallas attention disabled: head_dim %d not 128-aligned",
-                head_dim)
+                "pallas attention disabled: head_dim %d / page_size %d not "
+                "fold-compatible", head_dim, cfg.page_size)
             use_pallas = False
         model.use_pallas_attention = use_pallas
 
