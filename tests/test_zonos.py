@@ -75,7 +75,12 @@ def test_delay_revert_in_detokenize(model):
 
 def test_prefix_conditioning_prompt(model):
     po = model.preprocess(prompt="abc")
-    assert po.input_tokens.shape == (4, N_CB)  # cond slot + 3 phonemes
+    # faithful prefix stack: [BOS, a, b, c, EOS] espeak rows + speaker +
+    # emotion + fmax + pitch_std + speaking_rate + language_id
+    assert po.input_tokens.shape == (11, N_CB)
     assert (po.input_tokens == MASKED_TOKEN).all()
     assert po.input_masks.all()
-    assert np.abs(po.input_features[1:]).sum() > 0
+    assert np.abs(po.input_features).sum() > 0
+    # longer prompt -> more espeak rows only
+    po2 = model.preprocess(prompt="abcdef")
+    assert po2.input_tokens.shape == (14, N_CB)

@@ -1,0 +1,77 @@
+"""Golden parity: Zonos prefix-conditioning stack vs the reference torch
+modules (model/zonos.py ZonosPrefixConditioner + conditioner family)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/repo/tests")
+from ref_compat import import_reference  # noqa: E402
+
+from vox_serve_tpu.models.zonos_conditioning import (  # noqa: E402
+    DEFAULT_CONDITIONERS, apply_prefix_conditioner, load_conditioner_params,
+    make_cond_dict, tokenize_phonemes,
+)
+
+
+@pytest.fixture(scope="module")
+def zmod():
+    return import_reference("vox_serve.model.zonos")
+
+
+def test_tokenize_phonemes_matches_reference(zmod):
+    text = "ˈhɛloʊ wˈɜːld, it's mˈiː!"
+    ref_ids, _ = zmod.ZonosUtils.tokenize_phonemes([text])
+    ours = tokenize_phonemes(text)
+    np.testing.assert_array_equal(ours, ref_ids[0].numpy())
+
+
+def test_prefix_conditioner_parity(zmod, monkeypatch):
+    H = 32
+    cfg = zmod.PrefixConditionerConfig(
+        conditioners=[dict(c) for c in DEFAULT_CONDITIONERS],
+        projection="none")
+    torch.manual_seed(0)
+    ref = zmod.ZonosPrefixConditioner(cfg, H)
+    # give the learned uncond vectors + projections non-trivial values
+    with torch.no_grad():
+        for m in ref.conditioners:
+            if m.uncond_vector is not None:
+                m.uncond_vector.normal_()
+    ref.eval()
+
+    sd = {"prefix_conditioner." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params = load_conditioner_params(sd, DEFAULT_CONDITIONERS)
+
+    phonemes = "ˈðɪs ɪz ɐ tˈɛst."
+    # bypass espeak (stubbed): reference phonemize -> identity
+    monkeypatch.setattr(
+        zmod.ZonosUtils, "phonemize",
+        classmethod(lambda cls, texts, langs: texts))
+
+    rng = np.random.default_rng(3)
+    speaker = rng.standard_normal(128).astype(np.float32)
+
+    for spk in (speaker, None):
+        cond = make_cond_dict("unused", "en-us", speaker=spk)
+        cond["espeak"] = phonemes  # deterministic phoneme input
+        ours = apply_prefix_conditioner(params, DEFAULT_CONDITIONERS, cond)
+
+        ref_cond = {
+            "espeak": ([phonemes], ["en-us"]),
+            "emotion": torch.tensor(cond["emotion"])[None],
+            "fmax": torch.tensor([[[22050.0]]]),
+            "pitch_std": torch.tensor([[[20.0]]]),
+            "speaking_rate": torch.tensor([[[15.0]]]),
+            "language_id": torch.tensor([[[24]]], dtype=torch.long),
+        }
+        if spk is not None:
+            ref_cond["speaker"] = torch.from_numpy(spk)[None, None]
+        with torch.no_grad():
+            expected = ref(ref_cond)[0].numpy()
+        assert ours.shape == expected.shape, (ours.shape, expected.shape)
+        np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)

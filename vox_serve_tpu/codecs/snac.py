@@ -173,6 +173,60 @@ def load_snac_params(sd: dict, cfg: SNACConfig, prefix: str = "") -> dict:
     return params
 
 
+def load_dac_params(sd: dict, cfg: SNACConfig) -> dict:
+    """Map an HF ``DacModel`` state dict (descript/dac_44khz — what the
+    reference loads at tokenizer/dac.py:10-14) onto the same decode pytree.
+
+    DAC is the architecture SNAC derives from, so the machinery is shared;
+    the differences are naming, no weight-norm (HF stores plain convs), no
+    depthwise/noise/attn, and per-quantizer out_proj at every unit stride.
+    Only the decode path (quantizer out_proj + decoder) is mapped.
+    """
+    import numpy as np
+
+    def arr(name):
+        return np.asarray(sd[name])
+
+    def conv(name):
+        p = {"w": jnp.asarray(arr(f"{name}.weight"), jnp.float32)}
+        if name + ".bias" in sd:
+            p["b"] = jnp.asarray(arr(f"{name}.bias"), jnp.float32)
+        return p
+
+    def alpha(name):
+        return jnp.asarray(arr(name), jnp.float32)
+
+    params: dict = {"quantizers": []}
+    for i in range(len(cfg.vq_strides)):
+        params["quantizers"].append({
+            "codebook": jnp.asarray(
+                arr(f"quantizer.quantizers.{i}.codebook.weight"), jnp.float32),
+            "out_proj": conv(f"quantizer.quantizers.{i}.out_proj"),
+        })
+
+    dec: dict = {"stem": conv("decoder.conv1"), "blocks": []}
+    for i in range(len(cfg.decoder_rates)):
+        pre = f"decoder.block.{i}"
+        b = {
+            "alpha_in": alpha(f"{pre}.snake1.alpha"),
+            "up": conv(f"{pre}.conv_t1"),
+            "res": [],
+        }
+        for j in (1, 2, 3):
+            rp = f"{pre}.res_unit{j}"
+            b["res"].append({
+                "alpha1": alpha(f"{rp}.snake1.alpha"),
+                "conv1": conv(f"{rp}.conv1"),
+                "alpha2": alpha(f"{rp}.snake2.alpha"),
+                "conv2": conv(f"{rp}.conv2"),
+            })
+        dec["blocks"].append(b)
+    dec["alpha_out"] = alpha("decoder.snake1.alpha")
+    dec["head"] = conv("decoder.conv2")
+    params["decoder"] = dec
+    return params
+
+
 def _residual_unit(p: dict, x: jax.Array, dilation: int, groups: int) -> jax.Array:
     pad = (7 - 1) * dilation // 2
     y = snake(x, p["alpha1"])

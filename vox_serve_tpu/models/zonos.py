@@ -2,9 +2,11 @@
 DAC 44.1 kHz decode -> resample to 24 kHz.
 
 Behavioral parity with reference model/zonos.py:
-  * prefix conditioning: phonemized text + conditioner embeddings form the
-    prefill as input_features (espeak runs host-side; offline builds use a
-    deterministic fallback phonemizer)
+  * prefix conditioning: the full ZonosPrefixConditioner stack
+    (zonos_conditioning.py — espeak phonemes, 128-d speaker LDA vector via
+    the ResNet293/SimAM net, Fourier emotion/fmax/pitch_std/speaking_rate,
+    language-id embedding, LayerNorm) builds the prefill rows as
+    input_features; espeak runs host-side with a symbol-table fallback
   * 9 codebooks sampled TOGETHER each step (9 output heads, no depth model);
     for the first n-1 steps the trailing codebooks are overwritten with the
     masked token 1025 (delay pattern, zonos.py:879-890) — done INSIDE the
@@ -23,9 +25,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.snac import SNACConfig, init_snac_decoder, snac_decode
+from ..codecs.snac import (SNACConfig, init_snac_decoder, load_dac_params,
+                           snac_decode)
 from ..models.backbone import BackboneConfig, init_backbone_params
 from ..models.base import BaseLM, PreprocessOutput
+from ..models.zonos_conditioning import (apply_prefix_conditioner,
+                                         init_conditioner_params,
+                                         load_conditioner_config,
+                                         load_conditioner_params,
+                                         make_cond_dict)
 from ..sampling import SamplingConfig
 
 N_CB = 9
@@ -78,8 +86,7 @@ class ZonosLM(BaseLM):
         """Map Zyphra/Zonos-v0.1-transformer (reference strict-copy loader,
         model/zonos.py:555-571): backbone.* LayerNorm layers with fused
         in_proj and GLU MLP, 9 per-codebook embeddings.{i} (1026 rows) and
-        heads.{i} (1025 rows), phoneme embedder from the prefix
-        conditioner."""
+        heads.{i} (1025 rows), plus the full prefix_conditioner.* stack."""
         from ..weights import (load_safetensors_state, load_zonos_backbone,
                                resolve_model_dir)
 
@@ -100,14 +107,11 @@ class ZonosLM(BaseLM):
                 "heads": jnp.stack([as_j(f"heads.{i}.weight").T
                                     for i in range(N_CB)]),
             }
-            phoneme = [k for k in state
-                       if k.endswith("phoneme_embedder.weight")]
-            if phoneme:
-                params["phoneme_embed"] = as_j(phoneme[0])
-            else:
-                params["phoneme_embed"] = self.params["phoneme_embed"] \
-                    if hasattr(self, "params") else (jnp.zeros(
-                        (256, cfg.hidden_size), self.dtype))
+            self._conditioners = load_conditioner_config(model_dir)
+            self._cond_params = load_conditioner_params(
+                {k: np.asarray(v) for k, v in state.items()
+                 if k.startswith("prefix_conditioner.")},
+                self._conditioners)
             return params
         except Exception as e:
             from ..utils import get_logger
@@ -117,15 +121,67 @@ class ZonosLM(BaseLM):
                 type(e).__name__)
             return None
 
+    def _load_dac_checkpoint(self):
+        """descript/dac_44khz (what the reference's DAC wrapper loads,
+        tokenizer/dac.py:10-14)."""
+        from ..weights import load_safetensors_state, resolve_model_dir
+
+        model_dir = resolve_model_dir("descript/dac_44khz")
+        if model_dir is None:
+            return None
+        try:
+            state = load_safetensors_state(model_dir)
+            return load_dac_params(state, self._dac_cfg)
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("zonos").warning(
+                "DAC mapping failed (%s); random init", type(e).__name__)
+            return None
+
+    def _load_speaker_encoder(self):
+        """Zyphra/Zonos-v0.1-speaker-embedding: ResNet293 base + LDA-128
+        torch checkpoints (reference encoder/zonos.py:388-400)."""
+        from ..weights import resolve_model_dir
+
+        model_dir = resolve_model_dir("Zyphra/Zonos-v0.1-speaker-embedding")
+        if model_dir is None:
+            return None
+        try:
+            import torch
+
+            from ..encoders.zonos_speaker import load_zonos_speaker_params
+
+            sd = torch.load(model_dir / "ResNet293_SimAM_ASP_base.pt",
+                            weights_only=True, map_location="cpu")
+            lda = torch.load(model_dir / "ResNet293_SimAM_ASP_base_LDA-128.pt",
+                             weights_only=True, map_location="cpu")
+            return load_zonos_speaker_params(
+                {k: v.numpy() for k, v in sd.items()},
+                {k: v.numpy() for k, v in lda.items()})
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("zonos").warning(
+                "speaker encoder load failed (%s); learned uncond vector "
+                "will be used", type(e).__name__)
+            return None
+
     def _init_params(self):
         cfg = self._cfg
         key = jax.random.key(41)
         ks = jax.random.split(key, 6)
         H = cfg.hidden_size
+        self._conditioners = load_conditioner_config(None)
+        self._cond_params = init_conditioner_params(
+            self._conditioners, H, np.random.default_rng(17))
+        self._speaker_params = None
         loaded = self._load_checkpoint() if cfg.hidden_size >= 1024 else None
         if loaded is not None:
             self.params = loaded
-            self.codec_params = init_snac_decoder(self._dac_cfg, ks[4])
+            self.codec_params = (self._load_dac_checkpoint()
+                                 or init_snac_decoder(self._dac_cfg, ks[4]))
+            self._speaker_params = self._load_speaker_encoder()
             return
         self.params = {
             "backbone": init_backbone_params(cfg, ks[0]),
@@ -135,9 +191,6 @@ class ZonosLM(BaseLM):
             # 9 output heads
             "heads": (jax.random.normal(ks[2], (N_CB, H, LM_VOCAB)) * 0.02
                       ).astype(self.dtype),
-            # phoneme embedding for prefix conditioning
-            "phoneme_embed": (jax.random.normal(ks[3], (256, H)) * 0.02
-                              ).astype(self.dtype),
         }
         self.codec_params = init_snac_decoder(self._dac_cfg, ks[4])
         self.assets_available = False
@@ -186,29 +239,42 @@ class ZonosLM(BaseLM):
                               repetition_window=2, max_tokens=self.max_tokens)
 
     # ---- host-side ---------------------------------------------------------
-    def _phonemize(self, text: str) -> list[int]:
-        """espeak when available; deterministic byte fallback offline."""
+    def _speaker_vector(self, audio_path) -> np.ndarray | None:
+        """Reference speech -> 128-d LDA vector (reference speaker path,
+        encoder/zonos.py:406-411). None -> learned uncond vector."""
+        if audio_path is None or self._speaker_params is None:
+            return None
         try:
-            from phonemizer import phonemize  # pragma: no cover
+            from ..encoders.zonos_speaker import extract_speaker_embedding
+            from ..utils import load_audio_mono
 
-            ph = phonemize(text, language="en-us", backend="espeak")
-            return [ord(c) % 256 for c in ph]
-        except Exception:
-            return [ord(c) % 256 for c in (text or "")]
+            wav, sr = load_audio_mono(audio_path, target_sr=None,
+                                      return_sr=True)
+            return extract_speaker_embedding(self._speaker_params, wav, sr)
+        except Exception as e:
+            from ..utils import get_logger
 
-    def preprocess(self, prompt=None, audio_path=None, speaker=None,
-                   **kwargs) -> PreprocessOutput:
-        ph = self._phonemize(prompt or "")
-        T = len(ph) + 1  # + speaker/conditioning slot
+            get_logger("zonos").warning(
+                "speaker extraction failed (%s); uncond", type(e).__name__)
+            return None
+
+    def preprocess(self, prompt=None, audio_path=None, language="en-us",
+                   emotion=None, fmax=None, pitch_std=None,
+                   speaking_rate=None, **kwargs) -> PreprocessOutput:
+        cond = make_cond_dict(
+            prompt or "", language=language,
+            speaker=self._speaker_vector(audio_path),
+            emotion=emotion,
+            **{k: float(v) for k, v in
+               (("fmax", fmax), ("pitch_std", pitch_std),
+                ("speaking_rate", speaking_rate)) if v is not None})
+        feats = apply_prefix_conditioner(
+            self._cond_params, self._conditioners, cond)  # (T, H)
+        T = feats.shape[0]
         toks = np.full((T, N_CB), MASKED_TOKEN, np.int32)
         masks = np.ones((T, N_CB), bool)
-        feats = np.zeros((T, self._cfg.hidden_size), np.float32)
-        tbl = np.asarray(self.params["phoneme_embed"], np.float32)
-        # slot 0: speaker/conditioning embedding (LDA x-vector offline = 0)
-        for i, p in enumerate(ph):
-            feats[i + 1] = tbl[p]
         return PreprocessOutput(input_tokens=toks, input_masks=masks,
-                                input_features=feats)
+                                input_features=feats.astype(np.float32))
 
     def is_stop(self, token_ids: np.ndarray) -> bool:
         return int(token_ids[0]) == EOS_TOKEN

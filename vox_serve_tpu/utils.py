@@ -96,7 +96,8 @@ def env_flag(name: str, default: bool = False) -> bool:
     return v.lower() not in ("0", "false", "no", "off", "")
 
 
-def load_audio_mono(path: str, target_sr: int) -> "np.ndarray":
+def load_audio_mono(path: str, target_sr: "int | None",
+                    return_sr: bool = False):
     """Read a PCM WAV file -> mono float32 in [-1, 1] at target_sr.
 
     Host-side reference-audio loader for voice cloning / audio input
@@ -123,8 +124,9 @@ def load_audio_mono(path: str, target_sr: int) -> "np.ndarray":
         raise ValueError(f"unsupported WAV sample width {width}")
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
-    if sr != target_sr and len(x):
+    if target_sr is not None and sr != target_sr and len(x):
         t_out = np.linspace(0.0, len(x) - 1.0,
                             int(round(len(x) * target_sr / sr)))
         x = np.interp(t_out, np.arange(len(x)), x).astype(np.float32)
-    return x
+        sr = target_sr
+    return (x, sr) if return_sr else x
