@@ -32,7 +32,8 @@ HIFT = HiFTConfig(in_channels=16, base_channels=32, nb_harmonics=2,
 def _greedy_tokens(tp_size, steps=6):
     model = GLMVoiceLM(dtype=jnp.float32, debug_backbone=SMALL,
                        debug_flow=FLOW, debug_hift=HIFT)
-    model.sampling_config = SamplingConfig(greedy=True, max_tokens=64)
+    # max_tokens is an ABSOLUTE position cap (prompt included)
+    model.sampling_config = SamplingConfig(greedy=True, max_tokens=512)
     wcfg = WorkerConfig(max_batch_size=2, num_pages=128, page_size=16,
                         prefill_token_buckets=(512,), max_prefill_requests=2,
                         warmup=False, tp_size=tp_size)

@@ -107,16 +107,23 @@ def write_kv_prefill(
     """Scatter T new K/V rows into the (L, KH, P, page, D) page pool at a
     given layer. k, v: (T, KH, D). Padded tokens target scratch page 0.
 
-    numpy advanced-indexing note: with pattern [layer, :, ids, offs] the
-    advanced axes move to the front, so the update value shape is (T, KH, D)
-    — exactly k/v as produced by the projection.
+    The scatter batch order is KH-leading (update (KH, T, D), head index as
+    the first advanced axis): with token-leading updates, XLA's layout
+    assignment prefers a KH-minor pool layout and inserts a full-pool
+    relayout COPY on executable entry — two multi-GB HLO temps per step for
+    a flagship-sized pool (observed OOM at batch 96), plus the copy
+    bandwidth. KH-leading updates match the pool's (L, KH, P, page, D)
+    default layout, so the scatter lowers in place.
     """
     dtype = k_pages.dtype
-    k_pages = k_pages.at[layer, :, meta.kv_page_ids, meta.kv_page_offsets].set(
-        k.astype(dtype), mode="drop"
+    kh = jnp.arange(k_pages.shape[1], dtype=jnp.int32)[:, None]
+    ids = meta.kv_page_ids[None, :]
+    offs = meta.kv_page_offsets[None, :]
+    k_pages = k_pages.at[layer, kh, ids, offs].set(
+        k.astype(dtype).transpose(1, 0, 2), mode="drop"
     )
-    v_pages = v_pages.at[layer, :, meta.kv_page_ids, meta.kv_page_offsets].set(
-        v.astype(dtype), mode="drop"
+    v_pages = v_pages.at[layer, kh, ids, offs].set(
+        v.astype(dtype).transpose(1, 0, 2), mode="drop"
     )
     return k_pages, v_pages
 
