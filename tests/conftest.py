@@ -38,3 +38,31 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# fast/slow split: the full suite is compile-heavy (~25 min). The fast gate
+# (`pytest -m "not slow" -q`, a few minutes) covers ops, scheduler policy,
+# worker mechanics, and codec-layer math; `slow` marks model e2e,
+# multi-process server, and golden-parity modules.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_backbone_loaders", "test_backbone_vs_hf", "test_cosy_flow_parity",
+    "test_cosyvoice2", "test_csm", "test_disaggregation", "test_dp",
+    "test_e2e_inprocess", "test_ecapa_parity", "test_first_chunk",
+    "test_glm_flow_parity", "test_hift_parity", "test_http_server",
+    "test_mimi_parity", "test_multi_chunk_detok", "test_orpheus",
+    "test_qwen3_codec", "test_qwen3_codec_parity", "test_qwen3_tts",
+    "test_remaining_models", "test_silentcipher_parity", "test_snac_parity",
+    "test_step_dit_parity", "test_tensor_parallel", "test_voice_cloning",
+    "test_warmup", "test_zonos", "test_zonos_conditioning",
+    "test_zonos_speaker_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

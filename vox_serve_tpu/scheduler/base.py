@@ -85,8 +85,14 @@ class Scheduler:
         self.logger.info("scheduler loop starting (rank %s)", self.rank)
         # readiness signal: the API server's /health reports warming until
         # every rank has finished model init + warmup
-        self._send(b"__scheduler__|READY|" + json.dumps(
-            {"rank": self.rank}).encode())
+        # assets_available=False means dev tokenizer / random weights are in
+        # play — surfaced through /health so clients don't mistake dev-mode
+        # hash-token audio for real output
+        model = getattr(self.model_worker, "model", None)
+        self._send(b"__scheduler__|READY|" + json.dumps({
+            "rank": self.rank,
+            "assets_available": bool(getattr(model, "assets_available", True)),
+        }).encode())
         import os
 
         idle_steps = 0

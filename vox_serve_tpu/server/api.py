@@ -67,6 +67,7 @@ class APIServer:
 
         self.pending_requests: dict[str, dict] = {}
         self.ready_ranks: set[int] = set()
+        self.assets_available = True  # any rank on dev assets flips this
         self.recently_completed: "collections.OrderedDict[str, float]" = (
             collections.OrderedDict())
         self.recently_completed_ttl_sec = 5.0
@@ -210,10 +211,16 @@ class APIServer:
             data = parts[2]
             if rid == "__scheduler__" and mtype == "READY":
                 try:
-                    rank = json.loads(data.decode()).get("rank", 0)
+                    payload = json.loads(data.decode())
                 except Exception:
-                    rank = 0
+                    payload = {}
+                rank = payload.get("rank", 0)
                 self.ready_ranks.add(rank)
+                if not payload.get("assets_available", True):
+                    self.assets_available = False
+                    self.logger.warning(
+                        "rank %s serving with DEV assets (random weights / "
+                        "fallback tokenizer) — /health will flag it", rank)
                 self.logger.info("scheduler rank %s ready (%d/%d)", rank,
                                  len(self.ready_ranks), self.dp_size)
                 continue

@@ -218,7 +218,13 @@ async def health(request: web.Request) -> web.Response:
     server: APIServer = request.app["server"]
     if not server.ready:
         return web.json_response({"status": "warming"}, status=503)
-    return web.json_response({"status": "healthy"})
+    body = {"status": "healthy"}
+    if not getattr(server, "assets_available", True):
+        # dev fallback in play: output is NOT real model audio
+        body["assets_available"] = False
+        body["warning"] = ("serving with dev assets (random weights or "
+                           "fallback tokenizer)")
+    return web.json_response(body)
 
 
 @web.middleware
