@@ -65,8 +65,11 @@ def main():
         model = DummyLM(max_tokens=64)
     else:
         model = Qwen3TTSLM(dtype=jnp.bfloat16)
+    # 3072 pages = 5.25G KV (48k pooled tokens): bench streams hold ~16
+    # pages each, and 4096 left only ~4G HBM headroom for the batch-96
+    # detokenize temps (runtime ResourceExhausted)
     wcfg = WorkerConfig(
-        max_batch_size=BATCH, num_pages=4096, page_size=16,
+        max_batch_size=BATCH, num_pages=3072, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=1,
         warmup=False, pipeline_depth=2, use_pallas=not smoke,
         kv_reserve_fraction=0.05,

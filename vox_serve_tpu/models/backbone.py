@@ -208,7 +208,18 @@ def backbone_forward(
 
         kp, vp = write_kv_prefill(kp, vp, layer_idx, k, v, meta)
         if meta.is_prefill:
-            attn_out = ragged_prefill_attention(q, k, v, meta, scale=cfg.attn_scale)
+            # Pallas flash prefill for large buckets (no (H, T, T) score
+            # materialization, causal + ragged block skipping); dense XLA
+            # path for small buckets / sub-128 head dims (Mosaic minor-dim
+            # constraint) / CPU
+            if use_pallas and T >= 512 and hd % 128 == 0:
+                from ..ops.pallas_prefill import pallas_ragged_prefill
+
+                attn_out = pallas_ragged_prefill(q, k, v, meta,
+                                                 scale=cfg.attn_scale)
+            else:
+                attn_out = ragged_prefill_attention(q, k, v, meta,
+                                                    scale=cfg.attn_scale)
         else:
             k_layer = jax.lax.dynamic_index_in_dim(kp, layer_idx, axis=0, keepdims=True)
             v_layer = jax.lax.dynamic_index_in_dim(vp, layer_idx, axis=0, keepdims=True)
