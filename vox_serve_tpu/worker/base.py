@@ -945,6 +945,16 @@ class ModelWorker:
         cfg = self.config
         C = model.n_codebooks
 
+        def probe(thunk, out) -> float:
+            """Mean steady-state latency over 5 replays (the reference's
+            per-graph replay probes, cuda_graph_worker.py:330-346)."""
+            jax.block_until_ready(out)
+            t = time.monotonic()
+            for _ in range(5):
+                out = thunk()
+            jax.block_until_ready(out)
+            return (time.monotonic() - t) / 5 * 1e3
+
         # prefill buckets: all-padding ragged batch
         for T in sorted(cfg.prefill_token_buckets):
             B = cfg.max_prefill_requests
@@ -961,16 +971,24 @@ class ModelWorker:
             if model.needs_input_masks:
                 msk = jnp.zeros((T, C), bool)
             fn = self._get_lm_fn("prefill", (T, B))
-            out = fn(model.params, jnp.zeros((T, C), jnp.int32),
-                     jnp.zeros((T,), jnp.int32), feat, msk, meta,
-                     self.k_pages, self.v_pages, self.rep_cache,
-                     self.feedback, self.last_tokens,
-                     jnp.full((B,), cfg.max_batch_size, jnp.int32),
-                     self._base_key, jnp.int32(0), jnp.zeros((B,), jnp.int32),
-                     jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32))
-            (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-             self.last_tokens) = out
-            self.logger.info("warmup: prefill bucket T=%d compiled", T)
+
+            def call_prefill(fn=fn, T=T, B=B, feat=feat, msk=msk, meta=meta):
+                out = fn(model.params, jnp.zeros((T, C), jnp.int32),
+                         jnp.zeros((T,), jnp.int32), feat, msk, meta,
+                         self.k_pages, self.v_pages, self.rep_cache,
+                         self.feedback, self.last_tokens,
+                         jnp.full((B,), cfg.max_batch_size, jnp.int32),
+                         self._base_key, jnp.int32(0),
+                         jnp.zeros((B,), jnp.int32),
+                         jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32))
+                (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+                 self.last_tokens) = out
+                return self.last_tokens
+
+            out = call_prefill()
+            ms = probe(call_prefill, out)
+            self.logger.info(
+                "warmup: prefill bucket T=%d compiled (%.2f ms/step)", T, ms)
 
         # decode buckets
         for B in cfg.decode_buckets:
@@ -980,16 +998,23 @@ class ModelWorker:
                 seq_lens=jnp.ones((B,), jnp.int32),
             )
             fn = self._get_lm_fn("decode", (B,))
-            out = fn(model.params, jnp.zeros((B, C), jnp.int32),
-                     jnp.zeros((B,), jnp.int32), None, None, meta,
-                     self.k_pages, self.v_pages, self.rep_cache,
-                     self.feedback, self.last_tokens,
-                     jnp.full((B,), cfg.max_batch_size, jnp.int32),
-                     self._base_key, jnp.int32(0), None,
-                     jnp.zeros((B, C), bool), jnp.zeros((B,), jnp.int32))
-            (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-             self.last_tokens) = out
-            self.logger.info("warmup: decode bucket B=%d compiled", B)
+
+            def call_decode(fn=fn, B=B, meta=meta):
+                out = fn(model.params, jnp.zeros((B, C), jnp.int32),
+                         jnp.zeros((B,), jnp.int32), None, None, meta,
+                         self.k_pages, self.v_pages, self.rep_cache,
+                         self.feedback, self.last_tokens,
+                         jnp.full((B,), cfg.max_batch_size, jnp.int32),
+                         self._base_key, jnp.int32(0), None,
+                         jnp.zeros((B, C), bool), jnp.zeros((B,), jnp.int32))
+                (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+                 self.last_tokens) = out
+                return self.last_tokens
+
+            out = call_decode()
+            ms = probe(call_decode, out)
+            self.logger.info(
+                "warmup: decode bucket B=%d compiled (%.2f ms/step)", B, ms)
 
         # detokenize buckets (regular interval + multi-chunk catch-up
         # windows + first-chunk minis)
@@ -1012,11 +1037,17 @@ class ModelWorker:
                 slots = jax.device_put(
                     np.full((B,), cfg.max_batch_size, np.int32),
                     self.detokenizer_device)
-                audio, self.codec_cache = fn(model.codec_params, toks,
-                                             self.codec_cache, slots)
-                jax.block_until_ready(audio)
+
+                def call_detok(fn=fn, toks=toks, slots=slots):
+                    audio, self.codec_cache = fn(
+                        model.codec_params, toks, self.codec_cache, slots)
+                    return audio
+
+                audio = call_detok()
+                ms = probe(call_detok, audio)
                 self.logger.info(
-                    "warmup: detokenize bucket B=%d len=%d compiled", B, L)
+                    "warmup: detokenize bucket B=%d len=%d compiled "
+                    "(%.2f ms/step)", B, L, ms)
 
         jax.block_until_ready(self.last_tokens)
         self.logger.info("warmup done in %.1fs", time.monotonic() - t0)
