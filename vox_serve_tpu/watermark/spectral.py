@@ -11,8 +11,11 @@ round-trip test. The embedder composes into the jitted detokenize step, so
 watermarking costs no extra dispatch (the reference runs it as a separate
 per-chunk CUDA call, cuda_graph_worker.py:1243-1245).
 
-Weight-compatibility with the published silentcipher/perth checkpoints is
-round-2 work; interface, placement, and key handling match the reference.
+SilentCipher is weight-compatible: when the published sony/silentcipher
+checkpoints are available, ``init_watermarker`` loads the faithful port in
+silentcipher.py and reference decoders can read the marks. Perth and the
+no-assets case use this module's dev spectral scheme, with a served warning
+that the marks are non-standard.
 """
 
 from __future__ import annotations
