@@ -53,7 +53,7 @@ _SLOW_MODULES = {
     "test_cosyvoice2", "test_csm", "test_disaggregation", "test_dp",
     "test_e2e_inprocess", "test_ecapa_parity", "test_first_chunk",
     "test_glm_flow_parity", "test_hift_parity", "test_http_server",
-    "test_mimi_parity", "test_multi_chunk_detok", "test_orpheus",
+    "test_mimi_parity", "test_multi_chunk_detok", "test_orpheus", "test_perth_parity",
     "test_qwen3_codec", "test_qwen3_codec_parity", "test_qwen3_tts",
     "test_remaining_models", "test_silentcipher_parity", "test_snac_parity",
     "test_step_dit_parity", "test_tensor_parallel", "test_voice_cloning",

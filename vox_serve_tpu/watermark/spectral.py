@@ -96,7 +96,53 @@ def _try_load_real_silentcipher(cfg: WatermarkConfig):
         return None
 
 
+def _try_load_real_perth(cfg: WatermarkConfig):
+    """Load the published PerthNet implicit checkpoint
+    (resemble-ai/Perth, perth_net_250000.pth.tar) when available locally
+    (weight-compatible port, watermark/perth.py; golden-tested in
+    tests/test_perth_parity.py)."""
+    import os
+    from pathlib import Path
+
+    candidates = []
+    if os.environ.get("VOX_SERVE_PERTH_CKPT"):
+        candidates.append(Path(os.environ["VOX_SERVE_PERTH_CKPT"]))
+    try:
+        from ..weights import resolve_model_dir
+
+        d = resolve_model_dir("resemble-ai/perth")
+        if d is not None:
+            candidates += [d / "perth_net_250000.pth.tar",
+                           d / "perth" / "perth_net" / "pretrained"
+                           / "implicit" / "perth_net_250000.pth.tar"]
+    except Exception:
+        pass
+    for path in candidates:
+        if not path.is_file():
+            continue
+        try:
+            import torch
+
+            from .perth import PerthConfig, load_perth_params
+
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            sd = {k: v.numpy() for k, v in ckpt["model"].items()}
+            p_cfg = PerthConfig()
+            return {"perth": load_perth_params(sd, p_cfg),
+                    "_perth_cfg": p_cfg}
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("watermark").warning(
+                "perth checkpoint load failed (%s)", type(e).__name__)
+    return None
+
+
 def init_watermarker(cfg: WatermarkConfig, key: jax.Array) -> dict:
+    if cfg.style == "perth":
+        real = _try_load_real_perth(cfg)
+        if real is not None:
+            return real
     if cfg.style == "silentcipher":
         real = _try_load_real_silentcipher(cfg)
         if real is not None:
@@ -156,6 +202,20 @@ def apply_watermark(params: dict, cfg: WatermarkConfig,
         y = sinc_resample(audio, cfg.sample_rate, sc_cfg.sr)
         y = sc_encode(params["sc"], sc_cfg, y, params["sc_msg"])
         out = sinc_resample(y, sc_cfg.sr, cfg.sample_rate)
+        if out.shape[1] < T:
+            out = jnp.pad(out, ((0, 0), (0, T - out.shape[1])))
+        return out[:, :T]
+    if "perth" in params:
+        # real PerthNet: 32 kHz model, same resample round-trip as the
+        # reference (perth.py:531-536)
+        from .perth import perth_encode_wav
+        from .silentcipher import sinc_resample
+
+        p_cfg = params["_perth_cfg"]
+        B, T = audio.shape
+        y = sinc_resample(audio, cfg.sample_rate, p_cfg.sample_rate)
+        y = perth_encode_wav(params["perth"], p_cfg, y)
+        out = sinc_resample(y, p_cfg.sample_rate, cfg.sample_rate)
         if out.shape[1] < T:
             out = jnp.pad(out, ((0, 0), (0, T - out.shape[1])))
         return out[:, :T]
