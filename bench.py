@@ -74,12 +74,35 @@ def main():
         warmup=False, pipeline_depth=2, use_pallas=not smoke,
         kv_reserve_fraction=0.05,
         # keep the compile count down (remote TPU compiles are minutes each):
-        # two decode buckets, interval-length detok only, no catch-up lengths
+        # two decode buckets, no catch-up lengths. Detok gets its OWN small
+        # lattice — a step's detok batch is ~BATCH/interval requests, and
+        # padding it to the decode bucket made the codec do ~10x wasted work
+        # (12.7 streams measured with detok at bucket 96).
         decode_buckets_override=(1, BATCH), multi_chunk_ks=(),
-        first_chunk_frames=0,
+        detok_buckets_override=(1, 16, BATCH),
+        # TTFA: first audio after 5 frames through the mini executable
+        # instead of a full 10-frame window
+        first_chunk_frames=5,
     )
     worker = ModelWorker(model, wcfg)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)
+
+    debug = bool(os.environ.get("VOX_BENCH_DEBUG"))
+    phase_t: dict = {}
+    if debug:  # per-phase wall-time accounting over the capacity loop
+        def timed(name, fn):
+            def wrapper(*a, **k):
+                t = time.perf_counter()
+                out = fn(*a, **k)
+                phase_t[name] = phase_t.get(name, 0.0) + (
+                    time.perf_counter() - t)
+                return out
+            return wrapper
+
+        for name in ("run_lm_decode", "run_lm_prefill", "run_detokenize",
+                     "flush_detokenize", "prepare_decode_batch"):
+            if hasattr(worker, name):
+                setattr(worker, name, timed(name, getattr(worker, name)))
 
     def run_stream(req, deadline_s=120.0, stop_after_first_audio=False):
         t0 = time.perf_counter()
@@ -139,7 +162,7 @@ def main():
             sched.enqueue_request(_mkreq(f"cap{cap_counter[0]}"))
             cap_counter[0] += 1
 
-    debug = bool(os.environ.get("VOX_BENCH_DEBUG"))
+    phase_t.clear()
     top_up()
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < 300:  # fill the batch before timing
@@ -170,6 +193,7 @@ def main():
     if debug:
         print("capacity iters:", iters, "bytes:", bytes_total,
               "wall:", round(wall, 2))
+        print("phase times:", {k: round(v, 2) for k, v in phase_t.items()})
     audio_s = bytes_total / (2.0 * model.sample_rate)
     streams_rtf1 = audio_s / wall
     for r in sched.active_requests:

@@ -57,7 +57,7 @@ _SLOW_MODULES = {
     "test_qwen3_codec", "test_qwen3_codec_parity", "test_qwen3_tts",
     "test_remaining_models", "test_silentcipher_parity", "test_snac_parity",
     "test_step_dit_parity", "test_tensor_parallel", "test_voice_cloning",
-    "test_warmup", "test_zonos", "test_zonos_conditioning",
+    "test_warmup", "test_whisper_exact_parity", "test_zonos", "test_zonos_conditioning",
     "test_zonos_speaker_parity",
 }
 

@@ -27,8 +27,9 @@ from ..codecs.glm_flow import (GLMFlowConfig, glm_flow_forward, init_glm_flow,
 from ..codecs.hifigan import (HiFTConfig, hift_decode, hift_decode_chunk,
                               init_hift, init_hift_cache, load_hift_params)
 from ..models.backbone import BackboneConfig, init_backbone_params
-from ..encoders.mel import MelConfig, log_mel_spectrogram
-from ..encoders.whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode
+from ..encoders.whisper_exact import (GLMVQConfig, glm_vq_encode,
+                                      init_glm_vq_params, load_glm_vq_params,
+                                      whisper_log_mel)
 from ..models.base import BaseLM, PreprocessOutput
 from ..utils import load_audio_mono
 from ..models.sts_common import InterleavedAudioMixin
@@ -224,22 +225,53 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
         return PreprocessOutput(
             input_tokens=np.asarray(ids, np.int32)[:, None])
 
+    #: the Whisper-VQ speech tokenizer lives in its own repo
+    #: (reference encoder/glm.py:330-344)
+    ENCODER_REPO = "zai-org/glm-4-voice-tokenizer"
+
     def _encode_audio_tokens(self, audio_path) -> "np.ndarray":
+        """WAV -> discrete speech tokens at 12.5 Hz through the
+        weight-exact Whisper-VQ encoder (encoders/whisper_exact.py; the
+        reference path is encoder/glm.py:281-327,346-369). Mel frames pad
+        to the x8 token stride; tokens are trimmed back to the valid
+        span."""
         wav = load_audio_mono(audio_path, 16000)
-        mel_cfg = MelConfig(sample_rate=16000, n_mels=self._enc_cfg.n_mels)
-        mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-        return np.asarray(
-            whisper_encode(self._enc_params, self._enc_cfg, mel)[0],
-            np.int32)
+        mel = whisper_log_mel(wav, n_mels=self._enc_cfg.n_mels)
+        valid = mel.shape[1]
+        pad = (-valid) % 8
+        if pad:
+            mel = np.pad(mel, ((0, 0), (0, pad)))
+        tokens = glm_vq_encode(self._enc_params, self._enc_cfg,
+                               jnp.asarray(mel)[None],
+                               valid_frames=(valid + 1) // 2)
+        n_tokens = (valid + 7) // 8
+        return np.asarray(tokens[0, :n_tokens], np.int32)
 
     @functools.cached_property
     def _enc_cfg(self):
-        return WhisperEncoderConfig(n_mels=80, hidden=128, layers=2, heads=4,
-                                    vq_codebook=16384, pool=1)
+        if self._cfg.hidden_size < 1024:  # debug dims
+            return GLMVQConfig(n_mels=16, d_model=64, heads=4, ffn=128,
+                               layers=2, block=8, vocab=16384,
+                               max_positions=256)
+        return GLMVQConfig()
 
     @functools.cached_property
     def _enc_params(self):
-        return init_whisper_encoder(self._enc_cfg, jax.random.key(47))
+        from ..weights import load_safetensors_state, resolve_model_dir
+
+        model_dir = (resolve_model_dir(self.ENCODER_REPO)
+                     if self._cfg.hidden_size >= 1024 else None)
+        if model_dir is not None:
+            try:
+                state = load_safetensors_state(model_dir)
+                return load_glm_vq_params(state, self._enc_cfg)
+            except Exception as e:
+                from ..utils import get_logger
+
+                get_logger("glm_voice").warning(
+                    "Whisper-VQ mapping failed (%s); random init",
+                    type(e).__name__)
+        return init_glm_vq_params(jax.random.key(47), self._enc_cfg)
 
     # ---- traced ------------------------------------------------------------
     def embed(self, params, token_ids, features, masks):

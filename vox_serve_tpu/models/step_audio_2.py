@@ -25,8 +25,10 @@ from ..codecs.step_dit import (StepFlowConfig, init_step_flow,
 from ..codecs.hifigan import (HiFTConfig, hift_decode, hift_decode_chunk,
                               init_hift, init_hift_cache, load_hift_params)
 from ..models.backbone import BackboneConfig, init_backbone_params
-from ..encoders.mel import MelConfig, log_mel_spectrogram
-from ..encoders.whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode
+from ..encoders.whisper_exact import (StepEncConfig,
+                                      init_step_encoder_params,
+                                      load_step_encoder_params, step_adaptor,
+                                      step_encode, whisper_log_mel)
 from ..models.base import BaseLM, PreprocessOutput
 from ..utils import load_audio_mono
 from ..models.sts_common import InterleavedAudioMixin
@@ -103,6 +105,18 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
                 state["model.embed_tokens.weight"]).astype(self.dtype)
             head_name = ("lm_head.weight" if "lm_head.weight" in state
                          else "model.embed_tokens.weight")
+            try:
+                # audio encoder + adaptor live in the same checkpoint under
+                # encoder.* / adapter.* (reference model/step_audio_2.py:
+                # 244-260)
+                self._enc_loaded = load_step_encoder_params(
+                    state, self._enc_cfg)
+            except Exception as enc_e:
+                from ..utils import get_logger
+
+                get_logger("step_audio_2").warning(
+                    "audio encoder mapping failed (%s); random init",
+                    type(enc_e).__name__)
             return {
                 "backbone": backbone,
                 "embed": embed,
@@ -183,37 +197,33 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
                                 input_features=feats)
 
     def _encode_audio(self, audio_path) -> np.ndarray:
-        """WAV -> (T_a, hidden) adaptor features for prefill splicing."""
+        """WAV -> (T_a, llm_dim) adaptor features for prefill splicing
+        (weight-exact encoder + adaptor, encoders/whisper_exact.py; the
+        reference path is encoder/step_audio_2.py:210-225 ->
+        model/step_audio_2.py:218-243)."""
         wav = load_audio_mono(audio_path, 16000)
-        mel_cfg = MelConfig(sample_rate=16000,
-                            n_mels=self._enc_cfg.n_mels)
-        mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-        feats = whisper_encode(self._enc_params, self._enc_cfg, mel)[0]
-        # 2x conv adaptor -> LM hidden (step_audio_2.py:222-243); a strided
-        # matmul over pairs is the shape-equivalent jit-friendly form
-        T2 = (feats.shape[0] // 2) * 2
-        pairs = feats[:T2].reshape(T2 // 2, -1)
-        out = pairs @ self._adaptor_w + self._adaptor_b
+        mel = whisper_log_mel(wav, n_mels=self._enc_cfg.n_mels, padding=479)
+        feats = step_encode(self._enc_params, self._enc_cfg,
+                            jnp.asarray(mel)[None],
+                            valid_frames=mel.shape[1])
+        out = step_adaptor(self._enc_params, self._enc_cfg, feats)[0]
         return np.asarray(out, np.float32)
+
+    _enc_loaded = None
 
     @functools.cached_property
     def _enc_cfg(self):
-        return WhisperEncoderConfig(n_mels=80, hidden=128, layers=2, heads=4,
-                                    vq_codebook=None, pool=2)
+        if self._cfg.hidden_size < 1024:  # debug dims
+            return StepEncConfig(n_mels=16, d_model=64, heads=4, layers=2,
+                                 llm_dim=self._cfg.hidden_size,
+                                 adapter_hidden=32)
+        # published audio_encoder_config (whisper-large-v3-shaped)
+        return StepEncConfig(llm_dim=self._cfg.hidden_size)
 
     @functools.cached_property
     def _enc_params(self):
-        return init_whisper_encoder(self._enc_cfg, jax.random.key(41))
-
-    @functools.cached_property
-    def _adaptor_w(self):
-        return np.asarray(jax.random.normal(
-            jax.random.key(43), (2 * self._enc_cfg.hidden,
-                                 self._cfg.hidden_size)) * 0.02, np.float32)
-
-    @functools.cached_property
-    def _adaptor_b(self):
-        return np.zeros((self._cfg.hidden_size,), np.float32)
+        return self._enc_loaded or init_step_encoder_params(
+            jax.random.key(41), self._enc_cfg)
 
     # ---- traced ------------------------------------------------------------
     def embed(self, params, token_ids, features, masks):

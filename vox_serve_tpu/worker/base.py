@@ -93,6 +93,12 @@ class WorkerConfig:
     #: the cost of more padding.
     decode_buckets_override: Optional[tuple[int, ...]] = None
 
+    #: detokenize-batch bucket lattice, independent of the decode lattice
+    #: (a step's detok batch is ~batch/interval requests, so tying it to the
+    #: decode buckets pads the codec up to interval-times too wide). None ->
+    #: decode lattice.
+    detok_buckets_override: Optional[tuple[int, ...]] = None
+
     @property
     def decode_buckets(self) -> tuple[int, ...]:
         if self.decode_buckets_override is not None:
@@ -104,6 +110,13 @@ class WorkerConfig:
             b *= 2
         out.append(self.max_batch_size)
         return tuple(out)
+
+    @property
+    def detok_buckets(self) -> tuple[int, ...]:
+        if self.detok_buckets_override is not None:
+            assert self.detok_buckets_override[-1] == self.max_batch_size
+            return tuple(self.detok_buckets_override)
+        return self.decode_buckets
 
 
 class ModelWorker:
@@ -569,6 +582,12 @@ class ModelWorker:
                 return b
         raise ValueError(f"batch {n} exceeds max_batch_size")
 
+    def _detok_bucket(self, n: int) -> int:
+        for b in self.config.detok_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"detok batch {n} exceeds max_batch_size")
+
     def run_lm_decode(self, requests: list[Request]) -> None:
         if not requests:
             return
@@ -804,7 +823,7 @@ class ModelWorker:
         model = self.model
         C = model.n_codebooks
         n = len(windows)
-        B = (self._decode_bucket(min(n, self.config.max_batch_size))
+        B = (self._detok_bucket(min(n, self.config.max_batch_size))
              if n <= self.config.max_batch_size else n)
         token_ids = np.zeros((B, length, C), np.int32)
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
@@ -842,7 +861,7 @@ class ModelWorker:
         C = model.n_codebooks
         requests = requests[: self.config.max_batch_size]
         n = len(requests)
-        B = self._decode_bucket(n)
+        B = self._detok_bucket(n)
         token_ids = np.zeros((B, length, C), np.int32)
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
         mapping = []
@@ -1029,7 +1048,7 @@ class ModelWorker:
             lengths.append(L)
             L *= 2
         for L in lengths:
-            for B in cfg.decode_buckets:
+            for B in cfg.detok_buckets:
                 key = B if L == interval else (B, L)
                 fn = self._get_detok_fn(key)
                 toks = jax.device_put(np.zeros((B, L, C), np.int32),
