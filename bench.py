@@ -71,7 +71,10 @@ def main():
     wcfg = WorkerConfig(
         max_batch_size=BATCH, num_pages=3072, page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=1,
-        warmup=False, pipeline_depth=2, use_pallas=not smoke,
+        # warmup compiles the full (small) lattice up front — first-use
+        # compiles previously landed INSIDE the capacity window (61s of
+        # detok "time" was two bucket-16 codec compiles)
+        warmup=not smoke, pipeline_depth=2, use_pallas=not smoke,
         kv_reserve_fraction=0.05,
         # keep the compile count down (remote TPU compiles are minutes each):
         # two decode buckets, no catch-up lengths. Detok gets its OWN small

@@ -141,6 +141,18 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
             backbone = load_llama_family_backbone(
                 state, self._cfg.num_layers, prefix="tfmr.",
                 dtype=self.dtype)
+            try:
+                # weight-exact T3 conditioning encoder (cond_enc.* in the
+                # same checkpoint; encoders/chatterbox_cond.py)
+                from ..encoders.chatterbox_cond import \
+                    load_chatterbox_cond_params
+
+                self._cond_loaded = load_chatterbox_cond_params(state)
+            except Exception as ce:
+                from ..utils import get_logger
+
+                get_logger("chatterbox").warning(
+                    "cond_enc mapping failed (%s)", type(ce).__name__)
             return {
                 "backbone": backbone,
                 "text_embed": as_j("text_emb.weight"),
@@ -157,17 +169,77 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
                 type(e).__name__)
             return None
 
+    _cond_loaded = None
+
+    def _load_default_conds(self):
+        """conds.pt: the packaged default voice conditionals (reference
+        Conditionals.load, model/chatterbox.py:113-124 — gen prompt trimmed
+        to 128 tokens / 256 mel rows for constant detokenizer shapes)."""
+        from ..weights import resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None or not (model_dir / "conds.pt").exists():
+            return None
+        try:
+            import torch
+
+            kw = torch.load(model_dir / "conds.pt", map_location="cpu",
+                            weights_only=True)
+
+            def np_(d):
+                return {k: (v.numpy() if torch.is_tensor(v) else v)
+                        for k, v in d.items()}
+
+            t3, gen = np_(kw["t3"]), np_(kw["gen"])
+            gen["prompt_token"] = np.asarray(gen["prompt_token"])[:, :128]
+            gen["prompt_feat"] = np.asarray(gen["prompt_feat"])[:, :256, :]
+            return {"t3": t3, "gen": gen}
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("chatterbox").warning(
+                "conds.pt load failed (%s)", type(e).__name__)
+            return None
+
+    @functools.cached_property
+    def _default_conds(self):
+        return self._load_default_conds()
+
+    @functools.cached_property
+    def _default_cond_rows(self):
+        """(COND_LEN, H) rows for the packaged default voice (the
+        reference serves this whenever no reference audio is given,
+        model/chatterbox.py:642-653): prompt speech embeddings = speech_emb
+        + speech_pos over the stored tokens, through the weight-exact cond
+        encoder."""
+        if self._cond_loaded is None or self._default_conds is None:
+            return None
+        from ..encoders.chatterbox_cond import chatterbox_cond_encode
+
+        t3 = self._default_conds["t3"]
+        spk = jnp.asarray(np.asarray(t3["speaker_emb"],
+                                     np.float32).reshape(-1))
+        toks = np.asarray(t3["cond_prompt_speech_tokens"]).reshape(-1)
+        emb_tbl = np.asarray(self.params["speech_embed"], np.float32)
+        pos_tbl = np.asarray(self.params["speech_pos"], np.float32)
+        emb = emb_tbl[toks % emb_tbl.shape[0]] + pos_tbl[:len(toks)]
+        emo = float(np.asarray(t3.get("emotion_adv", 0.5)).reshape(-1)[0])
+        rows = chatterbox_cond_encode(self._cond_loaded, spk,
+                                      jnp.asarray(emb), emo)
+        return np.asarray(rows, np.float32)
+
     def _cond_fn(self, cond_params, ref_mel, ref_feats, ref_mask,
                  exaggeration):
         """ref_mel (1, n_mels, T), ref_feats (1, T', H), ref_mask (1, T')
-        -> (COND_LEN, H) conditioning rows: [speaker, emotion,
-        perceiver x n_latents] (chatterbox.py:87-124 Conditionals)."""
+        -> (COND_LEN, H) conditioning rows in the reference order
+        [speaker, perceiver x n_latents, emotion]
+        (encoder/chatterbox.py:278-310)."""
         spk = speaker_embed(cond_params["spk"], self._spk_cfg, ref_mel)
         spk_row = spk @ cond_params["spk_proj"]  # (1, H)
         emo_row = exaggeration * cond_params["emotion"]  # (1, H)
         lat = perceiver_resample(cond_params["perceiver"], self._perc_cfg,
                                  ref_feats, ref_mask)[0]  # (n_latents, H)
-        return jnp.concatenate([spk_row, emo_row, lat], axis=0)
+        return jnp.concatenate([spk_row, lat, emo_row], axis=0)
 
     @property
     def backbone_config(self):
@@ -244,7 +316,10 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
         spc_tbl = np.asarray(self.params["speech_embed"], np.float32)
         spos_tbl = np.asarray(self.params["speech_pos"], np.float32)
         # cond rows: perceiver conditioning from the reference audio when
-        # one is given (voice cloning); zeros otherwise (neutral voice)
+        # one is given (voice cloning); the packaged default voice
+        # (conds.pt through the weight-exact cond encoder) otherwise; zeros
+        # as the last-resort neutral fallback
+        dci = None
         if audio_path is not None:
             try:
                 ref_mel, ref_feats, ref_mask = self._load_ref(audio_path)
@@ -255,13 +330,21 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
                 feats[:COND_LEN] = np.asarray(cond, np.float32)
             except Exception:  # unreadable/absent reference: neutral voice
                 pass
+        elif self._default_cond_rows is not None:
+            feats[:COND_LEN] = self._default_cond_rows
+            gen = self._default_conds["gen"]
+            dci = self.make_flow_cache_row(
+                spk=np.asarray(gen["embedding"], np.float32).reshape(-1),
+                prompt_feat=np.asarray(gen["prompt_feat"],
+                                       np.float32)[0])
         pos = COND_LEN
         for i, t in enumerate(text_ids):
             feats[pos] = text_tbl[t] + tpos_tbl[i]
             pos += 1
         feats[pos] = spc_tbl[START_SPEECH] + spos_tbl[0]
         return PreprocessOutput(input_tokens=toks, input_masks=masks,
-                                input_features=feats)
+                                input_features=feats,
+                                decoder_cache_init=dci)
 
     def _load_ref(self, audio_path):
         """Reference audio -> (mel (1, M, T), prompt feats (1, T', H),
