@@ -49,7 +49,7 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 _SLOW_MODULES = {
-    "test_backbone_loaders", "test_chatterbox_cond_parity", "test_backbone_vs_hf", "test_cosy_flow_parity",
+    "test_backbone_loaders", "test_campplus_parity", "test_chatterbox_cond_parity", "test_backbone_vs_hf", "test_cosy_flow_parity",
     "test_cosyvoice2", "test_csm", "test_disaggregation", "test_dp",
     "test_e2e_inprocess", "test_ecapa_parity", "test_first_chunk",
     "test_glm_flow_parity", "test_hift_parity", "test_http_server",

@@ -328,6 +328,11 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
                     jnp.float32(exaggeration if exaggeration is not None
                                 else 0.5))
                 feats[:COND_LEN] = np.asarray(cond, np.float32)
+                # flow x-vector from the s3gen CAMPPlus (reference
+                # s3gen.embed_ref; weight-exact encoders/campplus.py)
+                spk = self._campplus_xvector(audio_path)
+                if spk is not None:
+                    dci = self.make_flow_cache_row(spk=spk)
             except Exception:  # unreadable/absent reference: neutral voice
                 pass
         elif self._default_cond_rows is not None:
@@ -345,6 +350,38 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
         return PreprocessOutput(input_tokens=toks, input_masks=masks,
                                 input_features=feats,
                                 decoder_cache_init=dci)
+
+    @functools.cached_property
+    def _campplus_params(self):
+        """CAMPPlus weights live inside s3gen.safetensors under
+        speaker_encoder.* (reference tokenizer/chatterbox.py:780)."""
+        from ..weights import load_safetensors_file, resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None or not (model_dir / "s3gen.safetensors").exists():
+            return None
+        try:
+            from ..encoders.campplus import load_campplus_params
+
+            sd = load_safetensors_file(model_dir / "s3gen.safetensors")
+            return load_campplus_params(sd, prefix="speaker_encoder.")
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("chatterbox").warning(
+                "campplus mapping failed (%s)", type(e).__name__)
+            return None
+
+    def _campplus_xvector(self, audio_path):
+        if self._campplus_params is None:
+            return None
+        from ..encoders.campplus import campplus_embed, kaldi_fbank
+
+        wav = load_audio_mono(audio_path, 16000)
+        feat = kaldi_fbank(wav)
+        emb = campplus_embed(self._campplus_params,
+                             jnp.asarray(feat)[None])[0]
+        return np.asarray(emb, np.float32)
 
     def _load_ref(self, audio_path):
         """Reference audio -> (mel (1, M, T), prompt feats (1, T', H),

@@ -229,7 +229,16 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
         mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
         toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)[0]
         toks = np.asarray(toks, np.int32) % SPEECH_TOKEN_SIZE
-        spk = speaker_embed(self._spk_params, self._spk_cfg_, mel)[0]
+        if self._campplus is not None:
+            # weight-exact CAMPPlus x-vector (reference runs campplus.onnx,
+            # model/cosyvoice2.py:360-373)
+            from ..encoders.campplus import campplus_embed, kaldi_fbank
+
+            wav16 = load_audio_mono(audio_path, 16000)
+            feat = kaldi_fbank(wav16)
+            spk = campplus_embed(self._campplus, jnp.asarray(feat)[None])[0]
+        else:
+            spk = speaker_embed(self._spk_params, self._spk_cfg_, mel)[0]
         return toks[:MAX_REF_TOKENS], np.asarray(spk, np.float32)
 
     @functools.cached_property
@@ -245,6 +254,39 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
     def _spk_cfg_(self):
         return SpeakerEncoderConfig(n_mels=80,
                                     out_dim=self._flow_cfg.spk_dim)
+
+    @functools.cached_property
+    def _campplus(self):
+        """Weight-exact CAMPPlus when a torch-format checkpoint is present
+        (the published campplus.onnx needs tensor extraction; a converted
+        campplus.safetensors / campplus.pt in the model dir is used
+        directly)."""
+        from ..weights import resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        try:
+            from ..encoders.campplus import load_campplus_params
+
+            if (model_dir / "campplus.safetensors").exists():
+                from ..weights import load_safetensors_file
+
+                return load_campplus_params(
+                    load_safetensors_file(model_dir / "campplus.safetensors"))
+            if (model_dir / "campplus.pt").exists():
+                import torch
+
+                sd = torch.load(model_dir / "campplus.pt",
+                                map_location="cpu", weights_only=True)
+                return load_campplus_params(
+                    {k: v.numpy() for k, v in sd.items()})
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("cosyvoice2").warning(
+                "campplus mapping failed (%s)", type(e).__name__)
+        return None
 
     @functools.cached_property
     def _spk_params(self):
