@@ -82,7 +82,10 @@ def main():
         # padding it to the decode bucket made the codec do ~10x wasted work
         # (12.7 streams measured with detok at bucket 96).
         decode_buckets_override=(1, BATCH), multi_chunk_ks=(),
-        detok_buckets_override=(1, 16, BATCH),
+        # floor 16: the codec compiles pathologically at batch 1 / len 10
+        # (4.4 s/step measured vs 76 ms at batch 16 — XLA shape quirk);
+        # padding singleton detok batches to 16 costs ~nothing
+        detok_buckets_override=(16, BATCH),
         # TTFA: first audio after 5 frames through the mini executable
         # instead of a full 10-frame window
         first_chunk_frames=5,
