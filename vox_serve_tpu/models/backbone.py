@@ -209,10 +209,10 @@ def backbone_forward(
         kp, vp = write_kv_prefill(kp, vp, layer_idx, k, v, meta)
         if meta.is_prefill:
             # Pallas flash prefill for large buckets (no (H, T, T) score
-            # materialization, causal + ragged block skipping); dense XLA
-            # path for small buckets / sub-128 head dims (Mosaic minor-dim
-            # constraint) / CPU
-            if use_pallas and T >= 512 and hd % 128 == 0:
+            # materialization, causal + ragged block skipping; sub-128 head
+            # dims zero-pad to the lane width inside the call); dense XLA
+            # path for small buckets / CPU
+            if use_pallas and T >= 512:
                 from ..ops.pallas_prefill import pallas_ragged_prefill
 
                 attn_out = pallas_ragged_prefill(q, k, v, meta,

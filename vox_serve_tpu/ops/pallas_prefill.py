@@ -21,8 +21,8 @@ as (T/BQ, BQ, 1) sublane-oriented query rows and (T/BK, BK) lane-oriented
 key rows.
 
 Q enters as (KH, G, T, D) and K/V head-major (KH, T, D) so every block
-access is contiguous. head_dim < 128 falls back to the dense path at the
-call site (Mosaic minor-dim constraints; CSM/Chatterbox prompts are short).
+access is contiguous. head_dim < 128 zero-pads D to the 128-lane width
+(exact: zero dims add nothing to scores; padded output dims are sliced).
 """
 
 from __future__ import annotations
@@ -155,6 +155,19 @@ def _pallas_prefill_call(q, k, v, segment_ids, scale=None, interpret=False):
         raise ValueError(f"prefill bucket {T} not a multiple of {BQ}/{bk}")
     nB = T // BQ
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
+
+    # sub-128 head dims (CSM/Chatterbox D=64): zero-pad D to the lane width.
+    # Zero dims contribute nothing to q.k scores and the padded output dims
+    # are sliced off — exact, at 2x kernel bandwidth (still beats the dense
+    # path's (H, T, T) materialization).
+    if D % 128 != 0:
+        pad = 128 - D % 128
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)))
+        out = _pallas_prefill_call(q, k, v, segment_ids, scale=scale,
+                                   interpret=interpret)
+        return out[:, :, :D]
 
     # (T, H, D) -> (KH, G, T, D): head h = kv*G + g (decode-kernel grouping)
     qt = q.reshape(T, KH, G, D).transpose(1, 2, 0, 3)
