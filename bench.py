@@ -100,8 +100,9 @@ def main():
             def wrapper(*a, **k):
                 t = time.perf_counter()
                 out = fn(*a, **k)
-                phase_t[name] = phase_t.get(name, 0.0) + (
-                    time.perf_counter() - t)
+                dt = time.perf_counter() - t
+                tot, n = phase_t.get(name, (0.0, 0))
+                phase_t[name] = (tot + dt, n + 1)
                 return out
             return wrapper
 
@@ -146,6 +147,7 @@ def main():
     worker.sync()
 
     # ---- TTFA (cold stream on a warm server) ------------------------------
+    phase_t.clear()
     ttfas = []
     for i in range(TTFA_RUNS):
         t = run_stream(_mkreq(f"ttfa{i}", max_tokens=64),
@@ -153,6 +155,10 @@ def main():
         if t is not None:
             ttfas.append(t * 1000.0)
     worker.sync()
+    if debug:
+        print("ttfa raw:", [round(t, 1) for t in ttfas])
+        print("ttfa-phase times:", {k: (round(v[0], 2), v[1])
+                                    for k, v in phase_t.items()})
     ttfas.sort()
     ttfa_p50 = ttfas[len(ttfas) // 2] if ttfas else float("nan")
     ttfa_worst = ttfas[-1] if ttfas else float("nan")
@@ -199,7 +205,8 @@ def main():
     if debug:
         print("capacity iters:", iters, "bytes:", bytes_total,
               "wall:", round(wall, 2))
-        print("phase times:", {k: round(v, 2) for k, v in phase_t.items()})
+        print("phase times:", {k: (round(v[0], 2), v[1])
+                               for k, v in phase_t.items()})
     audio_s = bytes_total / (2.0 * model.sample_rate)
     streams_rtf1 = audio_s / wall
     for r in sched.active_requests:
