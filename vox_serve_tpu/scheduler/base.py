@@ -144,6 +144,12 @@ class Scheduler:
                     self.model_worker.run_lm_decode(lm)
             except Exception as e:
                 self._fail_requests(lm, e, "lm step")
+        if len(self.active_requests) <= 2 and hasattr(self.model_worker,
+                                                      "sync"):
+            # light load: the readback pipeline only adds first-chunk latency
+            # (host token visibility lags pipeline_depth steps); resolve
+            # eagerly so TTFA doesn't pay it. Under load the pipeline stays.
+            self.model_worker.sync()
         return bool(lm or detok)
 
     def _fail_requests(self, requests: list[Request], exc: Exception,
