@@ -534,9 +534,15 @@ class Qwen3TTSLM(BaseLMWithDepth):
             return (h, kc, vc, feedback), tok
 
         feedback0 = jnp.zeros((B, H), self.dtype)
+        import os as _os
+
+        # unrolling the codebook scan lets XLA software-pipeline the depth
+        # weights' HBM fetches across iterations (experimentally tunable)
+        _unroll = int(_os.environ.get("VOX_DEPTH_UNROLL", "1"))
         (h, kc, vc, feedback), toks = jax.lax.scan(
             body, (h, kc, vc, feedback0),
-            jnp.arange(1, self.num_code_groups, dtype=jnp.int32))
+            jnp.arange(1, self.num_code_groups, dtype=jnp.int32),
+            unroll=_unroll)
         toks = toks.T  # (B, 15)
         text_col = jnp.full((B, 1), TTS_PAD, jnp.int32)
         all_ids = jnp.concatenate([cb0[:, None], toks, text_col], axis=1)
