@@ -30,7 +30,7 @@ from vox_serve_tpu.sampling import SamplingConfig
 from vox_serve_tpu.scheduler.online import OnlineScheduler
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
-BATCH = 96
+BATCH = int(os.environ.get("VOX_BENCH_BATCH", "96"))
 PROMPT = "A realistic sentence for the server to speak aloud."
 CAPACITY_SECONDS = 15.0
 TTFA_RUNS = 5
@@ -64,12 +64,16 @@ def main():
         CAPACITY_SECONDS = 2.0
         model = DummyLM(max_tokens=64)
     else:
-        model = Qwen3TTSLM(dtype=jnp.bfloat16)
+        interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
+        model = Qwen3TTSLM(dtype=jnp.bfloat16,
+                           detokenize_interval=interval)
     # 3072 pages = 5.25G KV (48k pooled tokens): bench streams hold ~16
     # pages each, and 4096 left only ~4G HBM headroom for the batch-96
     # detokenize temps (runtime ResourceExhausted)
     wcfg = WorkerConfig(
-        max_batch_size=BATCH, num_pages=3072, page_size=16,
+        max_batch_size=BATCH,
+        num_pages=int(os.environ.get("VOX_BENCH_PAGES", "3072")),
+        page_size=16,
         prefill_token_buckets=(128,), max_prefill_requests=1,
         # warmup compiles the full (small) lattice up front — first-use
         # compiles previously landed INSIDE the capacity window (61s of

@@ -393,7 +393,18 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
         mel_cfg = MelConfig(sample_rate=self.SAMPLE_RATE,
                             n_mels=self._spk_cfg.n_mels)
         mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-        toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)  # (1, T')
+        if self._s3v2 is not None:
+            # weight-exact S3 v2 from s3gen.safetensors (tokenizer.* keys,
+            # reference tokenizer/chatterbox.py:778)
+            from ..encoders.s3_exact import s3v2_encode
+            from ..encoders.whisper_exact import whisper_log_mel
+
+            wav16 = load_audio_mono(audio_path, 16000)
+            mel128 = whisper_log_mel(wav16, n_mels=128)
+            toks = s3v2_encode(self._s3v2[0], self._s3v2[1],
+                               jnp.asarray(mel128)[None])
+        else:
+            toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)  # (1, T')
         toks = toks[:, : self._perc_cfg.max_prompt] % SPEECH_VOCAB
         spc_tbl = jnp.asarray(self.params["speech_embed"], jnp.float32)
         feats = spc_tbl[toks]  # (1, T', H)
@@ -408,6 +419,29 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
     @functools.cached_property
     def _s3_params(self):
         return init_s3_tokenizer(self._s3_cfg, jax.random.key(23))
+
+    @functools.cached_property
+    def _s3v2(self):
+        """Weight-exact S3 v2 from s3gen.safetensors (the reference's
+        ChatterboxDecoder embeds the tokenizer, so its weights ship under
+        tokenizer.*)."""
+        from ..weights import load_safetensors_file, resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None or not (model_dir / "s3gen.safetensors").exists():
+            return None
+        try:
+            from ..encoders.s3_exact import S3V2Config, load_s3v2_params
+
+            cfg = S3V2Config()
+            sd = load_safetensors_file(model_dir / "s3gen.safetensors")
+            return load_s3v2_params(sd, cfg, prefix="tokenizer."), cfg
+        except Exception as e:
+            from ..utils import get_logger
+
+            get_logger("chatterbox").warning(
+                "S3 v2 mapping failed (%s)", type(e).__name__)
+            return None
 
     def is_stop(self, token_ids: np.ndarray) -> bool:
         return int(token_ids[0]) == STOP_SPEECH

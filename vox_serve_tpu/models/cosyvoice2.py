@@ -225,10 +225,22 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
         """Reference WAV -> (speech tokens (T',) int32 in [0, vocab),
         x-vector (spk_dim,) float32)."""
         wav = load_audio_mono(audio_path, 16000)
-        mel_cfg = MelConfig(sample_rate=16000, n_mels=self._s3_cfg.n_mels)
-        mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-        toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)[0]
-        toks = np.asarray(toks, np.int32) % SPEECH_TOKEN_SIZE
+        if self._s3v2 is not None:
+            # weight-exact S3 v2 (FSMN attention + FSQ; reference runs
+            # speech_tokenizer_v2.onnx, model/cosyvoice2.py:360-373)
+            from ..encoders.s3_exact import s3v2_encode
+            from ..encoders.whisper_exact import whisper_log_mel
+
+            mel128 = whisper_log_mel(wav, n_mels=128)
+            toks = np.asarray(
+                s3v2_encode(self._s3v2[0], self._s3v2[1],
+                            jnp.asarray(mel128)[None])[0], np.int32)
+        else:
+            mel_cfg = MelConfig(sample_rate=16000,
+                                n_mels=self._s3_cfg.n_mels)
+            mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
+            toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)[0]
+            toks = np.asarray(toks, np.int32) % SPEECH_TOKEN_SIZE
         if self._campplus is not None:
             # weight-exact CAMPPlus x-vector (reference runs campplus.onnx,
             # model/cosyvoice2.py:360-373)
@@ -249,6 +261,49 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
     @functools.cached_property
     def _s3_params(self):
         return init_s3_tokenizer(self._s3_cfg, jax.random.key(29))
+
+    @functools.cached_property
+    def _s3v2(self):
+        """Weight-exact S3 v2 when tensors are extractable: ONNX
+        initializers from speech_tokenizer_v2.onnx (onnx_reader) or a
+        torch-format conversion in the model dir."""
+        from ..weights import resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return None
+        from ..encoders.s3_exact import S3V2Config, load_s3v2_params
+
+        cfg = S3V2Config()
+        for loader, path in (
+                ("onnx", model_dir / "speech_tokenizer_v2.onnx"),
+                ("st", model_dir / "speech_tokenizer_v2.safetensors"),
+                ("pt", model_dir / "speech_tokenizer_v2.pt")):
+            if not path.exists():
+                continue
+            try:
+                if loader == "onnx":
+                    from ..onnx_reader import load_onnx_initializers
+
+                    sd = load_onnx_initializers(path)
+                elif loader == "st":
+                    from ..weights import load_safetensors_file
+
+                    sd = load_safetensors_file(path)
+                else:
+                    import torch
+
+                    sd = {k: v.numpy() for k, v in torch.load(
+                        path, map_location="cpu",
+                        weights_only=True).items()}
+                return load_s3v2_params(sd, cfg), cfg
+            except Exception as e:
+                from ..utils import get_logger
+
+                get_logger("cosyvoice2").warning(
+                    "S3 v2 mapping from %s failed (%s)", path.name,
+                    type(e).__name__)
+        return None
 
     @functools.cached_property
     def _spk_cfg_(self):
@@ -281,6 +336,13 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
                                 map_location="cpu", weights_only=True)
                 return load_campplus_params(
                     {k: v.numpy() for k, v in sd.items()})
+            if (model_dir / "campplus.onnx").exists():
+                # extract the initializer tensors straight from the ONNX
+                # protobuf (onnx_reader); torch exports keep param names
+                from ..onnx_reader import load_onnx_initializers
+
+                return load_campplus_params(
+                    load_onnx_initializers(model_dir / "campplus.onnx"))
         except Exception as e:
             from ..utils import get_logger
 
