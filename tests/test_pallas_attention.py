@@ -88,3 +88,13 @@ def test_pallas_decode_page_size_128():
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_decode_mha_g1():
+    # Zonos-style MHA: KH == H (query group of 1)
+    q, k_pages, v_pages, meta = _setup(H=8, KH=8, seed=13)
+    ref = paged_attention_decode(q, k_pages, v_pages, 0, meta)
+    out = pallas_paged_attention_decode(q, k_pages, v_pages, 0, meta,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -167,6 +167,102 @@ def _decode_kernel(
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
+def _decode_kernel_perreq(
+    # scalar prefetch
+    block_tables_ref,  # (B, maxP) int32 in SMEM
+    seq_lens_ref,      # (B,) int32 in SMEM
+    # inputs
+    q_ref,             # (1, KH, G, D) VMEM block
+    k_hbm,             # (KH, P, page, D) ANY/HBM
+    v_hbm,
+    # output
+    o_ref,             # (1, KH, G, D) VMEM block
+    # scratch
+    k_scratch,         # (2, CP, page, D) VMEM
+    v_scratch,
+    sems,              # DMA semaphores (2, 2, CP)
+    *,
+    page_size: int,
+    chunk_pages: int,
+    max_pages: int,
+    scale: float,
+    kv_heads: int,
+    group: int,
+):
+    """One program per REQUEST (all KV heads inside): the v5e runs Mosaic
+    grid programs sequentially on its single TensorCore, so at decode shapes
+    the per-program overhead of a (B, KH) grid dominates the kernel (~1 us x
+    768 programs/layer measured). Softmax state lives in fori carries, not
+    scratch refs."""
+    b = pl.program_id(0)
+    seq_len = seq_lens_ref[b]
+    chunk_tokens = chunk_pages * page_size
+    num_chunks = pl.cdiv(seq_len, chunk_tokens)
+
+    def start_chunk_dma(slot, h, c):
+        for i in range(chunk_pages):
+            page_idx = c * chunk_pages + i
+            pid = block_tables_ref[b, jnp.minimum(page_idx, max_pages - 1)]
+            pltpu.make_async_copy(
+                k_hbm.at[h, pid], k_scratch.at[slot, i], sems.at[0, slot, i]
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[h, pid], v_scratch.at[slot, i], sems.at[1, slot, i]
+            ).start()
+
+    def wait_chunk_dma(slot):
+        for i in range(chunk_pages):
+            pltpu.make_async_copy(
+                k_hbm.at[0, 0], k_scratch.at[slot, i], sems.at[0, slot, i]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[0, 0], v_scratch.at[slot, i], sems.at[1, slot, i]
+            ).wait()
+
+    D = q_ref.shape[-1]
+    for h in range(kv_heads):  # static unroll: all state statically indexed
+        q = q_ref[0, h].astype(jnp.float32) * scale  # (G, D)
+
+        start_chunk_dma(0, h, 0)
+
+        def body(c, carry, h=h):
+            m, l, acc = carry
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_chunk_dma(jax.lax.rem(c + 1, 2), h, c + 1)
+
+            wait_chunk_dma(jax.lax.rem(c, 2))
+
+            k = k_scratch[jax.lax.rem(c, 2)].astype(jnp.float32)
+            v = v_scratch[jax.lax.rem(c, 2)].astype(jnp.float32)
+            k = k.reshape(chunk_tokens, D)
+            v = v.reshape(chunk_tokens, D)
+
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (G, chunk)
+            token_idx = c * chunk_tokens + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            scores = jnp.where(token_idx < seq_len, scores, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(scores, axis=1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        m0 = jnp.full((group, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((group, 1), jnp.float32)
+        acc0 = jnp.zeros((group, D), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, h] = (acc / l).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
                         scale=None, interpret=False):
@@ -196,6 +292,39 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
     # multiple: the tail chunk's page indices clamp to the last table entry
     # and its scores are masked by seq_len.
     chunk_pages = max(1, min(128 // page_size, max_pages))
+
+    if fold == 1:
+        # per-request kernel: grid (B,) with a static loop over KV heads —
+        # 8x fewer sequential grid programs than (B, KH) (see
+        # _decode_kernel_perreq docstring)
+        q4 = q.reshape(B, KH, G, D)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, KH, G, D), lambda b, *_: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, KH, G, D), lambda b, *_: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk_pages, page_size, D), k_pages.dtype),
+                pltpu.VMEM((2, chunk_pages, page_size, D), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
+            ],
+        )
+        kernel = functools.partial(
+            _decode_kernel_perreq, page_size=page_size,
+            chunk_pages=chunk_pages, max_pages=max_pages, scale=scale,
+            kv_heads=KH, group=G)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, KH, G, D), q.dtype),
+            interpret=interpret,
+        )(block_tables, seq_lens, q4, k_pages, v_pages)
+        return out.reshape(B, H, D)
 
     # q padded per fold offset: q_pad[b, h, j, g, j*D:(j+1)*D] = q[b, h*G+g]
     q4 = q.reshape(B, KH, G, D)
