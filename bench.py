@@ -73,7 +73,7 @@ def main():
     wcfg = WorkerConfig(
         max_batch_size=BATCH,
         num_pages=int(os.environ.get("VOX_BENCH_PAGES", "3072")),
-        page_size=16,
+        page_size=int(os.environ.get("VOX_BENCH_PAGE_SIZE", "16")),
         prefill_token_buckets=(128,), max_prefill_requests=1,
         # warmup compiles the full (small) lattice up front — first-use
         # compiles previously landed INSIDE the capacity window (61s of
