@@ -231,6 +231,29 @@ class ModelWorker:
             model.codec_params = jax.device_put(
                 model.codec_params, self.detokenizer_device)
 
+        # persistent-HBM accounting: params + KV pool + slot caches. OOM at
+        # serving time shows up as an opaque ResourceExhausted mid-step;
+        # surface the budget up front instead.
+        def _nbytes(tree):
+            return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                       for a in jax.tree.leaves(tree)
+                       if hasattr(a, "shape"))
+
+        kv_bytes = _nbytes(self.k_pages) + _nbytes(self.v_pages)
+        param_bytes = _nbytes(model.params) + _nbytes(model.codec_params)
+        cache_bytes = _nbytes(self.codec_cache)
+        total = kv_bytes + param_bytes + cache_bytes
+        self.logger.info(
+            "persistent HBM: params %.2fG + KV pool %.2fG + slot caches "
+            "%.2fG = %.2fG", param_bytes / 2**30, kv_bytes / 2**30,
+            cache_bytes / 2**30, total / 2**30)
+        if total > 12 * 2**30 and self.lm_device is self.detokenizer_device:
+            self.logger.warning(
+                "persistent HBM %.2fG leaves <4G of a 16G chip for "
+                "executable temps — batch-heavy detokenize steps may "
+                "ResourceExhaust; lower --max-num-pages or --max-batch-size",
+                total / 2**30)
+
         self._base_key = jax.random.key(cfg.seed)
         self._step_counter = 0
 
