@@ -996,8 +996,12 @@ class ModelWorker:
 
         def probe(thunk, out) -> float:
             """Mean steady-state latency over 5 replays (the reference's
-            per-graph replay probes, cuda_graph_worker.py:330-346)."""
+            per-graph replay probes, cuda_graph_worker.py:330-346). One
+            discarded replay first: the first execution of a phase's first
+            executable absorbs multi-second one-time runtime costs that are
+            not steady-state (observed on the first detokenize bucket)."""
             jax.block_until_ready(out)
+            jax.block_until_ready(thunk())
             t = time.monotonic()
             for _ in range(5):
                 out = thunk()
