@@ -115,3 +115,27 @@ def test_slot_reuse_and_allocator_balance(worker):
         worker.free_kv_cache(r)
     assert worker.allocator.num_free == free_before
     assert len(worker._free_slots) == slots_before
+
+
+@pytest.mark.parametrize("page_size", [64, 128])
+def test_large_page_sizes(page_size):
+    """Token generation is page-size invariant (the kernel DMA-efficiency
+    tuning runs with page 64/128; the reference CLI default is 128)."""
+    def run(ps):
+        model = DummyLM(max_tokens=40)
+        cfg = WorkerConfig(max_batch_size=2, num_pages=16, page_size=ps,
+                           prefill_token_buckets=(256,),
+                           max_prefill_requests=2, warmup=False)
+        w = ModelWorker(model, cfg)
+        req = Request(request_id=f"p{ps}", prompt="page size check",
+                      sampling_config=SamplingConfig(max_tokens=40,
+                                                     greedy=True))
+        w.run_lm_prefill([req])
+        for _ in range(12):
+            if req.done_lm_generation:
+                break
+            w.run_lm_decode([req])
+        w.sync()
+        return [int(t[0]) for t in req.lm_output_tokens]
+
+    assert run(page_size) == run(8)
