@@ -236,10 +236,16 @@ def backbone_forward(
         return (h, kp, vp), None
 
     L = cfg.num_layers
+    import os as _os
+
+    # unrolling lets XLA software-pipeline the next layer's weight fetch
+    # with the current layer's compute (experimentally tunable)
+    _unroll = int(_os.environ.get("VOX_BACKBONE_UNROLL", "1"))
     (x, k_pages, v_pages), _ = jax.lax.scan(
         layer_fn,
         (x, k_pages, v_pages),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        unroll=_unroll,
     )
     if cfg.use_layer_norm:
         from ..ops.norms import layer_norm as _ln
