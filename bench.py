@@ -198,9 +198,11 @@ def main():
         if stall > 200:  # KV admission ceiling reached below BATCH
             break
     if debug:
-        print("fill done in", round(time.perf_counter() - t0, 1), "s; active:",
-              [(r.request_id, r.done_lm_prefill, r.done_all, r.slot)
-               for r in sched.active_requests])
+        print("fill done in", round(time.perf_counter() - t0, 1), "s;",
+              sum(1 for r in sched.active_requests
+                  if r.done_lm_prefill and not r.done_all),
+              "streams in flight")
+    phase_t.clear()  # capacity phases only (fill admissions excluded)
     _drain_audio_bytes(sched)
     bytes_total = 0
     iters = 0
