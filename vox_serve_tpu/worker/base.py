@@ -114,7 +114,10 @@ class WorkerConfig:
     @property
     def detok_buckets(self) -> tuple[int, ...]:
         if self.detok_buckets_override is not None:
-            assert self.detok_buckets_override[-1] == self.max_batch_size
+            # the largest detok bucket may be BELOW max_batch_size: wider
+            # batches split into ceiling-sized chunks (caps the codec
+            # executable's HBM temps for long windows / big batches)
+            assert self.detok_buckets_override[-1] <= self.max_batch_size
             return tuple(self.detok_buckets_override)
         return self.decode_buckets
 
@@ -616,7 +619,7 @@ class ModelWorker:
         for b in self.config.detok_buckets:
             if n <= b:
                 return b
-        raise ValueError(f"detok batch {n} exceeds max_batch_size")
+        return self.config.detok_buckets[-1]  # callers chunk to the ceiling
 
     def run_lm_decode(self, requests: list[Request]) -> None:
         if not requests:
@@ -849,12 +852,20 @@ class ModelWorker:
     def _issue_detok(self, windows: list, mapping: list, length: int,
                      finish_check: list[Request]) -> list[Request]:
         """Issue one detokenize batch of fixed-length windows; resolves any
-        previously pending batch (pipelined readback)."""
+        previously pending batch (pipelined readback). Batches wider than
+        the largest detok bucket split into ceiling-sized chunks."""
         model = self.model
         C = model.n_codebooks
+        cap = self.config.detok_buckets[-1]
+        if len(windows) > cap:
+            resolved = []
+            for s in range(0, len(windows), cap):
+                fc = finish_check if s + cap >= len(windows) else []
+                resolved += self._issue_detok(windows[s:s + cap],
+                                              mapping[s:s + cap], length, fc)
+            return resolved
         n = len(windows)
-        B = (self._detok_bucket(min(n, self.config.max_batch_size))
-             if n <= self.config.max_batch_size else n)
+        B = self._detok_bucket(n)
         token_ids = np.zeros((B, length, C), np.int32)
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
         for i, w in enumerate(windows):
@@ -890,6 +901,13 @@ class ModelWorker:
         model = self.model
         C = model.n_codebooks
         requests = requests[: self.config.max_batch_size]
+        cap = self.config.detok_buckets[-1]
+        if len(requests) > cap:
+            resolved = []
+            for s in range(0, len(requests), cap):
+                resolved += self._run_detok_windows(requests[s:s + cap],
+                                                    length)
+            return resolved
         n = len(requests)
         B = self._detok_bucket(n)
         token_ids = np.zeros((B, length, C), np.int32)
