@@ -89,7 +89,9 @@ def main():
         # floor 16: the codec compiles pathologically at batch 1 / len 10
         # (4.4 s/step measured vs 76 ms at batch 16 — XLA shape quirk);
         # padding singleton detok batches to 16 costs ~nothing
-        detok_buckets_override=(16, BATCH),
+        detok_buckets_override=(
+            16, min(BATCH, int(os.environ.get("VOX_BENCH_DETOK_CAP",
+                                              str(BATCH))))),
         # TTFA: first audio after 5 frames through the mini executable
         # instead of a full 10-frame window
         first_chunk_frames=5,
