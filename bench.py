@@ -67,6 +67,15 @@ def main():
         interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
         model = Qwen3TTSLM(dtype=jnp.bfloat16,
                            detokenize_interval=interval)
+        if os.environ.get("VOX_BENCH_CODEC_BF16"):
+            # the reference serves its codec at the model dtype (bf16,
+            # model/qwen3_tts.py:1061-1064); halves codec HBM traffic
+            import jax
+
+            model.codec_params = jax.tree.map(
+                lambda a: (a.astype(jnp.bfloat16)
+                           if hasattr(a, "dtype") and a.dtype == jnp.float32
+                           else a), model.codec_params)
     # 3072 pages = 5.25G KV (48k pooled tokens): bench streams hold ~16
     # pages each, and 4096 left only ~4G HBM headroom for the batch-96
     # detokenize temps (runtime ResourceExhausted)
@@ -97,6 +106,13 @@ def main():
         first_chunk_frames=5,
     )
     worker = ModelWorker(model, wcfg)
+    if os.environ.get("VOX_BENCH_CODEC_BF16") and worker.codec_cache is not None:
+        import jax
+
+        worker.codec_cache = jax.tree.map(
+            lambda a: (a.astype(jnp.bfloat16)
+                       if hasattr(a, "dtype") and a.dtype == jnp.float32
+                       else a), worker.codec_cache)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)
 
     debug = bool(os.environ.get("VOX_BENCH_DEBUG"))

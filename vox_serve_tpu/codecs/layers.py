@@ -52,6 +52,7 @@ def conv1d(p: dict, x: jax.Array, stride: int = 1, padding=0,
            dilation: int = 1, groups: int = 1) -> jax.Array:
     """x: (B, C_in, T) -> (B, C_out, T'). padding: int (symmetric) or
     (left, right). Matches torch.nn.Conv1d."""
+    x = x.astype(p["w"].dtype)  # params set the compute dtype (bf16 serving)
     if isinstance(padding, int):
         padding = (padding, padding)
     out = jax.lax.conv_general_dilated(
@@ -78,6 +79,7 @@ def conv_transpose1d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0,
     in/out transposed (the standard conv-transpose identity).
     """
     w = p["w"]  # (in, out/groups, k)
+    x = x.astype(w.dtype)  # params set the compute dtype (bf16 serving)
     in_ch, out_pg, k = w.shape
     # -> (out, in/groups, k), flipped taps
     if groups == 1:
