@@ -139,3 +139,28 @@ def test_large_page_sizes(page_size):
         return [int(t[0]) for t in req.lm_output_tokens]
 
     assert run(page_size) == run(8)
+
+
+def test_detok_bucket_ceiling_splits_batches():
+    """A detok lattice whose largest bucket is below max_batch_size splits
+    wide detokenize batches into ceiling-sized chunks (codec HBM cap)."""
+    model = DummyLM(max_tokens=40)
+    cfg = WorkerConfig(max_batch_size=4, num_pages=64, page_size=8,
+                       prefill_token_buckets=(64,), max_prefill_requests=4,
+                       warmup=False, detok_buckets_override=(2,))
+    w = ModelWorker(model, cfg)
+    reqs = []
+    for i in range(4):
+        r = Request(request_id=f"dc{i}", prompt="x" * 4,
+                    sampling_config=SamplingConfig(max_tokens=40))
+        w.run_lm_prefill([r])
+        iv = model.detokenize_interval
+        r.lm_output_audio_tokens = [np.full((model.n_codebooks,), 3, np.int32)
+                                    for _ in range(iv)]
+        r.next_audio_decode_idx = [0]
+        reqs.append(r)
+    w.run_detokenize(reqs)
+    w.flush_detokenize()
+    w.sync()
+    got = [not r.output_audio.empty() for r in reqs]
+    assert all(got), got
