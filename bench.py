@@ -69,13 +69,20 @@ def main():
                            detokenize_interval=interval)
         if os.environ.get("VOX_BENCH_CODEC_BF16"):
             # the reference serves its codec at the model dtype (bf16,
-            # model/qwen3_tts.py:1061-1064); halves codec HBM traffic
+            # model/qwen3_tts.py:1061-1064); halves codec HBM traffic.
+            # Cast BEFORE worker construction so warmup compiles the bf16
+            # executables (cache dtype is part of the jit signature).
             import jax
 
-            model.codec_params = jax.tree.map(
-                lambda a: (a.astype(jnp.bfloat16)
-                           if hasattr(a, "dtype") and a.dtype == jnp.float32
-                           else a), model.codec_params)
+            def _bf16(t):
+                return jax.tree.map(
+                    lambda a: (a.astype(jnp.bfloat16)
+                               if hasattr(a, "dtype")
+                               and a.dtype == jnp.float32 else a), t)
+
+            model.codec_params = _bf16(model.codec_params)
+            _orig_idc = model.init_decoder_cache
+            model.init_decoder_cache = lambda b: _bf16(_orig_idc(b))
     # 3072 pages = 5.25G KV (48k pooled tokens): bench streams hold ~16
     # pages each, and 4096 left only ~4G HBM headroom for the batch-96
     # detokenize temps (runtime ResourceExhausted)
@@ -106,13 +113,6 @@ def main():
         first_chunk_frames=5,
     )
     worker = ModelWorker(model, wcfg)
-    if os.environ.get("VOX_BENCH_CODEC_BF16") and worker.codec_cache is not None:
-        import jax
-
-        worker.codec_cache = jax.tree.map(
-            lambda a: (a.astype(jnp.bfloat16)
-                       if hasattr(a, "dtype") and a.dtype == jnp.float32
-                       else a), worker.codec_cache)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)
 
     debug = bool(os.environ.get("VOX_BENCH_DEBUG"))
