@@ -164,3 +164,30 @@ def test_detok_bucket_ceiling_splits_batches():
     w.sync()
     got = [not r.output_audio.empty() for r in reqs]
     assert all(got), got
+
+
+def test_codec_dtype_bf16():
+    """codec_dtype=bfloat16 casts codec params + slot caches and still
+    produces finite PCM (reference serves decoders at the model dtype)."""
+    import jax.numpy as jnp
+
+    model = DummyLM(max_tokens=40)
+    cfg = WorkerConfig(max_batch_size=2, num_pages=32, page_size=8,
+                       prefill_token_buckets=(64,), max_prefill_requests=2,
+                       warmup=False, codec_dtype="bfloat16")
+    w = ModelWorker(model, cfg)
+    leaves = [a for a in __import__("jax").tree.leaves(model.codec_params)
+              if hasattr(a, "dtype")]
+    assert all(a.dtype != jnp.float32 for a in leaves)
+    req = Request(request_id="bf16", prompt="hello",
+                  sampling_config=SamplingConfig(max_tokens=40))
+    w.run_lm_prefill([req])
+    iv = model.detokenize_interval
+    while len(req.lm_output_audio_tokens) < iv and not req.done_lm_generation:
+        w.run_lm_decode([req])
+    w.sync()
+    req.next_audio_decode_idx = [0]
+    w.run_detokenize([req])
+    w.flush_detokenize()
+    w.sync()
+    assert not req.output_audio.empty()

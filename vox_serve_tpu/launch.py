@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.profiler trace annotations around worker phases")
     p.add_argument("--dp-size", type=int, default=1)
     p.add_argument("--detokenize-interval", type=int, default=None)
+    p.add_argument("--codec-dtype", default=None,
+                   help="serve the audio codec at this dtype (bfloat16)")
+    p.add_argument("--decode-buckets", default=None,
+                   help="comma list overriding the decode-batch lattice")
+    p.add_argument("--detok-buckets", default=None,
+                   help="comma list overriding the detokenize-batch "
+                        "lattice (last may be below max-batch-size)")
     p.add_argument("--socket-suffix", default="")
     p.add_argument("--log-level", default="info")
     p.add_argument("--timeout-seconds", type=float, default=600.0)
@@ -106,6 +113,9 @@ def main(argv=None) -> None:
         "ramp_frames": args.ramp_frames,
         "enable_profiling": args.enable_profiling,
         "detokenize_interval": args.detokenize_interval,
+        "codec_dtype": args.codec_dtype,
+        "decode_buckets": args.decode_buckets,
+        "detok_buckets": args.detok_buckets,
         "log_level": args.log_level,
     }
     server = APIServer(

@@ -59,6 +59,9 @@ def _run_scheduler_daemon(args) -> None:
         ramp_frames=args.ramp_frames,
         enable_profiling=args.enable_profiling,
         detokenizer_device_index=(1 if args.enable_disaggregation else None),
+        codec_dtype=args.codec_dtype,
+        decode_buckets_override=_parse_buckets(args.decode_buckets),
+        detok_buckets_override=_parse_buckets(args.detok_buckets),
     )
     worker = ModelWorker(model, wcfg, rank=args.rank)
     scheduler = load_scheduler(
@@ -70,6 +73,12 @@ def _run_scheduler_daemon(args) -> None:
         async_scheduling=args.async_scheduling,
     )
     scheduler.run_forever()
+
+
+def _parse_buckets(spec):
+    if not spec:
+        return None
+    return tuple(int(x) for x in str(spec).split(",") if x)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -100,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg-scale", type=float, default=None)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--detokenize-interval", type=int, default=None)
+    p.add_argument("--codec-dtype", default=None,
+                   help="serve the audio codec at this dtype (bfloat16)")
+    p.add_argument("--decode-buckets", default=None,
+                   help="comma list overriding the decode-batch lattice")
+    p.add_argument("--detok-buckets", default=None,
+                   help="comma list overriding the detokenize-batch lattice "
+                        "(last entry may be below max-batch-size: wider "
+                        "batches split)")
     p.add_argument("--log-level", default="info")
     return p
 

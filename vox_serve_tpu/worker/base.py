@@ -93,6 +93,11 @@ class WorkerConfig:
     #: the cost of more padding.
     decode_buckets_override: Optional[tuple[int, ...]] = None
 
+    #: serve the audio codec at this dtype ("bfloat16" halves codec HBM
+    #: traffic — the reference runs its decoders at the model dtype, e.g.
+    #: model/qwen3_tts.py:1061-1064). None keeps the codec's native dtype.
+    codec_dtype: Optional[str] = None
+
     #: detokenize-batch bucket lattice, independent of the decode lattice
     #: (a step's detok batch is ~batch/interval requests, so tying it to the
     #: decode buckets pads the codec up to interval-times too wide). None ->
@@ -225,6 +230,20 @@ class ModelWorker:
                 sample_rate=model.sample_rate)
             self.watermark_params = init_watermarker(
                 self.watermark_cfg, jax.random.key(cfg.seed + 101))
+
+        if cfg.codec_dtype is not None:
+            _cd = jnp.dtype(cfg.codec_dtype)
+
+            def _cast_codec(tree):
+                return jax.tree.map(
+                    lambda a: (a.astype(_cd)
+                               if hasattr(a, "dtype")
+                               and a.dtype == jnp.float32 else a), tree)
+
+            model.codec_params = _cast_codec(model.codec_params)
+            _orig_idc = model.init_decoder_cache
+            model.init_decoder_cache = (
+                lambda b, _f=_orig_idc: _cast_codec(_f(b)))
 
         self.codec_cache = model.init_decoder_cache(cfg.max_batch_size)
         if self.detokenizer_device is not self.lm_device:
