@@ -30,7 +30,7 @@ from vox_serve_tpu.sampling import SamplingConfig
 from vox_serve_tpu.scheduler.online import OnlineScheduler
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
-BATCH = int(os.environ.get("VOX_BENCH_BATCH", "96"))
+BATCH = int(os.environ.get("VOX_BENCH_BATCH", "144"))
 PROMPT = "A realistic sentence for the server to speak aloud."
 CAPACITY_SECONDS = 15.0
 TTFA_RUNS = 5
@@ -67,7 +67,7 @@ def main():
         interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
         model = Qwen3TTSLM(dtype=jnp.bfloat16,
                            detokenize_interval=interval)
-        if os.environ.get("VOX_BENCH_CODEC_BF16"):
+        if os.environ.get("VOX_BENCH_CODEC_BF16", "1") != "0":
             # the reference serves its codec at the model dtype (bf16,
             # model/qwen3_tts.py:1061-1064); halves codec HBM traffic.
             # Cast BEFORE worker construction so warmup compiles the bf16
@@ -107,7 +107,7 @@ def main():
         # padding singleton detok batches to 16 costs ~nothing
         detok_buckets_override=(
             16, min(BATCH, int(os.environ.get("VOX_BENCH_DETOK_CAP",
-                                              str(BATCH))))),
+                                              "64")))),
         # TTFA: first audio after 5 frames through the mini executable
         # instead of a full 10-frame window
         first_chunk_frames=5,
