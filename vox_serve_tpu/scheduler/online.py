@@ -22,6 +22,24 @@ class OnlineScheduler(Scheduler):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.detokenize_max_batch_size = self.max_batch_size
+        # burst smoothing: with synchronized streams, window boundaries
+        # align and a step's detok batch can spike far past the per-step
+        # average (max_batch / interval), overflowing into a much wider
+        # (and much slower) codec bucket. Cap per-step selection at the
+        # detok bucket covering steady-state demand — pressing priority
+        # and proportional allocation decide WHO fills it, and deferred
+        # windows drain over the following (underfull) steps.
+        worker_cfg = getattr(self.model_worker, "config", None)
+        interval = getattr(self.model_worker, "detokenize_interval", 0)
+        overlap = getattr(self.model_worker, "detokenize_overlap", 0)
+        if worker_cfg is not None and interval:
+            step = max(interval - overlap, 1)
+            demand = -(-self.max_batch_size // step)  # ceil
+            for b in worker_cfg.detok_buckets:
+                if b >= demand:
+                    self.detokenize_max_batch_size = min(
+                        self.max_batch_size, b)
+                    break
 
     # -- intake hooks ---------------------------------------------------
     def _prepare_requests(self) -> None:
