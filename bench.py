@@ -111,6 +111,10 @@ def main():
         # TTFA: first audio after 5 frames through the mini executable
         # instead of a full 10-frame window
         first_chunk_frames=5,
+        # fused cold-stream decode: the 5 frames of the first chunk run as
+        # ONE scanned executable instead of 5 dispatch rounds
+        fused_decode_steps=int(os.environ.get("VOX_BENCH_FUSED_K", "5")),
+        fused_decode_buckets=(1,),
     )
     worker = ModelWorker(model, wcfg)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)

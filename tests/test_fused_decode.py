@@ -1,0 +1,107 @@
+"""Fused multi-step decode (one dispatch for k steps) vs single-step parity.
+
+The fused path scans k decode bodies inside one executable
+(worker/base.py run_lm_decode_multi); with greedy sampling the token
+sequence must be bit-identical to the single-step path, and the serving
+behavior (chunks, completion, resource release) unchanged.
+"""
+
+import numpy as np
+import pytest
+
+from vox_serve_tpu.models.dummy import DummyLM
+from vox_serve_tpu.requests import Request
+from vox_serve_tpu.sampling import SamplingConfig
+from vox_serve_tpu.scheduler.base import Scheduler
+from vox_serve_tpu.scheduler.online import OnlineScheduler
+from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+
+def _greedy_model(max_tokens=16):
+    m = DummyLM(max_tokens=max_tokens)
+    m.sampling_config = SamplingConfig(greedy=True, max_tokens=max_tokens)
+    return m
+
+
+def _drive(sched, reqs, max_steps=200):
+    for r in reqs:
+        sched.enqueue_request(r)
+    for _ in range(max_steps):
+        sched._step()
+        if all(r.done_all for r in reqs):
+            break
+    return sched._inproc_results
+
+
+def test_fused_decode_matches_single_step_tokens():
+    base_cfg = dict(max_batch_size=4, num_pages=64, page_size=8,
+                    prefill_token_buckets=(64,), max_prefill_requests=4,
+                    warmup=False)
+    tokens = {}
+    for fused in (0, 4):
+        w = ModelWorker(_greedy_model(), WorkerConfig(
+            **base_cfg, fused_decode_steps=fused,
+            fused_decode_buckets=(2,)))
+        s = Scheduler(model_worker=w, max_batch_size=4, connect=False)
+        req = Request(request_id="f1", prompt="hello fused world")
+        _drive(s, [req])
+        assert req.done_all
+        tokens[fused] = [int(t[0]) for t in req.lm_output_tokens]
+        assert req.slot is None and not req.kv_pages
+    assert tokens[0] == tokens[4], (tokens[0], tokens[4])
+
+
+def test_fused_decode_two_streams_same_audio_bytes():
+    cfgs = {}
+    for fused in (0, 3):
+        w = ModelWorker(_greedy_model(), WorkerConfig(
+            max_batch_size=4, num_pages=64, page_size=8,
+            prefill_token_buckets=(64,), max_prefill_requests=4,
+            warmup=False, fused_decode_steps=fused,
+            fused_decode_buckets=(2,)))
+        s = OnlineScheduler(model_worker=w, max_batch_size=4, connect=False)
+        reqs = [Request(request_id=f"s{i}", prompt=f"stream number {i}",
+                        is_streaming=True, is_pressing=True)
+                for i in range(2)]
+        msgs = _drive(s, reqs)
+        audio = {}
+        for i in range(2):
+            rid = f"s{i}".encode()
+            audio[i] = b"".join(
+                m.split(b"|", 2)[2] for m in msgs
+                if m.startswith(rid) and m.split(b"|")[1] == b"AUDIO")
+            assert len(audio[i]) > 0
+        cfgs[fused] = audio
+    assert cfgs[0] == cfgs[3]
+
+
+def test_fused_decode_respects_block_table_limit():
+    # a request that cannot take k tokens falls back to single-step
+    w = ModelWorker(_greedy_model(max_tokens=16), WorkerConfig(
+        max_batch_size=2, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=2,
+        warmup=False, fused_decode_steps=4, fused_decode_buckets=(2,)))
+    req = Request(request_id="lim", prompt="x")
+    w.run_lm_prefill([req])
+    w.sync()
+    # artificially push the request to the edge of its block table
+    limit = w.max_pages_per_seq * w.config.page_size
+    req.kv_token_len = limit - 2
+    assert not w.can_decode_multi([req], 4)
+    req.kv_token_len = limit - 8
+    assert w.can_decode_multi([req], 4)
+
+
+def test_fused_decode_input_streaming_caps_k():
+    sched_cfg = WorkerConfig(max_batch_size=2, num_pages=64, page_size=8,
+                             prefill_token_buckets=(64,),
+                             max_prefill_requests=2, warmup=False,
+                             fused_decode_steps=4, fused_decode_buckets=(2,))
+    w = ModelWorker(_greedy_model(), sched_cfg)
+    s = Scheduler(model_worker=w, max_batch_size=2, connect=False)
+    req = Request(request_id="st", prompt="x", is_input_streaming=True)
+    req.pending_text_tokens.put(5)
+    req.pending_text_tokens.put(6)
+    assert s._fused_decode_steps([req]) == 2
+    req.text_complete = True
+    assert s._fused_decode_steps([req]) == 4

@@ -221,10 +221,14 @@ def backbone_forward(
                 attn_out = ragged_prefill_attention(q, k, v, meta,
                                                     scale=cfg.attn_scale)
         else:
-            k_layer = jax.lax.dynamic_index_in_dim(kp, layer_idx, axis=0, keepdims=True)
-            v_layer = jax.lax.dynamic_index_in_dim(vp, layer_idx, axis=0, keepdims=True)
+            # pass the FULL carried pool + traced layer index: the Pallas
+            # kernel resolves the layer inside its page DMAs. Slicing the
+            # carried pool here materialized the (KH, P, page, D) plane as
+            # a per-layer copy (~380 MB/layer for the flagship = 13 ms/step
+            # measured at B=1) because the kernel consumed it as an opaque
+            # ANY-space operand.
             attn_out = paged_attention_decode(
-                q, k_layer, v_layer, 0, meta, scale=cfg.attn_scale,
+                q, kp, vp, layer_idx, meta, scale=cfg.attn_scale,
                 use_pallas=use_pallas,
             )
 

@@ -32,10 +32,14 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # (B, maxP) int32 in SMEM
     seq_lens_ref,      # (B,) int32 in SMEM
+    layer_ref,         # (1,) int32 in SMEM — layer plane of the 5-D pool
     # inputs
     q_ref,             # (1, 1, fold, G, D*fold) VMEM block (fold-offset padded)
-    k_hbm,             # (KH, P, page, D) in ANY/HBM — head-major layout so a
-    v_hbm,             # page DMA is an aligned (page, D) tile
+    k_hbm,             # (L, KH, P, page, D) in ANY/HBM — head-major layout so
+    v_hbm,             # a page DMA is an aligned (page, D) tile. The FULL
+                       # pool is passed (layer indexed inside the DMA): a
+                       # host-visible layer slice materializes ~GBs of copy
+                       # per scan step (measured 13 ms/step at 28 layers).
     # output
     o_ref,             # (1, 1, G, D) VMEM block
     # scratch
@@ -55,6 +59,7 @@ def _decode_kernel(
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
+    lyr = layer_ref[0]
     seq_len = seq_lens_ref[b]
     chunk_tokens = chunk_pages * page_size
     num_chunks = pl.cdiv(seq_len, chunk_tokens)
@@ -66,19 +71,21 @@ def _decode_kernel(
             # pages beyond the table clamp to entry 0 (scratch page)
             pid = block_tables_ref[b, jnp.minimum(page_idx, max_pages - 1)]
             pltpu.make_async_copy(
-                k_hbm.at[h, pid], k_scratch.at[slot, i], sems.at[0, slot, i]
+                k_hbm.at[lyr, h, pid], k_scratch.at[slot, i],
+                sems.at[0, slot, i]
             ).start()
             pltpu.make_async_copy(
-                v_hbm.at[h, pid], v_scratch.at[slot, i], sems.at[1, slot, i]
+                v_hbm.at[lyr, h, pid], v_scratch.at[slot, i],
+                sems.at[1, slot, i]
             ).start()
 
     def wait_chunk_dma(slot):
         for i in range(chunk_pages):
             pltpu.make_async_copy(
-                k_hbm.at[0, 0], k_scratch.at[slot, i], sems.at[0, slot, i]
+                k_hbm.at[0, 0, 0], k_scratch.at[slot, i], sems.at[0, slot, i]
             ).wait()
             pltpu.make_async_copy(
-                v_hbm.at[0, 0], v_scratch.at[slot, i], sems.at[1, slot, i]
+                v_hbm.at[0, 0, 0], v_scratch.at[slot, i], sems.at[1, slot, i]
             ).wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -171,10 +178,11 @@ def _decode_kernel_perreq(
     # scalar prefetch
     block_tables_ref,  # (B, maxP) int32 in SMEM
     seq_lens_ref,      # (B,) int32 in SMEM
+    layer_ref,         # (1,) int32 in SMEM — layer plane of the 5-D pool
     # inputs
     q_ref,             # (1, KH, G, D) VMEM block
-    k_hbm,             # (KH, P, page, D) ANY/HBM
-    v_hbm,
+    k_hbm,             # (L, KH, P, page, D) ANY/HBM — full pool, layer
+    v_hbm,             # indexed inside the DMA (see _decode_kernel)
     # output
     o_ref,             # (1, KH, G, D) VMEM block
     # scratch
@@ -195,6 +203,7 @@ def _decode_kernel_perreq(
     768 programs/layer measured). Softmax state lives in fori carries, not
     scratch refs."""
     b = pl.program_id(0)
+    lyr = layer_ref[0]
     seq_len = seq_lens_ref[b]
     chunk_tokens = chunk_pages * page_size
     num_chunks = pl.cdiv(seq_len, chunk_tokens)
@@ -204,19 +213,21 @@ def _decode_kernel_perreq(
             page_idx = c * chunk_pages + i
             pid = block_tables_ref[b, jnp.minimum(page_idx, max_pages - 1)]
             pltpu.make_async_copy(
-                k_hbm.at[h, pid], k_scratch.at[slot, i], sems.at[0, slot, i]
+                k_hbm.at[lyr, h, pid], k_scratch.at[slot, i],
+                sems.at[0, slot, i]
             ).start()
             pltpu.make_async_copy(
-                v_hbm.at[h, pid], v_scratch.at[slot, i], sems.at[1, slot, i]
+                v_hbm.at[lyr, h, pid], v_scratch.at[slot, i],
+                sems.at[1, slot, i]
             ).start()
 
     def wait_chunk_dma(slot):
         for i in range(chunk_pages):
             pltpu.make_async_copy(
-                k_hbm.at[0, 0], k_scratch.at[slot, i], sems.at[0, slot, i]
+                k_hbm.at[0, 0, 0], k_scratch.at[slot, i], sems.at[0, slot, i]
             ).wait()
             pltpu.make_async_copy(
-                v_hbm.at[0, 0], v_scratch.at[slot, i], sems.at[1, slot, i]
+                v_hbm.at[0, 0, 0], v_scratch.at[slot, i], sems.at[1, slot, i]
             ).wait()
 
     D = q_ref.shape[-1]
@@ -265,9 +276,21 @@ def _decode_kernel_perreq(
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
-                        scale=None, interpret=False):
+                        layer=None, scale=None, interpret=False):
+    """k_pages/v_pages: (KH, P, page, D) with layer=None, or the FULL
+    (L, KH, P, page, D) pool with a traced ``layer`` index. The layer rides
+    scalar prefetch and is resolved inside the DMA — slicing the pool on the
+    host side of the kernel boundary materializes the slice as a copy when
+    the pool is a scan carry (~190 MB x 2 x L per step; measured 13 ms/step
+    for the 1.7B flagship at B=1)."""
     B, H, D = q.shape
-    KH, P, page_size, _ = k_pages.shape
+    if k_pages.ndim == 4:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    L, KH, P, page_size, _ = k_pages.shape
     G = H // KH
     max_pages = block_tables.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
@@ -283,8 +306,8 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
         if page_size % fold != 0:
             raise ValueError(
                 f"page_size {page_size} must be divisible by 128/{D}")
-        k_pages = k_pages.reshape(KH, P, page_size // fold, D * fold)
-        v_pages = v_pages.reshape(KH, P, page_size // fold, D * fold)
+        k_pages = k_pages.reshape(L, KH, P, page_size // fold, D * fold)
+        v_pages = v_pages.reshape(L, KH, P, page_size // fold, D * fold)
     width = D * fold
     folded_page = page_size // fold
 
@@ -299,7 +322,7 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
         # _decode_kernel_perreq docstring)
         q4 = q.reshape(B, KH, G, D)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, KH, G, D), lambda b, *_: (b, 0, 0, 0),
@@ -323,7 +346,7 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, KH, G, D), q.dtype),
             interpret=interpret,
-        )(block_tables, seq_lens, q4, k_pages, v_pages)
+        )(block_tables, seq_lens, layer, q4, k_pages, v_pages)
         return out.reshape(B, H, D)
 
     # q padded per fold offset: q_pad[b, h, j, g, j*D:(j+1)*D] = q[b, h*G+g]
@@ -336,7 +359,7 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
         q4 = q4.reshape(B, KH, 1, G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, KH),
         in_specs=[
             pl.BlockSpec((1, 1, fold, G, width),
@@ -371,7 +394,7 @@ def _pallas_decode_call(q, k_pages, v_pages, block_tables, seq_lens,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, G, D), q.dtype),
         interpret=interpret,
-    )(block_tables, seq_lens, q4, k_pages, v_pages)
+    )(block_tables, seq_lens, layer, q4, k_pages, v_pages)
     return out.reshape(B, H, D)
 
 
@@ -379,13 +402,15 @@ def pallas_paged_attention_decode(q, k_pages, v_pages, layer, meta,
                                   scale=None, interpret=False):
     """Drop-in for attention.paged_attention_decode (use_pallas path).
 
-    q: (B, H, D); k_pages/v_pages: (L, KH, P, page, D) — head-major (kv_cache.py:51) — `layer` selects the
-    layer plane (traced index OK).
-    """
+    q: (B, H, D); k_pages/v_pages: (L, KH, P, page, D) — head-major
+    (kv_cache.py:51) — `layer` selects the layer plane (traced index OK).
+    The full pool goes into the kernel; the layer index is resolved inside
+    the page DMA (a host-side layer slice of a scan-carried pool
+    materializes as a copy — 13 ms/step for the 1.7B flagship)."""
     if k_pages.ndim == 5:
-        kp = jax.lax.dynamic_index_in_dim(k_pages, layer, 0, keepdims=False)
-        vp = jax.lax.dynamic_index_in_dim(v_pages, layer, 0, keepdims=False)
-    else:
-        kp, vp = k_pages, v_pages
-    return _pallas_decode_call(q, kp, vp, meta.block_tables, meta.seq_lens,
-                               scale=scale, interpret=interpret)
+        return _pallas_decode_call(q, k_pages, v_pages, meta.block_tables,
+                                   meta.seq_lens, layer=jnp.int32(layer),
+                                   scale=scale, interpret=interpret)
+    return _pallas_decode_call(q, k_pages, v_pages, meta.block_tables,
+                               meta.seq_lens, scale=scale,
+                               interpret=interpret)

@@ -141,7 +141,13 @@ class Scheduler:
                 if not lm[0].done_lm_prefill:
                     self.model_worker.run_lm_prefill(lm)
                 else:
-                    self.model_worker.run_lm_decode(lm)
+                    k = self._fused_decode_steps(lm)
+                    can_multi = getattr(self.model_worker,
+                                        "can_decode_multi", None)
+                    if k > 1 and can_multi is not None and can_multi(lm, k):
+                        self.model_worker.run_lm_decode_multi(lm, k)
+                    else:
+                        self.model_worker.run_lm_decode(lm)
             except Exception as e:
                 self._fail_requests(lm, e, "lm step")
         if len(self.active_requests) <= 2 and hasattr(self.model_worker,
@@ -151,6 +157,27 @@ class Scheduler:
             # eagerly so TTFA doesn't pay it. Under load the pipeline stays.
             self.model_worker.sync()
         return bool(lm or detok)
+
+    def _fused_decode_steps(self, lm: list[Request]) -> int:
+        """How many decode steps to fuse into one dispatch for this batch.
+
+        Fused decode targets light load (batch fits the small fused-bucket
+        lattice): a cold stream's first chunk otherwise costs
+        first_chunk_frames separate dispatch rounds. Input-streaming
+        requests cap k at their available text tokens so pad/EOS injection
+        semantics stay step-accurate (worker._inject_streaming_text_token)."""
+        w = self.model_worker
+        cfg = getattr(w, "config", None)
+        k = getattr(cfg, "fused_decode_steps", 0) if cfg else 0
+        if not k:
+            return 1
+        buckets = getattr(cfg, "fused_decode_buckets", ())
+        if len(lm) > max(buckets, default=0):
+            return 1
+        for r in lm:
+            if r.is_input_streaming and not r.text_complete:
+                k = min(k, max(1, r.pending_text_tokens.qsize()))
+        return k
 
     def _fail_requests(self, requests: list[Request], exc: Exception,
                        phase: str) -> None:
