@@ -3,7 +3,7 @@ import wave
 
 import numpy as np
 
-from vox_serve_tpu.native import ChunkRing, f32_to_i16, get_lib, wav_header
+from vox_serve_tpu.native import f32_to_i16, get_lib, wav_header
 
 
 def test_native_builds():
@@ -25,18 +25,3 @@ def test_wav_header_parses():
     assert wav.getframerate() == 24000
     assert wav.getnchannels() == 1
     assert wav.getsampwidth() == 2
-
-
-def test_chunk_ring_roundtrip():
-    r = ChunkRing(1 << 12)
-    assert r.write(b"hello")
-    assert r.write(b" world")
-    assert r.size() == 11
-    assert r.read(5) == b"hello"
-    assert r.read(100) == b" world"
-    assert r.size() == 0
-    # wraparound
-    big = bytes(range(256)) * 10
-    for _ in range(5):
-        assert r.write(big)
-        assert r.read(len(big)) == big

@@ -70,7 +70,8 @@ def test_delay_revert_in_detokenize(model):
     audio, _ = model.detokenize(model.codec_params, jnp.asarray(window), None)
     frames = T - N_CB
     n44 = frames * SMALL_DAC.hop_per_latent
-    assert audio.shape == (1, 1, int(round(n44 * 24000 / 44100)))
+    # ceil output-length convention (torchaudio resample semantics)
+    assert audio.shape == (1, 1, -(-n44 * 80 // 147))
 
 
 def test_prefix_conditioning_prompt(model):
@@ -84,3 +85,30 @@ def test_prefix_conditioning_prompt(model):
     # longer prompt -> more espeak rows only
     po2 = model.preprocess(prompt="abcdef")
     assert po2.input_tokens.shape == (14, N_CB)
+
+
+def test_sinc_resample_antialias_and_passband():
+    """The 44.1k->24k output resampler must be windowed-sinc (reference
+    torchaudio semantics, /root/reference/vox_serve/model/zonos.py:929-935),
+    not linear interpolation: a tone above the 12 kHz output Nyquist must be
+    attenuated, and a passband tone must match scipy's polyphase resampler."""
+    import scipy.signal
+    from vox_serve_tpu.models.zonos import _resample_441_to_24
+
+    sr = 44100
+    t = np.arange(sr) / sr  # 1 s
+    # passband: 1 kHz tone
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)[None, None]
+    y = np.asarray(_resample_441_to_24(jnp.asarray(x)))[0, 0]
+    ref = scipy.signal.resample_poly(x[0, 0], 80, 147)
+    n = min(len(y), len(ref))
+    # trim filter edges; compare mid-section
+    m = slice(1000, n - 1000)
+    err = np.sqrt(np.mean((y[m] - ref[m]) ** 2))
+    assert err < 0.01, err  # > 40 dB agreement with scipy polyphase
+
+    # stopband: 20 kHz tone (above output Nyquist) must nearly vanish
+    x_hi = np.sin(2 * np.pi * 20000 * t).astype(np.float32)[None, None]
+    y_hi = np.asarray(_resample_441_to_24(jnp.asarray(x_hi)))[0, 0]
+    rms = np.sqrt(np.mean(y_hi[m] ** 2))
+    assert rms < 0.02, rms  # linear interp leaves ~0.2+ aliased energy

@@ -51,14 +51,26 @@ DAC_CONFIG = SNACConfig(
 
 
 def _resample_441_to_24(x: jax.Array) -> jax.Array:
-    """Linear resample along the last axis (44100 -> 24000)."""
+    """Polyphase windowed-sinc resample along the last axis, 44100 -> 24000
+    (reference semantics: torchaudio resample, zonos.py:929-935 — ceil
+    output-length convention). Shares the filter design with the
+    silentcipher watermarker's resampler (watermark/silentcipher.py)."""
+    from ..watermark.silentcipher import _resample_filter
+
+    up, down = 80, 147  # 24000/300, 44100/300
     n_in = x.shape[-1]
-    n_out = int(round(n_in * 24000 / 44100))
-    pos = jnp.linspace(0.0, n_in - 1, n_out)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, n_in - 1)
-    frac = pos - i0
-    return x[..., i0] * (1 - frac) + x[..., i1] * frac
+    lead = x.shape[:-1]
+    n_out = -(-n_in * up // down)  # ceil, matching torchaudio
+    h = jnp.asarray(_resample_filter(up, down))
+    taps = h.shape[0]
+    flat = x.reshape((-1, n_in))
+    xe = jnp.zeros((flat.shape[0], n_in * up), flat.dtype).at[:, ::up].set(flat)
+    pad = taps // 2
+    y = jax.lax.conv_general_dilated(
+        xe[:, None, :], h[None, None, :].astype(flat.dtype),
+        window_strides=(down,), padding=((pad, pad),),
+        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
+    return y[:, :n_out].reshape(lead + (n_out,))
 
 
 class ZonosLM(BaseLM):
@@ -227,7 +239,7 @@ class ZonosLM(BaseLM):
             return 11425
         frames = self.detokenize_interval - N_CB
         n44 = frames * self._dac_cfg.hop_per_latent
-        return int(round(n44 * 24000 / 44100))
+        return -(-n44 * 80 // 147)  # ceil (torchaudio resample semantics)
 
     @property
     def sample_rate(self):

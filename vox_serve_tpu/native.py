@@ -1,9 +1,9 @@
 """ctypes bindings for the native audio runtime (native/voxaudio.c).
 
 Builds the shared object on first use with the in-image toolchain (no
-pybind11 required) and falls back to numpy implementations if compilation is
-unavailable. Used by the API server for PCM conversion, WAV header framing,
-and per-request SPSC chunk rings.
+pybind11 required) and falls back to numpy/stdlib implementations if
+compilation is unavailable. Used by the worker for PCM conversion of every
+emitted chunk (f32_to_i16) and by the API server for WAV header framing.
 """
 
 from __future__ import annotations
@@ -58,17 +58,6 @@ def get_lib():
         lib.wav_header.argtypes = [ctypes.c_uint32, ctypes.c_uint16,
                                    ctypes.c_uint16, ctypes.c_uint32,
                                    ctypes.c_void_p]
-        lib.ring_new.restype = ctypes.c_void_p
-        lib.ring_new.argtypes = [ctypes.c_uint64]
-        lib.ring_free.argtypes = [ctypes.c_void_p]
-        lib.ring_size.restype = ctypes.c_uint64
-        lib.ring_size.argtypes = [ctypes.c_void_p]
-        lib.ring_write.restype = ctypes.c_int64
-        lib.ring_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                   ctypes.c_uint64]
-        lib.ring_read.restype = ctypes.c_int64
-        lib.ring_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                  ctypes.c_uint64]
         _LIB = lib
         return lib
 
@@ -98,38 +87,3 @@ def wav_header(sample_rate: int, channels: int = 1, bits: int = 16,
     out = (ctypes.c_uint8 * 44)()
     lib.wav_header(sample_rate, channels, bits, data_len, out)
     return bytes(out)
-
-
-class ChunkRing:
-    """SPSC byte ring for per-request audio chunk queues."""
-
-    def __init__(self, capacity: int = 1 << 20):
-        self._lib = get_lib()
-        if self._lib is not None:
-            self._ptr = self._lib.ring_new(capacity)
-        else:
-            self._buf = bytearray()
-
-    def write(self, data: bytes) -> bool:
-        if self._lib is not None:
-            return self._lib.ring_write(self._ptr, data, len(data)) >= 0
-        self._buf.extend(data)
-        return True
-
-    def read(self, n: int) -> bytes:
-        if self._lib is not None:
-            out = ctypes.create_string_buffer(n)
-            got = self._lib.ring_read(self._ptr, out, n)
-            return out.raw[:got]
-        out = bytes(self._buf[:n])
-        del self._buf[:n]
-        return out
-
-    def size(self) -> int:
-        if self._lib is not None:
-            return self._lib.ring_size(self._ptr)
-        return len(self._buf)
-
-    def __del__(self):
-        if getattr(self, "_lib", None) is not None and getattr(self, "_ptr", None):
-            self._lib.ring_free(self._ptr)

@@ -26,15 +26,9 @@ MODEL_FORM_FIELDS = ("language", "speaker", "ref_text", "instruct",
                      "x_vector_only_mode")
 
 
-def wav_header(sample_rate: int, channels: int = 1) -> bytes:
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as wf:
-        wf.setnchannels(channels)
-        wf.setsampwidth(2)
-        wf.setframerate(sample_rate)
-        wf.writeframes(b"")
-    buf.seek(0)
-    return buf.read()
+# RIFF header framing via the native audio runtime (native/voxaudio.c),
+# with a stdlib fallback inside vox_serve_tpu.native
+from ..native import wav_header  # noqa: E402
 
 
 def _json_error(status: int, detail: str) -> web.Response:

@@ -294,14 +294,19 @@ def sc_decode_symbols(params: dict, cfg: SilentCipherConfig,
 # ---------------------------------------------------------------------------
 
 
-def _resample_filter(up: int, down: int, zeros: int = 24) -> np.ndarray:
-    width = zeros * max(1, down / up)
-    taps = int(2 * zeros * max(up, down) / min(up, down)) | 1
-    t = (np.arange(taps) - taps // 2) / up
-    cutoff = 0.5 / max(up, down) * up * min(1.0, up / down)
-    h = np.sinc(2 * cutoff * t) * 2 * cutoff
+def _resample_filter(up: int, down: int, zeros: int = 12) -> np.ndarray:
+    """Windowed-sinc lowpass for polyphase resampling by up/down, designed
+    in the zero-stuffed (rate x up) domain: cutoff at the tighter of the two
+    Nyquists, `zeros` sinc zero-crossings per side, Hann window, total DC
+    gain `up` (compensates the 1/up amplitude loss of zero-stuffing; the
+    torchaudio/julius convention the reference relies on through
+    torchaudio.functional.resample)."""
+    fc = 0.5 / max(up, down)  # cycles per upsampled sample
+    taps = 2 * zeros * max(up, down) + 1
+    t = np.arange(taps) - taps // 2
+    h = 2 * fc * np.sinc(2 * fc * t)
     h *= np.hanning(taps)
-    return (h * up).astype(np.float32)
+    return (h * (up / h.sum())).astype(np.float32)
 
 
 def sinc_resample(x: jax.Array, orig_sr: int, new_sr: int) -> jax.Array:
