@@ -34,14 +34,7 @@ VARIANTS = {
 }
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--vocab", type=int, default=3072)
-    p.add_argument("--iters", type=int, default=50)
-    args = p.parse_args()
-
-    B, V = args.batch_size, args.vocab
+def bench_batch(B: int, V: int, iters: int) -> dict:
     logits = jax.random.normal(jax.random.key(0), (B, 1, V))
     out = {}
     for name, cfg in VARIANTS.items():
@@ -55,7 +48,7 @@ def main():
         ids, cache2 = step(logits, jax.random.key(1), cache)
         jax.block_until_ready(ids)
         lat = []
-        for i in range(args.iters):
+        for i in range(iters):
             t0 = time.perf_counter()
             ids, _ = step(logits, jax.random.key(i), cache)
             jax.block_until_ready(ids)
@@ -66,7 +59,22 @@ def main():
             "p50_ms": round(float(np.percentile(lat, 50)), 3),
             "p99_ms": round(float(np.percentile(lat, 99)), 3),
         }
-    print(json.dumps(out, indent=2))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-sizes", "--batch-size", type=int, nargs="+",
+                   default=[8], help="batch-size sweep (reference "
+                   "sampling-latency.py sweeps batch/config matrices)")
+    p.add_argument("--vocab", type=int, default=3072)
+    p.add_argument("--iters", type=int, default=50)
+    args = p.parse_args()
+
+    out = {f"batch_{B}": bench_batch(B, args.vocab, args.iters)
+           for B in args.batch_sizes}
+    print(json.dumps(out if len(out) > 1 else next(iter(out.values())),
+                     indent=2))
 
 
 if __name__ == "__main__":
