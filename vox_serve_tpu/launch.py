@@ -28,9 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--async-scheduling", action="store_true")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--max-batch-size", type=int, default=8)
-    p.add_argument("--max-num-pages", type=int, default=2048)
-    p.add_argument("--page-size", type=int, default=16)
+    # None = resolved from the model's serving profile (profiles.py) — the
+    # measured-optimal configuration for profiled models
+    p.add_argument("--max-batch-size", type=int, default=None)
+    p.add_argument("--max-num-pages", type=int, default=None)
+    p.add_argument("--page-size", type=int, default=None)
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--min-p", type=float, default=None)
@@ -42,16 +44,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--enable-disaggregation", action="store_true")
     p.add_argument("--enable-pallas", action="store_true")
+    p.add_argument("--disable-pallas", action="store_true",
+                   help="force the pure-XLA attention path even when the "
+                        "model's serving profile enables Pallas")
     p.add_argument("--no-warmup", action="store_true")
-    p.add_argument("--pipeline-depth", type=int, default=2,
+    p.add_argument("--pipeline-depth", type=int, default=None,
                    help="in-flight decode steps with deferred readback")
     p.add_argument("--tp-size", type=int, default=1,
                    help="tensor-parallel shards per replica (ICI)")
-    p.add_argument("--first-chunk-frames", type=int, default=0,
+    p.add_argument("--first-chunk-frames", type=int, default=None,
                    help="emit the first chunk after N frames (TTFA)")
-    p.add_argument("--ramp-frames", type=int, default=0,
+    p.add_argument("--ramp-frames", type=int, default=None,
                    help="extend the mini-chunk ramp to N frames before "
                         "regular detokenize windows (0: one interval)")
+    p.add_argument("--fused-decode-steps", type=int, default=None,
+                   help="scan N decode steps per dispatch for cold/"
+                        "light-load streams (0 disables)")
     p.add_argument("--enable-profiling", action="store_true",
                    help="jax.profiler trace annotations around worker phases")
     p.add_argument("--dp-size", type=int, default=1)
@@ -83,6 +91,17 @@ def main(argv=None) -> None:
     if args.scheduler_type == "disaggregation" and not args.enable_disaggregation:
         args.enable_disaggregation = True
 
+    # fill unset flags from the model's serving profile (measured optimum)
+    from .profiles import apply_profile
+    apply_profile(args, logger)
+    if args.disable_pallas:
+        args.enable_pallas = False
+    if args.async_scheduling and args.pipeline_depth >= 2:
+        logger.warning(
+            "--async-scheduling: decode readback is already pipelined "
+            "(pipeline_depth=%d); the flag adds nothing here. It only has "
+            "an effect with --pipeline-depth 0/1.", args.pipeline_depth)
+
     # the model's sample rate drives WAV headers; resolve without building
     # the full model (cheap metadata-only instantiation is model-specific,
     # so consult a static table with a fallback)
@@ -111,6 +130,7 @@ def main(argv=None) -> None:
         "tp_size": args.tp_size,
         "first_chunk_frames": args.first_chunk_frames,
         "ramp_frames": args.ramp_frames,
+        "fused_decode_steps": args.fused_decode_steps,
         "enable_profiling": args.enable_profiling,
         "detokenize_interval": args.detokenize_interval,
         "codec_dtype": args.codec_dtype,

@@ -57,6 +57,7 @@ def _run_scheduler_daemon(args) -> None:
         tp_size=args.tp_size,
         first_chunk_frames=args.first_chunk_frames,
         ramp_frames=args.ramp_frames,
+        fused_decode_steps=args.fused_decode_steps,
         enable_profiling=args.enable_profiling,
         detokenizer_device_index=(1 if args.enable_disaggregation else None),
         codec_dtype=args.codec_dtype,
@@ -98,6 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp-size", type=int, default=1)
     p.add_argument("--first-chunk-frames", type=int, default=0)
     p.add_argument("--ramp-frames", type=int, default=0)
+    p.add_argument("--fused-decode-steps", type=int, default=0)
     p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)
