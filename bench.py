@@ -42,12 +42,15 @@ def _mkreq(i, max_tokens=1200):
                    sampling_config=SamplingConfig(max_tokens=max_tokens))
 
 
-def _drain_audio_bytes(sched):
+def _drain_audio_bytes(sched, only_rid=None):
+    """Total AUDIO bytes drained; with only_rid, count just that request
+    (a prior stream's pipelined detok can resolve during the next stream —
+    counting its bytes fabricated ~100 ms-early TTFAs in round 2)."""
     n = 0
     out = []
     for msg in sched._inproc_results:
         rid, typ, body = msg.split(b"|", 2)
-        if typ == b"AUDIO":
+        if typ == b"AUDIO" and (only_rid is None or rid == only_rid):
             n += len(body)
             out.append(rid)
     sched._inproc_results.clear()
@@ -138,12 +141,19 @@ def main():
                 setattr(worker, name, timed(name, getattr(worker, name)))
 
     def run_stream(req, deadline_s=120.0, stop_after_first_audio=False):
+        # flush any pipelined audio left over from a previous stream so it
+        # cannot masquerade as this stream's first chunk
+        worker.sync()
+        if hasattr(worker, "flush_detokenize"):
+            worker.flush_detokenize()
+        _drain_audio_bytes(sched)
+        rid = req.request_id.encode()
         t0 = time.perf_counter()
         first = None
         sched.enqueue_request(req)
         while time.perf_counter() - t0 < deadline_s:
             sched._step()
-            nbytes, _ = _drain_audio_bytes(sched)
+            nbytes, _ = _drain_audio_bytes(sched, only_rid=rid)
             if nbytes and first is None:
                 first = time.perf_counter() - t0
                 if stop_after_first_audio:

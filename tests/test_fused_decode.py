@@ -105,3 +105,51 @@ def test_fused_decode_input_streaming_caps_k():
     assert s._fused_decode_steps([req]) == 2
     req.text_complete = True
     assert s._fused_decode_steps([req]) == 4
+
+
+def test_cold_start_chained_first_chunk_matches_host_path():
+    """run_cold_start (prefill + fused decode + chained detok, zero
+    intermediate readbacks) must produce byte-identical audio to the
+    host-side mini-ramp path under greedy sampling."""
+    from vox_serve_tpu.scheduler.online import OnlineScheduler
+
+    audio_by_mode = {}
+    for fused in (0, 2):
+        w = ModelWorker(_greedy_model(max_tokens=24), WorkerConfig(
+            max_batch_size=4, num_pages=64, page_size=8,
+            prefill_token_buckets=(64,), max_prefill_requests=4,
+            warmup=False, first_chunk_frames=2,
+            fused_decode_steps=fused, fused_decode_buckets=(2,)))
+        s = OnlineScheduler(model_worker=w, max_batch_size=4, connect=False)
+        req = Request(request_id="cs", prompt="chained cold start",
+                      is_streaming=True, is_pressing=True)
+        msgs = _drive(s, [req])
+        assert req.done_all
+        audio = b"".join(m.split(b"|", 2)[2] for m in msgs
+                         if m.startswith(b"cs") and m.split(b"|")[1] == b"AUDIO")
+        assert len(audio) > 0
+        audio_by_mode[fused] = audio
+        if fused:
+            assert w.can_cold_start(req) or req.is_input_streaming is False
+    assert audio_by_mode[0] == audio_by_mode[2], (
+        len(audio_by_mode[0]), len(audio_by_mode[2]))
+
+
+def test_cold_start_early_stop_trims_chunk():
+    """A stream that stops inside its first chunk window emits trimmed audio
+    and completes."""
+    from vox_serve_tpu.scheduler.online import OnlineScheduler
+
+    w = ModelWorker(_greedy_model(max_tokens=24), WorkerConfig(
+        max_batch_size=2, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=2,
+        warmup=False, first_chunk_frames=2,
+        fused_decode_steps=2, fused_decode_buckets=(2,)))
+    s = OnlineScheduler(model_worker=w, max_batch_size=2, connect=False)
+    # max_tokens barely above the prompt so the length cap hits immediately
+    req = Request(request_id="es", prompt="stop early now",
+                  is_streaming=True, is_pressing=True,
+                  sampling_config=SamplingConfig(greedy=True, max_tokens=1))
+    # absolute-position cap: prompt len already exceeds it -> stops at once
+    _drive(s, [req])
+    assert req.done_all

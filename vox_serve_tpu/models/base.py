@@ -127,6 +127,10 @@ class BaseLM(abc.ABC):
     feedback_dim: int = 0
     #: logits cover only codebook 0 (depth models sample the rest)
     single_cb_logits: bool = False
+    #: raw sampled rows ARE audio-token rows (no delay revert / interleave
+    #: filtering in update_request_state) — enables the chained cold-start
+    #: executable that feeds scan outputs straight into detokenize
+    supports_chained_detok: bool = False
 
     @property
     def use_repetition_penalty(self) -> bool:

@@ -22,6 +22,7 @@ from ..sampling import SamplingConfig
 
 class DummyLM(BaseLM):
     STOP_TOKEN = 1
+    supports_chained_detok = True
     SAMPLES_PER_TOKEN = 80
 
     def __init__(self, model_name: str = "dummy", dtype=jnp.float32,

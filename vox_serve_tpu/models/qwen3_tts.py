@@ -67,6 +67,7 @@ class Qwen3TTSLM(BaseLMWithDepth):
     needs_input_features = True
     needs_input_masks = True
     supports_input_streaming = True
+    supports_chained_detok = True  # sampled rows are audio-token rows
     text_channel_index = -1
 
     def __init__(self, model_name: str = "Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice",

@@ -139,7 +139,8 @@ class Scheduler:
         if lm:
             try:
                 if not lm[0].done_lm_prefill:
-                    self.model_worker.run_lm_prefill(lm)
+                    if not self._maybe_cold_start(lm):
+                        self.model_worker.run_lm_prefill(lm)
                 else:
                     k = self._fused_decode_steps(lm)
                     can_multi = getattr(self.model_worker,
@@ -156,7 +157,32 @@ class Scheduler:
             # (host token visibility lags pipeline_depth steps); resolve
             # eagerly so TTFA doesn't pay it. Under load the pipeline stays.
             self.model_worker.sync()
+            # eager detokenize: windows completed by THIS step's LM run
+            # would otherwise wait a scheduler round to be selected and a
+            # second one for the pipelined readback — two more tunnel round
+            # trips on the first-chunk path
+            extra = self._select_detokenize_requests()
+            emitted = []
+            if extra:
+                try:
+                    emitted = self.model_worker.run_detokenize(extra)
+                except Exception as e:
+                    self._fail_requests(extra, e, "detokenize")
+            flush = getattr(self.model_worker, "flush_detokenize", None)
+            if flush is not None:
+                emitted = emitted + flush()
+            # audio queued outside a detok batch (cold-start fast path)
+            for r in self.active_requests:
+                if r not in emitted and not r.output_audio.empty():
+                    emitted.append(r)
+            self._send_responses(emitted)
         return bool(lm or detok)
+
+    def _maybe_cold_start(self, lm: list[Request]) -> bool:
+        """Hook: dispatch a streaming request's prefill + first chunk as one
+        chained fast path. Only the online scheduler (which owns the
+        first-chunk ramp bookkeeping) implements this."""
+        return False
 
     def _fused_decode_steps(self, lm: list[Request]) -> int:
         """How many decode steps to fuse into one dispatch for this batch.

@@ -41,6 +41,25 @@ class OnlineScheduler(Scheduler):
                         self.max_batch_size, b)
                     break
 
+    # -- cold-start fast path --------------------------------------------
+    def _maybe_cold_start(self, lm) -> bool:
+        """Near-idle streaming prefill: chain prefill + fused decode +
+        first-chunk detok (worker.run_cold_start) so first PCM costs two
+        dispatches and one readback. Under load the normal batched path
+        keeps the chip busy for everyone instead."""
+        if len(lm) != 1 or not lm[0].is_streaming:
+            return False
+        req = lm[0]
+        ccs = getattr(self.model_worker, "can_cold_start", None)
+        if ccs is None or not ccs(req):
+            return False
+        decoding = sum(1 for r in self.active_requests
+                       if r.done_lm_prefill and not r.done_all and r is not req)
+        if decoding > 2:
+            return False
+        self.model_worker.run_cold_start(req)
+        return True
+
     # -- intake hooks ---------------------------------------------------
     def _prepare_requests(self) -> None:
         super()._prepare_requests()

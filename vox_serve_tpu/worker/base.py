@@ -404,6 +404,8 @@ class ModelWorker:
         if fn is None:
             if phase == "decode_multi":
                 fn = self._build_lm_multi_fn(bucket[1])
+            elif phase == "decode_multi_detok":
+                fn = self._build_lm_multi_fn(bucket[1], with_detok=True)
             else:
                 fn = self._build_lm_fn(phase)
             self._lm_fns[key] = fn
@@ -451,7 +453,7 @@ class ModelWorker:
 
         return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
 
-    def _build_lm_multi_fn(self, n_steps: int):
+    def _build_lm_multi_fn(self, n_steps: int, with_detok: bool = False):
         """Fused k-step decode: ``lax.scan`` over k single-step bodies inside
         one executable. The sampled-token feedback path is the scan carry
         (device-resident), so the whole chain runs with ONE host dispatch —
@@ -468,7 +470,7 @@ class ModelWorker:
         def step(params, overrides_k, positions_k, meta0, page_ids_k,
                  offsets_k, k_pages, v_pages, rep_cache, feedback,
                  last_tokens, slot_ids, base_key, counter, override_mask_k,
-                 gen_idx0):
+                 gen_idx0, codec_params=None, codec_cache=None):
             def body(carry, xs):
                 k_pages, v_pages, rep_cache, feedback, last_tokens = carry
                 ov, ovm, pos, pids, offs, i = xs
@@ -508,12 +510,47 @@ class ModelWorker:
 
             xs = (overrides_k, override_mask_k, positions_k, page_ids_k,
                   offsets_k, jnp.arange(n_steps, dtype=jnp.int32))
+            # frame 0 of a cold stream is the PREFILL's sampled token,
+            # sitting in the last-token slot buffer before the scan runs
+            init_tok = jnp.take(last_tokens, slot_ids, axis=0, mode="clip")
             carry0 = (k_pages, v_pages, rep_cache, feedback, last_tokens)
             (k_pages, v_pages, rep_cache, feedback, last_tokens), sampled_k = \
                 jax.lax.scan(body, carry0, xs)
-            return (sampled_k, k_pages, v_pages, rep_cache, feedback,
-                    last_tokens)
+            if codec_params is None:
+                return (sampled_k, k_pages, v_pages, rep_cache, feedback,
+                        last_tokens)
+            # chained first-chunk detokenize: the first k audio frames
+            # (prefill sample + first k-1 scan outputs) go straight into the
+            # codec WITHOUT leaving the device — the whole cold-stream chain
+            # (prefill ->) k decode steps -> first PCM is then dispatchable
+            # with zero intermediate host readbacks (each readback costs a
+            # full tunnel round trip; measured 25-30 ms/step through axon)
+            frames = jnp.concatenate(
+                [init_tok[:, None, :],
+                 jnp.transpose(sampled_k[:-1], (1, 0, 2))], axis=1)
+            rows = None
+            if codec_cache is not None:
+                rows = jax.tree.map(
+                    lambda a: jnp.take(a, slot_ids, axis=0, mode="clip"),
+                    codec_cache)
+            audio, new_rows = model.detokenize(codec_params, frames, rows)
+            if self.watermark_cfg is not None:
+                from ..watermark import apply_watermark
 
+                marked = apply_watermark(self.watermark_params,
+                                         self.watermark_cfg, audio[:, 0])
+                audio = marked[:, None, :].astype(audio.dtype)
+            new_cache = codec_cache
+            if codec_cache is not None and new_rows is not None:
+                new_cache = jax.tree.map(
+                    lambda a, r: a.at[slot_ids].set(
+                        r.astype(a.dtype), mode="drop"),
+                    codec_cache, new_rows)
+            return (sampled_k, k_pages, v_pages, rep_cache, feedback,
+                    last_tokens, audio, new_cache)
+
+        if with_detok:
+            return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10, 17))
         return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
 
     def _get_detok_fn(self, bucket):
@@ -854,13 +891,17 @@ class ModelWorker:
         limit = self.max_pages_per_seq * self.config.page_size
         return all(r.kv_token_len + n_steps <= limit for r in requests)
 
-    def run_lm_decode_multi(self, requests: list[Request],
-                            n_steps: int) -> None:
+    def run_lm_decode_multi(self, requests: list[Request], n_steps: int,
+                            first_chunk: bool = False) -> None:
         """Run n_steps decode steps for the batch in ONE dispatch (scan).
         Callers must have checked ``can_decode_multi``. KV pages for all
         k tokens are allocated up front; allocator backpressure excludes a
         request from the whole fused call (scratch-page targets + dropped
-        scatters, like padded slots)."""
+        scatters, like padded slots).
+
+        first_chunk=True additionally chains the first-chunk detokenize
+        into the same executable (frames stay device-resident), so a cold
+        stream's first PCM needs no intermediate host readback."""
         if not requests:
             return
         model = self.model
@@ -930,13 +971,9 @@ class ModelWorker:
             block_tables=jnp.asarray(block_tables),
             seq_lens=jnp.asarray(seq_lens0),
         )
-        fn = self._get_lm_fn("decode_multi", (B, K))
         counter = self._step_counter + 1
         self._step_counter += K  # one RNG fold per scanned step
-        ctx = self._trace(f"lm_decode_multi_b{B}_k{K}")
-        ctx.__enter__()
-        (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-         self.last_tokens) = fn(
+        args = (
             model.params, jnp.asarray(overrides), jnp.asarray(positions),
             meta0, jnp.asarray(page_ids), jnp.asarray(offsets),
             self.k_pages, self.v_pages, self.rep_cache, self.feedback,
@@ -944,16 +981,62 @@ class ModelWorker:
             jnp.int32(counter), jnp.asarray(override_mask),
             jnp.asarray(gen_idx0),
         )
-        ctx.__exit__(None, None, None)
-        self._pending.append((sampled, list(requests), hard_stopped, K))
+        if first_chunk:
+            fn = self._get_lm_fn("decode_multi_detok", (B, K))
+            ctx = self._trace(f"lm_cold_start_b{B}_k{K}")
+            ctx.__enter__()
+            (sampled, self.k_pages, self.v_pages, self.rep_cache,
+             self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
+                *args, model.codec_params, self.codec_cache)
+            ctx.__exit__(None, None, None)
+            self._pending.append((sampled, list(requests), hard_stopped, K,
+                                  audio))
+        else:
+            fn = self._get_lm_fn("decode_multi", (B, K))
+            ctx = self._trace(f"lm_decode_multi_b{B}_k{K}")
+            ctx.__enter__()
+            (sampled, self.k_pages, self.v_pages, self.rep_cache,
+             self.feedback, self.last_tokens) = fn(*args)
+            ctx.__exit__(None, None, None)
+            self._pending.append((sampled, list(requests), hard_stopped, K))
         while len(self._pending) > self.config.pipeline_depth:
             self._resolve_one()
+
+    # ------------------------------------------------------------------
+    # cold-start fast path: prefill + fused decode + first-chunk detok in
+    # TWO dispatches, no intermediate host readback
+    # ------------------------------------------------------------------
+    def can_cold_start(self, req: Request) -> bool:
+        cfg = self.config
+        return (cfg.fused_decode_steps >= 2
+                and self.first_chunk_frames >= 2
+                and self.model.supports_chained_detok
+                and self.detokenizer_device is self.lm_device
+                and self._fused_bucket(1) is not None
+                and not req.is_input_streaming)
+
+    def run_cold_start(self, req: Request) -> None:
+        """Dispatch prefill then the chained fused-decode+detok executable
+        back-to-back: the feedback token and audio frames stay
+        device-resident, so the first PCM chunk costs two dispatches and a
+        single readback instead of (2 + first_chunk_frames) dispatch/readback
+        rounds (each a full tunnel round trip). Caller gates on
+        ``can_cold_start``."""
+        self.run_lm_prefill([req])
+        if not req.done_lm_prefill or req.done_all:
+            return  # admission deferred or preprocess failed — normal path
+        k = self.first_chunk_frames
+        if not self.can_decode_multi([req], k):
+            return
+        self.run_lm_decode_multi([req], k, first_chunk=True)
 
     def _resolve_one(self) -> None:
         entry = self._pending.pop(0)
         sampled, requests, hard_stopped = entry[:3]
         n_steps = entry[3] if len(entry) > 3 else 1
+        audio = entry[4] if len(entry) > 4 else None
         sampled_np = np.asarray(jax.device_get(sampled))
+        audio_np = None if audio is None else np.asarray(jax.device_get(audio))
         if n_steps == 1:
             sampled_np = sampled_np[None]  # (1, B, C)
         for i, req in enumerate(requests):
@@ -968,6 +1051,31 @@ class ModelWorker:
                     # speculative step(s) issued past the stop point; discard
                     break
                 self.model.update_request_state(req, sampled_np[s, i])
+            if audio_np is not None:
+                self._emit_cold_chunk(req, audio_np[i], n_steps)
+
+    def _emit_cold_chunk(self, req: Request, pcm: np.ndarray,
+                         window: int) -> None:
+        """Emit the chained first-chunk audio (frames 0..window-1) with the
+        reference trim rule for early stops, and advance the ramp exactly as
+        the host-side mini path (_run_detok_windows) would."""
+        from ..native import f32_to_i16
+
+        model = self.model
+        interval = model.detokenize_interval
+        valid = min(len(req.lm_output_audio_tokens), window)
+        if valid < window:
+            trim = int(pcm.shape[1] * (valid - 0.5) / window)
+            pcm = pcm[:, :max(trim, 0)]
+        if pcm.shape[1]:
+            req.output_audio.put(f32_to_i16(pcm))
+        req.extras["ramp_next"] = window
+        req.extras["ramp_size"] = min(window, interval)
+        ramp_end = self.ramp_frames or interval
+        if window >= ramp_end:
+            step = interval - model.detokenize_overlap
+            req.audio_decode_idx = [window - step]
+            req.next_audio_decode_idx = [window - step]
 
     def sync(self) -> None:
         """Resolve all in-flight decode steps (host state catches up)."""
@@ -1373,6 +1481,44 @@ class ModelWorker:
                 self.logger.info(
                     "warmup: fused decode bucket B=%d k=%d compiled "
                     "(%.2f ms/call)", B, K, ms)
+
+        # chained cold-start executable (fused decode + first-chunk detok)
+        KC = self.first_chunk_frames
+        if (K >= 2 and KC >= 2 and model.supports_chained_detok
+                and self.detokenizer_device is self.lm_device):
+            for B in cfg.fused_decode_buckets:
+                meta0 = AttnMetadata(
+                    False, jnp.zeros((B,), jnp.int32),
+                    jnp.zeros((B,), jnp.int32),
+                    block_tables=jnp.zeros((B, self.max_pages_per_seq),
+                                           jnp.int32),
+                    seq_lens=jnp.ones((B,), jnp.int32),
+                )
+                fn = self._get_lm_fn("decode_multi_detok", (B, KC))
+
+                def call_cold(fn=fn, B=B, meta0=meta0):
+                    out = fn(model.params,
+                             jnp.zeros((KC, B, C), jnp.int32),
+                             jnp.zeros((KC, B), jnp.int32), meta0,
+                             jnp.zeros((KC, B), jnp.int32),
+                             jnp.zeros((KC, B), jnp.int32),
+                             self.k_pages, self.v_pages, self.rep_cache,
+                             self.feedback, self.last_tokens,
+                             jnp.full((B,), cfg.max_batch_size, jnp.int32),
+                             self._base_key, jnp.int32(0),
+                             jnp.zeros((KC, B, C), bool),
+                             jnp.zeros((B,), jnp.int32),
+                             model.codec_params, self.codec_cache)
+                    (_, self.k_pages, self.v_pages, self.rep_cache,
+                     self.feedback, self.last_tokens, audio,
+                     self.codec_cache) = out
+                    return audio
+
+                audio = call_cold()
+                ms = probe(call_cold, audio)
+                self.logger.info(
+                    "warmup: cold-start chain B=%d k=%d compiled "
+                    "(%.2f ms/call)", B, KC, ms)
 
         # detokenize buckets (regular interval + multi-chunk catch-up
         # windows + first-chunk minis)
