@@ -173,3 +173,53 @@ def test_rope_llama31_scaling_changes_low_freqs():
     # high-frequency components unchanged, low-frequency scaled down
     assert np.allclose(np.asarray(base[:8]), np.asarray(scaled[:8]))
     assert np.all(np.asarray(scaled[-8:]) < np.asarray(base[-8:]))
+
+
+def test_combined_pool_matches_legacy_decode():
+    """Combined token-major pool (L, P, page, 2KH, D) must produce decode
+    attention identical to the legacy (L, KH, P, page, D) pair (gather paths
+    on CPU; on TPU the combined path runs the stock ragged kernel, covered by
+    the on-TPU parity drive in artifacts/)."""
+    L, P, page, KH, H, D = 2, 8, 4, 2, 4, 128
+    B = 3
+    cfg_legacy = KVCacheConfig(num_layers=L, num_pages=P, page_size=page,
+                               num_kv_heads=KH, head_dim=D,
+                               dtype=jnp.float32)
+    cfg_comb = KVCacheConfig(num_layers=L, num_pages=P, page_size=page,
+                             num_kv_heads=KH, head_dim=D,
+                             dtype=jnp.float32, combined=True)
+    kp, vp = alloc_kv_pages(cfg_legacy)
+    pool, none = alloc_kv_pages(cfg_comb)
+    assert none is None
+    assert pool.shape == (L, P, page, 2 * KH, D)
+
+    # write 3 requests x several tokens through BOTH layouts, layer by layer
+    rng = np.random.default_rng(0)
+    tables = np.zeros((B, 3), np.int32)
+    tables[0, :2] = [1, 2]
+    tables[1, :1] = [3]
+    tables[2, :3] = [4, 5, 6]
+    lens = np.array([6, 3, 9], np.int32)
+    for layer in range(L):
+        for b in range(B):
+            for t in range(lens[b]):
+                pid = tables[b, t // page]
+                off = t % page
+                meta = AttnMetadata(
+                    False, jnp.array([pid], jnp.int32),
+                    jnp.array([off], jnp.int32))
+                k = _rand(1000 + layer * 100 + b * 10 + t, (1, KH, D))
+                v = _rand(2000 + layer * 100 + b * 10 + t, (1, KH, D))
+                kp, vp = write_kv_decode(kp, vp, layer, k, v, meta)
+                pool, _ = write_kv_decode(pool, None, layer, k, v, meta)
+
+    meta = AttnMetadata(
+        False, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+        block_tables=jnp.asarray(tables), seq_lens=jnp.asarray(lens))
+    for layer in range(L):
+        q = _rand(7 + layer, (B, H, D))
+        out_legacy = paged_attention_decode(q, kp, vp, layer, meta)
+        out_comb = paged_attention_decode(q, pool, None, layer, meta)
+        np.testing.assert_allclose(np.asarray(out_comb),
+                                   np.asarray(out_legacy),
+                                   rtol=2e-5, atol=2e-5)

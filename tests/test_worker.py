@@ -191,3 +191,42 @@ def test_codec_dtype_bf16():
     w.flush_detokenize()
     w.sync()
     assert not req.output_audio.empty()
+
+
+def test_combined_kv_worker_matches_legacy():
+    """head_dim=128 models use the combined token-major KV pool; end to end
+    the worker must produce the same greedy tokens as the legacy pair layout
+    (VOX_KV_COMBINED=0)."""
+    import os
+
+    def run(disable_combined):
+        if disable_combined:
+            os.environ["VOX_KV_COMBINED"] = "0"
+        else:
+            os.environ.pop("VOX_KV_COMBINED", None)
+        try:
+            model = DummyLM(max_tokens=40, head_dim=128)
+            cfg = WorkerConfig(max_batch_size=2, num_pages=32, page_size=8,
+                               prefill_token_buckets=(64,),
+                               max_prefill_requests=2, warmup=False)
+            w = ModelWorker(model, cfg)
+            assert w.kv_config.combined is (not disable_combined)
+            reqs = [Request(request_id=f"c{i}", prompt=p,
+                            sampling_config=SamplingConfig(
+                                max_tokens=40, top_k=1, temperature=1.0))
+                    for i, p in enumerate(["hello world", "zz"])]
+            w.run_lm_prefill(reqs)
+            for _ in range(10):
+                live = [r for r in reqs if not r.done_lm_generation]
+                if not live:
+                    break
+                w.run_lm_decode(live)
+            w.sync()
+            return [[int(t[0]) for t in r.lm_output_tokens] for r in reqs]
+        finally:
+            os.environ.pop("VOX_KV_COMBINED", None)
+
+    toks_combined = run(False)
+    toks_legacy = run(True)
+    assert all(len(t) > 3 for t in toks_combined)
+    assert toks_combined == toks_legacy

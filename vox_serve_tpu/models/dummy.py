@@ -26,12 +26,16 @@ class DummyLM(BaseLM):
     SAMPLES_PER_TOKEN = 80
 
     def __init__(self, model_name: str = "dummy", dtype=jnp.float32,
-                 seed: int = 0, max_tokens: int = 64):
+                 seed: int = 0, max_tokens: int = 64,
+                 head_dim: int | None = None):
         super().__init__(model_name, dtype)
         self._max_tokens = max_tokens
         self._cfg = BackboneConfig(
             vocab_size=64, hidden_size=64, num_layers=2, num_heads=4,
             num_kv_heads=2, intermediate_size=128, dtype=dtype,
+            # override lets tests exercise the head_dim=128 (combined
+            # token-major KV) path with a tiny model
+            head_dim=head_dim,
         )
         key = jax.random.key(seed)
         k1, k2, k3 = jax.random.split(key, 3)

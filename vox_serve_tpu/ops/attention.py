@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional
 
 import jax
@@ -98,15 +99,16 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 
 def write_kv_prefill(
     k_pages: jax.Array,
-    v_pages: jax.Array,
+    v_pages: Optional[jax.Array],
     layer: int,
     k: jax.Array,
     v: jax.Array,
     meta: AttnMetadata,
-) -> tuple[jax.Array, jax.Array]:
-    """Scatter T new K/V rows into the (L, KH, P, page, D) page pool at a
-    given layer. k, v: (T, KH, D). Padded tokens target scratch page 0.
+) -> tuple[jax.Array, Optional[jax.Array]]:
+    """Scatter T new K/V rows into the page pool at a given layer.
+    k, v: (T, KH, D). Padded tokens target scratch page 0.
 
+    Legacy pair layout (v_pages an array): pools are (L, KH, P, page, D).
     The scatter batch order is KH-leading (update (KH, T, D), head index as
     the first advanced axis): with token-leading updates, XLA's layout
     assignment prefers a KH-minor pool layout and inserts a full-pool
@@ -114,8 +116,19 @@ def write_kv_prefill(
     a flagship-sized pool (observed OOM at batch 96), plus the copy
     bandwidth. KH-leading updates match the pool's (L, KH, P, page, D)
     default layout, so the scatter lowers in place.
+
+    Combined layout (v_pages is None): k_pages IS the single
+    (L, P, page, 2KH, D) pool; K/V interleave on the combined-head axis
+    (K even, V odd — the ragged kernel's convention) so each token's write
+    is ONE contiguous (2KH, D) row, matching the pool's minor dims.
     """
     dtype = k_pages.dtype
+    if v_pages is None:
+        T, KH, D = k.shape
+        kv = jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D)  # k0,v0,k1,v1
+        pool = k_pages.at[layer, meta.kv_page_ids, meta.kv_page_offsets].set(
+            kv.astype(dtype), mode="drop")
+        return pool, None
     kh = jnp.arange(k_pages.shape[1], dtype=jnp.int32)[:, None]
     ids = meta.kv_page_ids[None, :]
     offs = meta.kv_page_offsets[None, :]
@@ -175,21 +188,77 @@ def ragged_prefill_attention(
 # ---------------------------------------------------------------------------
 
 
+def _combined_decode_gather(q, pool, layer, meta, scale):
+    """Pure-JAX oracle/CPU path for the combined (L, P, page, 2KH, D) pool."""
+    B, H, D = q.shape
+    KH = pool.shape[3] // 2
+    page_size = pool.shape[2]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+
+    pages = jnp.take(pool[layer], meta.block_tables, axis=0)  # (B,maxP,page,2KH,D)
+    S = pages.shape[1] * page_size
+    kv = pages.reshape(B, S, 2 * KH, D)
+    k = kv[:, :, 0::2, :]
+    v = kv[:, :, 1::2, :]
+    k = _repeat_kv(k, H // KH)
+    v = _repeat_kv(v, H // KH)
+
+    qf = q.astype(jnp.float32) * scale
+    scores = jnp.einsum("bhd,bshd->bhs", qf, k.astype(jnp.float32))
+    token_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+    mask = token_idx < meta.seq_lens[:, None]
+    scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhs,bshd->bhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 def paged_attention_decode(
     q: jax.Array,
     k_pages: jax.Array,
-    v_pages: jax.Array,
+    v_pages: Optional[jax.Array],
     layer: int,
     meta: AttnMetadata,
     scale: float | None = None,
     use_pallas: bool = False,
 ) -> jax.Array:
-    """q: (B, H, D); page pools (L, KH, P, page, D) — head-major (kv_cache.py:51); returns (B, H, D).
+    """q: (B, H, D); returns (B, H, D). seq_lens already includes the current
+    token, whose K/V must be written *before* calling this.
 
-    Gathers each request's block table (B, maxP*page, KH, D) and does masked
-    attention over it. seq_lens already includes the current token, whose K/V
-    must be written *before* calling this.
+    Legacy pair pools (L, KH, P, page, D) — head-major (kv_cache.py): gather
+    path below, or the in-repo fold-capable Pallas kernel.
+
+    Combined pool (v_pages is None, (L, P, page, 2KH, D)): the stock jax
+    ragged_paged_attention kernel over the (L*P, page, 2KH, D) flat view,
+    with the LAYER resolved by offsetting page indices (+ layer * P) — no
+    layer slice of the scan-carried pool, no copy. Measured 83 -> 31 ms per
+    B=144 28-layer step at seq 512, flat through seq 1024 (vs linear growth
+    for the per-request fold kernel).
     """
+    if v_pages is None:
+        pool = k_pages
+        if not use_pallas:
+            return _combined_decode_gather(q, pool, layer, meta, scale)
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention,
+        )
+
+        B, H, D = q.shape
+        L, P = pool.shape[0], pool.shape[1]
+        scale = scale if scale is not None else 1.0 / math.sqrt(D)
+        flat = pool.reshape((L * P,) + pool.shape[2:])
+        tables = meta.block_tables + jnp.int32(layer) * P
+        cu_q_lens = jnp.arange(B + 1, dtype=jnp.int32)
+        num_seqs = jnp.array([B], jnp.int32)
+        # the kernel's block-size heuristic targets vmem_limit_bytes; the
+        # 16 MB default overflows by ~24 KB at (B=144, 28 layers, KH=8)
+        # inside the fused-decode scan (scoped-vmem OOM at compile). v5e
+        # has 128 MB VMEM/core; 64 MB is the vLLM-TPU operating point.
+        vmem_mb = int(os.environ.get("VOX_RAGGED_VMEM_MB", "64"))
+        return ragged_paged_attention(
+            q, flat, meta.seq_lens, tables, cu_q_lens, num_seqs,
+            sm_scale=float(scale), vmem_limit_bytes=vmem_mb * 1024 * 1024)
+
     if use_pallas:
         from .pallas_attention import pallas_paged_attention_decode
 
