@@ -115,9 +115,15 @@ def main():
         # instead of a full 10-frame window
         first_chunk_frames=5,
         # fused cold-stream decode: the 5 frames of the first chunk run as
-        # ONE scanned executable instead of 5 dispatch rounds
+        # ONE scanned executable instead of 5 dispatch rounds.
+        # VOX_BENCH_FUSED_FULL=1 additionally fuses the FULL decode batch
+        # (k steps per dispatch round at B=BATCH): through a tunneled
+        # backend each dispatch round absorbs the previous round's device
+        # time (~120 ms measured), so fusing k steps amortizes that fixed
+        # cost over k frames per stream.
         fused_decode_steps=int(os.environ.get("VOX_BENCH_FUSED_K", "5")),
-        fused_decode_buckets=(1,),
+        fused_decode_buckets=(
+            (1, BATCH) if os.environ.get("VOX_BENCH_FUSED_FULL") else (1,)),
     )
     worker = ModelWorker(model, wcfg)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)
@@ -135,8 +141,9 @@ def main():
                 return out
             return wrapper
 
-        for name in ("run_lm_decode", "run_lm_prefill", "run_detokenize",
-                     "flush_detokenize", "prepare_decode_batch"):
+        for name in ("run_lm_decode", "run_lm_decode_multi", "run_lm_prefill",
+                     "run_detokenize", "flush_detokenize",
+                     "prepare_decode_batch"):
             if hasattr(worker, name):
                 setattr(worker, name, timed(name, getattr(worker, name)))
 
@@ -235,6 +242,7 @@ def main():
                   if r.done_lm_prefill and not r.done_all),
               "streams in flight")
     phase_t.clear()  # capacity phases only (fill admissions excluded)
+    worker.phase_stats.clear()
     _drain_audio_bytes(sched)
     bytes_total = 0
     iters = 0
@@ -255,6 +263,9 @@ def main():
               "wall:", round(wall, 2))
         print("phase times:", {k: (round(v[0], 2), v[1])
                                for k, v in phase_t.items()})
+        print("worker segments:", {
+            k: (round(v[0], 2), v[1])
+            for k, v in sorted(worker.phase_stats.items())})
     audio_s = bytes_total / (2.0 * model.sample_rate)
     streams_rtf1 = audio_s / wall
     for r in sched.active_requests:

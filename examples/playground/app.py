@@ -51,6 +51,25 @@ async def models(request: web.Request) -> web.Response:
     return web.json_response({"models": MODELS})
 
 
+async def devices(request: web.Request) -> web.Response:
+    """Accelerator inventory (reference /api/gpus analogue)."""
+    import server_manager as sm
+
+    devs = await asyncio.get_running_loop().run_in_executor(
+        None, sm.get_devices)
+    return web.json_response({"devices": devs})
+
+
+async def profiles(request: web.Request) -> web.Response:
+    """Tuned serving profiles launch.py applies per model (the measured
+    production operating points, vox_serve_tpu/profiles.py)."""
+    sys.path.insert(0, str(BASE_DIR.parent.parent))
+    from vox_serve_tpu.profiles import DEFAULT_PROFILE, SERVING_PROFILES
+
+    return web.json_response({"default": DEFAULT_PROFILE,
+                              "profiles": SERVING_PROFILES})
+
+
 async def server_start(request: web.Request) -> web.Response:
     body = await request.json()
     fields = ServerConfig.__dataclass_fields__
@@ -149,6 +168,8 @@ def build_app() -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app.router.add_get("/", index)
     app.router.add_get("/api/models", models)
+    app.router.add_get("/api/devices", devices)
+    app.router.add_get("/api/profiles", profiles)
     app.router.add_post("/api/server/start", server_start)
     app.router.add_post("/api/server/stop", server_stop)
     app.router.add_get("/api/server/status", server_status)

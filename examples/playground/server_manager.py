@@ -205,3 +205,47 @@ class ServerManager:
 
     def get_logs(self, lines: int = 100) -> list[str]:
         return list(self._logs)[-lines:]
+
+
+_DEVICE_CACHE: list[dict] | None = None
+
+
+def get_devices() -> list[dict]:
+    """Accelerator inventory (the reference playground's /api/gpus via
+    nvidia-smi, server_manager.py:87-121, as a TPU/JAX device query).
+
+    Queried in a THROWAWAY subprocess so the playground process never holds
+    the TPU runtime (importing jax in-process would claim the chip the
+    managed server needs). Cached after the first call — the topology does
+    not change while the playground runs.
+    """
+    global _DEVICE_CACHE
+    if _DEVICE_CACHE is not None:
+        return _DEVICE_CACHE
+    script = (
+        "import json, jax\n"
+        "out = []\n"
+        "for d in jax.devices():\n"
+        "    info = {'id': d.id, 'platform': d.platform,\n"
+        "            'kind': getattr(d, 'device_kind', '?')}\n"
+        "    try:\n"
+        "        ms = d.memory_stats() or {}\n"
+        "        lim = ms.get('bytes_limit'); used = ms.get('bytes_in_use')\n"
+        "        if lim: info['memory_total_mb'] = round(lim / 2**20)\n"
+        "        if used is not None:\n"
+        "            info['memory_used_mb'] = round(used / 2**20)\n"
+        "    except Exception:\n"
+        "        pass\n"
+        "    out.append(info)\n"
+        "print(json.dumps(out))\n"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", script],
+                              capture_output=True, timeout=120)
+        import json
+
+        line = proc.stdout.decode().strip().splitlines()[-1]
+        _DEVICE_CACHE = json.loads(line)
+    except Exception as e:
+        return [{"error": f"device query failed: {e}"}]
+    return _DEVICE_CACHE

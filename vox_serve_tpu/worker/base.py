@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Optional
 
@@ -35,6 +36,24 @@ from ..ops.kv_cache import (KVCacheConfig, PageAllocator, PageAllocatorError,
 from ..requests import Request
 from ..sampling import init_repetition_cache
 from ..utils import cdiv, get_logger, next_power_of_2
+
+
+def _pcm16(audio):
+    """float [-1, 1] -> int16 PCM, traced (native.f32_to_i16 semantics:
+    clip, scale by 32767, truncate). Running this on-device halves the
+    audio readback bytes vs shipping f32 and converting on host."""
+    a = jnp.clip(audio.astype(jnp.float32), -1.0, 1.0) * 32767.0
+    return a.astype(jnp.int16)
+
+
+def _pcm_bytes(pcm: np.ndarray) -> bytes:
+    """Host-side chunk bytes: pass-through for on-device i16 output, f32
+    conversion fallback for any float path (e.g. CPU oracle codecs)."""
+    if pcm.dtype == np.int16:
+        return pcm.tobytes()
+    from ..native import f32_to_i16
+
+    return f32_to_i16(pcm)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,16 +164,23 @@ class ModelWorker:
         self.model = model
         self.config = config or WorkerConfig()
         self.logger = get_logger("worker")
+        self.phase_stats = {}
         cfg = self.config
         bb = model.backbone_config
         use_pallas = cfg.use_pallas
         head_dim = bb.resolved_head_dim
+        from ..ops.kv_cache import combined_kv_supported
+
+        combined = combined_kv_supported(head_dim, bb.num_kv_heads, bb.dtype)
+        if os.environ.get("VOX_KV_COMBINED", "") in ("0", "false"):
+            combined = False  # escape hatch / legacy-layout A-B testing
         fold = max(1, 128 // head_dim) if head_dim <= 128 else 1
-        if use_pallas and (128 % head_dim != 0
-                           or cfg.page_size % fold != 0):
-            # the kernel folds sub-128 head dims into the lane axis
+        if use_pallas and not combined and (128 % head_dim != 0
+                                            or cfg.page_size % fold != 0):
+            # the legacy kernel folds sub-128 head dims into the lane axis
             # (pallas_attention.py); that needs 128 % D == 0 and the page
-            # size divisible by the fold factor
+            # size divisible by the fold factor. (Combined-layout models use
+            # the stock ragged kernel instead — no fold constraint.)
             self.logger.warning(
                 "pallas attention disabled: head_dim %d / page_size %d not "
                 "fold-compatible", head_dim, cfg.page_size)
@@ -168,6 +194,7 @@ class ModelWorker:
             num_kv_heads=bb.num_kv_heads,
             head_dim=bb.resolved_head_dim,
             dtype=bb.dtype,
+            combined=combined,
         )
         # device set: explicit (DP replica pinning) or the process default
         self._devices = (list(cfg.devices) if cfg.devices is not None
@@ -183,8 +210,15 @@ class ModelWorker:
 
             self.mesh = make_mesh(dp=1, tp=cfg.tp_size,
                                   devices=self._devices)
-            # KV pools (L, KH, P, page, D): shard the kv-head axis
-            kv_sharding = NamedSharding(self.mesh, P(None, "tp"))
+            # shard the kv-head axis: axis 1 of the legacy (L, KH, P, page,
+            # D) pair, axis 3 of the combined (L, P, page, 2KH, D) pool
+            # (K/V of one head stay adjacent, so 2KH % (2*tp) == 0 keeps
+            # pairs on one shard)
+            if combined:
+                kv_sharding = NamedSharding(
+                    self.mesh, P(None, None, None, "tp"))
+            else:
+                kv_sharding = NamedSharding(self.mesh, P(None, "tp"))
             bb_sh = backbone_param_shardings(self.mesh,
                                              model.params["backbone"])
             repl = NamedSharding(self.mesh, P())
@@ -278,8 +312,11 @@ class ModelWorker:
         cache_bytes = _nbytes(self.codec_cache)
         total = kv_bytes + param_bytes + cache_bytes
         self.logger.info(
-            "persistent HBM: params %.2fG + KV pool %.2fG + slot caches "
-            "%.2fG = %.2fG", param_bytes / 2**30, kv_bytes / 2**30,
+            "persistent HBM: params %.2fG + KV pool %.2fG (%s layout) + "
+            "slot caches %.2fG = %.2fG", param_bytes / 2**30,
+            kv_bytes / 2**30,
+            "combined token-major" if self.kv_config.combined
+            else "head-major pair",
             cache_bytes / 2**30, total / 2**30)
         if total > 12 * 2**30 and self.lm_device is self.detokenizer_device:
             self.logger.warning(
@@ -304,6 +341,35 @@ class ModelWorker:
 
         if cfg.warmup:
             self.warmup()
+
+    #: cumulative host-side time per fine-grained phase segment
+    #: (plan / upload / dispatch / resolve-get), name -> (total_s, calls).
+    #: Cheap enough to keep always-on; bench.py dumps it to attribute wall
+    #: time between executable cost and host/tunnel stalls.
+    phase_stats: dict
+
+    def _stat(self, name: str, t0: float) -> None:
+        tot, n = self.phase_stats.get(name, (0.0, 0))
+        self.phase_stats[name] = (tot + (time.perf_counter() - t0), n + 1)
+
+    @staticmethod
+    def _host_prefetch(*arrays) -> None:
+        """Start the device->host copy of a result at DISPATCH time.
+
+        The later ``jax.device_get`` in the resolve path then finds the data
+        already en route instead of paying a full round trip to request it
+        (through the tunneled backend a cold device_get costs ~25-30 ms;
+        measured 25.7 -> 11.3 ms/iter with prefetch at pipeline depth 2).
+        On local runtimes this is a cheap no-op-ish hint."""
+        if os.environ.get("VOX_HOST_PREFETCH", "") in ("0", "false"):
+            return  # A/B escape hatch: measure the prefetch RPC's cost
+        for a in arrays:
+            if a is None:
+                continue
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass  # backend without async host copies
 
     def _trace(self, name: str):
         """jax.profiler annotation (the reference's NVTX ranges,
@@ -414,6 +480,9 @@ class ModelWorker:
     def _build_lm_fn(self, phase: str):
         model = self.model
 
+        if phase == "decode":
+            return self._build_lm_decode_fn()
+
         def step(params, token_ids, positions, features, masks, meta,
                  k_pages, v_pages, rep_cache, feedback, last_tokens,
                  slot_ids, base_key, counter, last_idx,
@@ -452,6 +521,57 @@ class ModelWorker:
                     new_feedback, new_last)
 
         return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
+
+    def _build_lm_decode_fn(self):
+        """Decode step with PACKED host metadata: all nine per-step planning
+        arrays (overrides, mask, gen_idx, positions, page ids/offsets,
+        seq_lens, slot_ids, block tables) travel as ONE (B, 2C+6+maxP) int32
+        upload and are unpacked in-trace. Per-transfer overhead through a
+        remote/tunneled backend is tens of ms; nine small uploads per step
+        dominated the serving-loop decode dispatch (117 ms/call measured at
+        B=144 vs a ~70 ms executable)."""
+        model = self.model
+        C = model.n_codebooks
+
+        def step(params, packed, k_pages, v_pages, rep_cache, feedback,
+                 last_tokens, base_key, counter):
+            overrides = packed[:, 0:C]
+            override_mask = packed[:, C:2 * C].astype(bool)
+            gen_idx = packed[:, 2 * C + 0]
+            positions = packed[:, 2 * C + 1]
+            page_ids = packed[:, 2 * C + 2]
+            offsets = packed[:, 2 * C + 3]
+            seq_lens = packed[:, 2 * C + 4]
+            slot_ids = packed[:, 2 * C + 5]
+            block_tables = packed[:, 2 * C + 6:]
+            meta = AttnMetadata(False, page_ids, offsets,
+                                block_tables=block_tables, seq_lens=seq_lens)
+            rng = jax.random.fold_in(base_key, counter)
+            buf_tokens = jnp.take(last_tokens, slot_ids, axis=0, mode="clip")
+            token_ids = jnp.where(override_mask, overrides, buf_tokens)
+            rep_rows = None
+            if rep_cache is not None:
+                rep_rows = jnp.take(rep_cache, slot_ids, axis=0, mode="clip")
+            features = None
+            if feedback is not None and model.feedback_dim:
+                features = jnp.take(feedback, slot_ids, axis=0, mode="clip")
+            out: StepOutput = model.lm_step(
+                params, token_ids, positions, features, None, meta,
+                k_pages, v_pages, rng, rep_rows, gen_idx=gen_idx,
+            )
+            new_rep = rep_cache
+            if rep_cache is not None and out.repetition_cache is not None:
+                new_rep = rep_cache.at[slot_ids].set(
+                    out.repetition_cache, mode="drop")
+            new_feedback = feedback
+            if feedback is not None and out.feedback is not None:
+                new_feedback = feedback.at[slot_ids].set(
+                    out.feedback.astype(feedback.dtype), mode="drop")
+            new_last = last_tokens.at[slot_ids].set(out.sampled, mode="drop")
+            return (out.sampled, out.k_pages, out.v_pages, new_rep,
+                    new_feedback, new_last)
+
+        return jax.jit(step, donate_argnums=(2, 3, 4, 5, 6))
 
     def _build_lm_multi_fn(self, n_steps: int, with_detok: bool = False):
         """Fused k-step decode: ``lax.scan`` over k single-step bodies inside
@@ -547,7 +667,7 @@ class ModelWorker:
                         r.astype(a.dtype), mode="drop"),
                     codec_cache, new_rows)
             return (sampled_k, k_pages, v_pages, rep_cache, feedback,
-                    last_tokens, audio, new_cache)
+                    last_tokens, _pcm16(audio), new_cache)
 
         if with_detok:
             return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10, 17))
@@ -579,7 +699,12 @@ class ModelWorker:
                         lambda a, r: a.at[slot_ids].set(
                             r.astype(a.dtype), mode="drop"),
                         cache, new_rows)
-                return audio, new_cache
+                # int16 PCM conversion ON-DEVICE: the emitted bytes are
+                # i16 anyway, and shipping i16 instead of f32 halves the
+                # audio device->host readback (measured 6.2 s of a 22 s
+                # capacity window spent in audio device_get at f32)
+                pcm16 = _pcm16(audio)
+                return pcm16, new_cache
 
             fn = jax.jit(detok, donate_argnums=(2,))
             self._detok_fns[bucket] = fn
@@ -738,6 +863,7 @@ class ModelWorker:
         for req in requests:
             req.done_lm_prefill = True
             req.extras["inflight"] = req.extras.get("inflight", 0) + 1
+        self._host_prefetch(sampled)
         self._pending.append((sampled, list(requests), set()))
         while len(self._pending) > self.config.pipeline_depth:
             self._resolve_one()
@@ -766,15 +892,21 @@ class ModelWorker:
         page_size = cfg.page_size
         B = self._decode_bucket(len(requests))
 
-        overrides = np.zeros((B, C), np.int32)
-        override_mask = np.zeros((B, C), bool)
-        gen_idx = np.zeros((B,), np.int32)
-        positions = np.zeros((B,), np.int32)
-        page_ids = np.zeros((B,), np.int32)
-        offsets = np.zeros((B,), np.int32)
-        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
-        seq_lens = np.ones((B,), np.int32)
-        slot_ids = np.full((B,), cfg.max_batch_size, np.int32)
+        t0 = time.perf_counter()
+        # single packed upload (see _build_lm_decode_fn): views into one
+        # (B, 2C+6+maxP) int32 buffer
+        packed = np.zeros((B, 2 * C + 6 + self.max_pages_per_seq), np.int32)
+        overrides = packed[:, 0:C]
+        override_mask = packed[:, C:2 * C]  # int32 0/1; cast in-trace
+        gen_idx = packed[:, 2 * C + 0]
+        positions = packed[:, 2 * C + 1]
+        page_ids = packed[:, 2 * C + 2]
+        offsets = packed[:, 2 * C + 3]
+        seq_lens = packed[:, 2 * C + 4]
+        seq_lens[:] = 1
+        slot_ids = packed[:, 2 * C + 5]
+        slot_ids[:] = cfg.max_batch_size
+        block_tables = packed[:, 2 * C + 6:]
 
         hard_stopped: set[int] = set()
         for i, req in enumerate(requests):
@@ -790,29 +922,27 @@ class ModelWorker:
                 # dropped scatters)
                 self.fail_request(req, f"decode planning: {e}")
                 hard_stopped.add(i)
+        self._stat("decode.plan", t0)
 
-        meta = AttnMetadata(
-            False,
-            jnp.asarray(page_ids), jnp.asarray(offsets),
-            block_tables=jnp.asarray(block_tables),
-            seq_lens=jnp.asarray(seq_lens),
-        )
+        t0 = time.perf_counter()
         fn = self._get_lm_fn("decode", (B,))
         self._step_counter += 1
         ctx = self._trace(f"lm_decode_b{B}")
         ctx.__enter__()
         (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
          self.last_tokens) = fn(
-            model.params, jnp.asarray(overrides), jnp.asarray(positions),
-            None, None, meta, self.k_pages, self.v_pages, self.rep_cache,
-            self.feedback, self.last_tokens, jnp.asarray(slot_ids),
-            self._base_key, jnp.int32(self._step_counter), None,
-            jnp.asarray(override_mask), jnp.asarray(gen_idx),
+            model.params, jnp.asarray(packed), self.k_pages, self.v_pages,
+            self.rep_cache, self.feedback, self.last_tokens,
+            self._base_key, jnp.int32(self._step_counter),
         )
         ctx.__exit__(None, None, None)
+        self._host_prefetch(sampled)
+        self._stat("decode.dispatch", t0)
+        t0 = time.perf_counter()
         self._pending.append((sampled, list(requests), hard_stopped))
         while len(self._pending) > self.config.pipeline_depth:
             self._resolve_one()
+        self._stat("decode.resolve", t0)
 
     def _plan_decode_row(self, req: Request, i: int, overrides, override_mask,
                          gen_idx, positions, page_ids, offsets, block_tables,
@@ -989,18 +1119,24 @@ class ModelWorker:
              self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
                 *args, model.codec_params, self.codec_cache)
             ctx.__exit__(None, None, None)
+            self._host_prefetch(sampled, audio)
             self._pending.append((sampled, list(requests), hard_stopped, K,
                                   audio))
         else:
             fn = self._get_lm_fn("decode_multi", (B, K))
             ctx = self._trace(f"lm_decode_multi_b{B}_k{K}")
             ctx.__enter__()
+            t0 = time.perf_counter()
             (sampled, self.k_pages, self.v_pages, self.rep_cache,
              self.feedback, self.last_tokens) = fn(*args)
             ctx.__exit__(None, None, None)
+            self._host_prefetch(sampled)
+            self._stat("decode_multi.dispatch", t0)
             self._pending.append((sampled, list(requests), hard_stopped, K))
+        t0 = time.perf_counter()
         while len(self._pending) > self.config.pipeline_depth:
             self._resolve_one()
+        self._stat("decode_multi.resolve", t0)
 
     # ------------------------------------------------------------------
     # cold-start fast path: prefill + fused decode + first-chunk detok in
@@ -1035,8 +1171,10 @@ class ModelWorker:
         sampled, requests, hard_stopped = entry[:3]
         n_steps = entry[3] if len(entry) > 3 else 1
         audio = entry[4] if len(entry) > 4 else None
+        t0 = time.perf_counter()
         sampled_np = np.asarray(jax.device_get(sampled))
         audio_np = None if audio is None else np.asarray(jax.device_get(audio))
+        self._stat("resolve.tokens_get", t0)
         if n_steps == 1:
             sampled_np = sampled_np[None]  # (1, B, C)
         for i, req in enumerate(requests):
@@ -1059,8 +1197,6 @@ class ModelWorker:
         """Emit the chained first-chunk audio (frames 0..window-1) with the
         reference trim rule for early stops, and advance the ramp exactly as
         the host-side mini path (_run_detok_windows) would."""
-        from ..native import f32_to_i16
-
         model = self.model
         interval = model.detokenize_interval
         valid = min(len(req.lm_output_audio_tokens), window)
@@ -1068,7 +1204,7 @@ class ModelWorker:
             trim = int(pcm.shape[1] * (valid - 0.5) / window)
             pcm = pcm[:, :max(trim, 0)]
         if pcm.shape[1]:
-            req.output_audio.put(f32_to_i16(pcm))
+            req.output_audio.put(_pcm_bytes(pcm))
         req.extras["ramp_next"] = window
         req.extras["ramp_size"] = min(window, interval)
         ramp_end = self.ramp_frames or interval
@@ -1237,14 +1373,21 @@ class ModelWorker:
         fn = self._get_detok_fn(key)
         ctx = self._trace(f"detokenize_b{B}_l{length}")
         ctx.__enter__()
+        t0 = time.perf_counter()
         tok_dev = jax.device_put(token_ids, self.detokenizer_device)
         slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
+        self._stat("detok.upload", t0)
         resolved = []
         if self._pending_detok is not None:
+            t0 = time.perf_counter()
             resolved = self._resolve_detok()
+            self._stat("detok.resolve", t0)
+        t0 = time.perf_counter()
         audio, self.codec_cache = fn(
             model.codec_params, tok_dev, self.codec_cache, slot_dev)
         ctx.__exit__(None, None, None)
+        self._host_prefetch(audio)
+        self._stat("detok.dispatch", t0)
         self._pending_detok = (audio, mapping, finish_check)
         if self.config.pipeline_depth == 0:
             resolved = resolved + self._resolve_detok()
@@ -1307,6 +1450,7 @@ class ModelWorker:
             resolved = self._resolve_detok()
         audio, self.codec_cache = fn(
             model.codec_params, tok_dev, self.codec_cache, slot_dev)
+        self._host_prefetch(audio)
         self._pending_detok = (audio, mapping, [])
         if self.config.pipeline_depth == 0:
             resolved = resolved + self._resolve_detok()
@@ -1317,9 +1461,9 @@ class ModelWorker:
             return []
         audio, mapping, finish_check = self._pending_detok
         self._pending_detok = None
+        t0 = time.perf_counter()
         audio_np = np.asarray(jax.device_get(audio))  # (B, ch, samples)
-
-        from ..native import f32_to_i16
+        self._stat("detok.audio_get", t0)
 
         touched: list[Request] = []
         for i, (req, decode_idx, last_len, window_len) in enumerate(mapping):
@@ -1327,7 +1471,7 @@ class ModelWorker:
             if last_len < window_len:
                 trim = int(pcm.shape[1] * (last_len - 0.5) / window_len)
                 pcm = pcm[:, :max(trim, 0)]
-            req.output_audio.put(f32_to_i16(pcm))
+            req.output_audio.put(_pcm_bytes(pcm))
             if req not in touched:
                 touched.append(req)
         self._maybe_finish(finish_check)
@@ -1424,21 +1568,17 @@ class ModelWorker:
 
         # decode buckets
         for B in cfg.decode_buckets:
-            meta = AttnMetadata(
-                False, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-                block_tables=jnp.zeros((B, self.max_pages_per_seq), jnp.int32),
-                seq_lens=jnp.ones((B,), jnp.int32),
-            )
             fn = self._get_lm_fn("decode", (B,))
+            packed_np = np.zeros((B, 2 * C + 6 + self.max_pages_per_seq),
+                                 np.int32)
+            packed_np[:, 2 * C + 4] = 1  # seq_lens
+            packed_np[:, 2 * C + 5] = cfg.max_batch_size  # padded slots
 
-            def call_decode(fn=fn, B=B, meta=meta):
-                out = fn(model.params, jnp.zeros((B, C), jnp.int32),
-                         jnp.zeros((B,), jnp.int32), None, None, meta,
+            def call_decode(fn=fn, B=B, packed_np=packed_np):
+                out = fn(model.params, jnp.asarray(packed_np),
                          self.k_pages, self.v_pages, self.rep_cache,
                          self.feedback, self.last_tokens,
-                         jnp.full((B,), cfg.max_batch_size, jnp.int32),
-                         self._base_key, jnp.int32(0), None,
-                         jnp.zeros((B, C), bool), jnp.zeros((B,), jnp.int32))
+                         self._base_key, jnp.int32(0))
                 (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
                  self.last_tokens) = out
                 return self.last_tokens
