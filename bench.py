@@ -36,6 +36,16 @@ CAPACITY_SECONDS = 15.0
 TTFA_RUNS = 5
 
 
+#: capacity-stream token budget. Must fit the KV pool across the whole
+#: batch (pages*page_size*0.95/batch ~ 324 at the 3072x16 default): with
+#: fused k-step decode, streams that outlive the window would exhaust the
+#: pool mid-window and sit deferred, silently capping the measured
+#: capacity at the surviving fraction (r3: 68/144 streams producing).
+#: Completed streams are replaced immediately (top_up churn), which is
+#: also the realistic serving pattern.
+CAP_TOKENS = int(os.environ.get("VOX_BENCH_CAP_TOKENS", "300"))
+
+
 def _mkreq(i, max_tokens=1200):
     return Request(request_id=f"b{i}", prompt=PROMPT, is_streaming=True,
                    is_pressing=True,
@@ -93,7 +103,9 @@ def main():
         max_batch_size=BATCH,
         num_pages=int(os.environ.get("VOX_BENCH_PAGES", "3072")),
         page_size=int(os.environ.get("VOX_BENCH_PAGE_SIZE", "16")),
-        prefill_token_buckets=(128,), max_prefill_requests=1,
+        # churn: capacity-stream completions arrive ~BATCH*k/CAP_TOKENS
+        # per step; admissions must keep up or the batch drains
+        prefill_token_buckets=(128,), max_prefill_requests=4,
         # warmup compiles the full (small) lattice up front — first-use
         # compiles previously landed INSIDE the capacity window (61s of
         # detok "time" was two bucket-16 codec compiles)
@@ -109,8 +121,15 @@ def main():
         # (4.4 s/step measured vs 76 ms at batch 16 — XLA shape quirk);
         # padding singleton detok batches to 16 costs ~nothing
         detok_buckets_override=(
-            16, min(BATCH, int(os.environ.get("VOX_BENCH_DETOK_CAP",
-                                              "64")))),
+            16, min(BATCH, int(os.environ.get(
+                "VOX_BENCH_DETOK_CAP",
+                # full-batch fused decode multiplies steady-state window
+                # demand by k: ceil(144*5/10) = 72 -> 80-wide ceiling
+                "80" if os.environ.get("VOX_BENCH_FUSED_FULL") else "64")))),
+        # two in-flight detok batches: batch N's audio readback must not
+        # block behind the (wide) fused decode executable before N+1 can
+        # even be dispatched
+        detok_pipeline_depth=2,
         # TTFA: first audio after 5 frames through the mini executable
         # instead of a full 10-frame window
         first_chunk_frames=5,
@@ -214,7 +233,8 @@ def main():
     def top_up():
         alive = sum(1 for r in sched.active_requests if not r.done_all)
         for _ in range(BATCH - alive):
-            sched.enqueue_request(_mkreq(f"cap{cap_counter[0]}"))
+            sched.enqueue_request(_mkreq(f"cap{cap_counter[0]}",
+                                         max_tokens=CAP_TOKENS))
             cap_counter[0] += 1
 
     phase_t.clear()

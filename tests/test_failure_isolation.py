@@ -77,9 +77,11 @@ def test_poisoned_detokenize_request_fails_alone():
     for _ in range(6):
         s._step()
     victim = reqs[2]
-    # corrupt a token row so np.stack in detok window planning raises
+    # corrupt the newest token row so np.stack in detok window planning
+    # raises (the tail is always part of a future window; earlier rows may
+    # already be consumed now that prefills pack into one round)
     if victim.lm_output_audio_tokens:
-        victim.lm_output_audio_tokens[0] = np.zeros((7, 3), np.int32)
+        victim.lm_output_audio_tokens[-1] = np.zeros((7, 3), np.int32)
     else:
         victim.lm_output_audio_tokens.append(np.zeros((7, 3), np.int32))
         victim.lm_output_audio_tokens.append(np.zeros((2,), np.int32))

@@ -21,8 +21,10 @@ def test_qwen3_profile_matches_bench_optimum():
     assert a.codec_dtype == "bfloat16"
     assert a.first_chunk_frames == 5
     assert a.fused_decode_steps == 5
+    assert a.fused_decode_buckets == "1,144"
+    assert a.detok_pipeline_depth == 2
     assert a.decode_buckets == "1,144"
-    assert a.detok_buckets == "16,64"
+    assert a.detok_buckets == "16,80"
     assert a.enable_pallas
 
 

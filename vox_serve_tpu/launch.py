@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused-decode-steps", type=int, default=None,
                    help="scan N decode steps per dispatch for cold/"
                         "light-load streams (0 disables)")
+    p.add_argument("--fused-decode-buckets", default=None,
+                   help="comma list of batch buckets served by the fused "
+                        "k-step decode executable (include max-batch-size "
+                        "to fuse the full decode batch)")
+    p.add_argument("--detok-pipeline-depth", type=int, default=None,
+                   help="in-flight detokenize batches with deferred audio "
+                        "readback (>=2 overlaps codec readback with wide "
+                        "fused decode)")
     p.add_argument("--enable-profiling", action="store_true",
                    help="jax.profiler trace annotations around worker phases")
     p.add_argument("--dp-size", type=int, default=1)
@@ -131,6 +139,8 @@ def main(argv=None) -> None:
         "first_chunk_frames": args.first_chunk_frames,
         "ramp_frames": args.ramp_frames,
         "fused_decode_steps": args.fused_decode_steps,
+        "fused_decode_buckets": args.fused_decode_buckets,
+        "detok_pipeline_depth": args.detok_pipeline_depth,
         "enable_profiling": args.enable_profiling,
         "detokenize_interval": args.detokenize_interval,
         "codec_dtype": args.codec_dtype,

@@ -22,6 +22,8 @@ DEFAULT_PROFILE: dict[str, Any] = {
     "first_chunk_frames": 0,
     "ramp_frames": 0,
     "fused_decode_steps": 0,
+    "fused_decode_buckets": None,
+    "detok_pipeline_depth": 1,
     "codec_dtype": None,
     "decode_buckets": None,
     "detok_buckets": None,
@@ -41,10 +43,15 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         "page_size": 16,
         "pipeline_depth": 2,
         "first_chunk_frames": 5,
+        # full-batch fused decode: k=5 steps per dispatch round amortizes
+        # the fixed per-round dispatch/queue cost; detok lattice and the
+        # burst-smoothing cap scale with k (16,80 covers ceil(144*5/10))
         "fused_decode_steps": 5,
+        "fused_decode_buckets": "1,144",
+        "detok_pipeline_depth": 2,
         "codec_dtype": "bfloat16",
         "decode_buckets": "1,144",
-        "detok_buckets": "16,64",
+        "detok_buckets": "16,80",
         "enable_pallas": True,
     },
     # CPU-runnable dev model: small everything, quick warmup

@@ -137,20 +137,26 @@ class Scheduler:
         self._send_responses(emitted)
 
         if lm:
+            dec: list[Request] = []
             try:
                 if not lm[0].done_lm_prefill:
                     if not self._maybe_cold_start(lm):
                         self.model_worker.run_lm_prefill(lm)
+                        # prefill must not starve decode: the round's fixed
+                        # dispatch cost dwarfs the prefill executable, so
+                        # the in-flight streams' decode batch runs in the
+                        # SAME round (under churn, admission rounds were
+                        # half of all rounds and ran no decode at all)
+                        dec = self._select_decode_after_prefill(lm)
                 else:
-                    k = self._fused_decode_steps(lm)
-                    can_multi = getattr(self.model_worker,
-                                        "can_decode_multi", None)
-                    if k > 1 and can_multi is not None and can_multi(lm, k):
-                        self.model_worker.run_lm_decode_multi(lm, k)
-                    else:
-                        self.model_worker.run_lm_decode(lm)
+                    self._run_decode(lm)
             except Exception as e:
                 self._fail_requests(lm, e, "lm step")
+            if dec:
+                try:
+                    self._run_decode(dec)
+                except Exception as e:
+                    self._fail_requests(dec, e, "lm step")
         if len(self.active_requests) <= 2 and hasattr(self.model_worker,
                                                       "sync"):
             # light load: the readback pipeline only adds first-chunk latency
@@ -177,6 +183,31 @@ class Scheduler:
                     emitted.append(r)
             self._send_responses(emitted)
         return bool(lm or detok)
+
+    def _run_decode(self, lm: list[Request]) -> None:
+        """Dispatch the decode batch (fused multi-step when eligible)."""
+        k = self._fused_decode_steps(lm)
+        can_multi = getattr(self.model_worker, "can_decode_multi", None)
+        if k > 1 and can_multi is not None and can_multi(lm, k):
+            self.model_worker.run_lm_decode_multi(lm, k)
+        else:
+            self.model_worker.run_lm_decode(lm)
+
+    def _select_decode_after_prefill(self, prefilled: list[Request]
+                                     ) -> list[Request]:
+        """The decode batch to co-dispatch with a prefill round. Re-runs
+        the scheduler's LM selection with not-yet-prefilled requests hidden
+        (the just-prefilled batch IS decode-eligible — its sampled feedback
+        token is device-resident)."""
+        saved = self.active_requests
+        self.active_requests = [r for r in saved if r.done_lm_prefill]
+        try:
+            dec = self._select_lm_requests()
+        finally:
+            self.active_requests = saved
+        if dec and not dec[0].done_lm_prefill:  # defensive
+            return []
+        return dec
 
     def _maybe_cold_start(self, lm: list[Request]) -> bool:
         """Hook: dispatch a streaming request's prefill + first chunk as one
@@ -275,6 +306,25 @@ class Scheduler:
     # ------------------------------------------------------------------
     # batch selection (reference scheduler/base.py:234-333)
     # ------------------------------------------------------------------
+    def _pack_prefills(self, prefill: list[Request]) -> list[Request]:
+        """Pack admissible prefills into one batch: up to the worker's
+        max_prefill_requests, within the prefill token bucket. (One
+        admission per round could not keep up with completion churn at
+        full batch, and each extra round costs a full dispatch cycle.)"""
+        worker = self.model_worker
+        budget = worker.max_prefill_tokens
+        cap = getattr(getattr(worker, "config", None),
+                      "max_prefill_requests", 1)
+        sel: list[Request] = []
+        for req in prefill:
+            est = req.input_length or self._estimate_prompt_len(req)
+            if est <= budget and worker.can_admit(est):
+                sel.append(req)
+                budget -= est
+                if len(sel) >= cap:
+                    break
+        return sel
+
     def _select_lm_requests(self) -> list[Request]:
         prefill, decode = [], []
         for req in self.active_requests:
@@ -285,12 +335,9 @@ class Scheduler:
             else:
                 decode.append(req)
 
-        # at most one prefill per step, if it fits the token bucket and KV
-        max_seq = self.model_worker.max_prefill_tokens
-        for req in prefill:
-            est_len = req.input_length or self._estimate_prompt_len(req)
-            if est_len <= max_seq and self.model_worker.can_admit(est_len):
-                return [req]
+        sel = self._pack_prefills(prefill)
+        if sel:
+            return sel
 
         return decode[: self.max_batch_size]
 

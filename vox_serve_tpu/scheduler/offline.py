@@ -21,11 +21,9 @@ class OfflineScheduler(Scheduler):
         if not prefill and not decode:
             return []
 
-        max_seq = self.model_worker.max_prefill_tokens
-        for req in prefill:
-            est = req.input_length or self._estimate_prompt_len(req)
-            if est <= max_seq and self.model_worker.can_admit(est):
-                return [req]
+        sel = self._pack_prefills(prefill)
+        if sel:
+            return sel
         return decode[: self.max_batch_size]
 
     def _select_detokenize_requests(self) -> list[Request]:

@@ -34,7 +34,16 @@ class OnlineScheduler(Scheduler):
         overlap = getattr(self.model_worker, "detokenize_overlap", 0)
         if worker_cfg is not None and interval:
             step = max(interval - overlap, 1)
-            demand = -(-self.max_batch_size // step)  # ceil
+            # full-batch fused decode emits k frames per scheduler round, so
+            # steady-state window demand scales by k (without this the cap
+            # starves the codec and audio backlog grows without bound)
+            k = 1
+            if (worker_cfg.fused_decode_steps
+                    and worker_cfg.fused_decode_buckets
+                    and max(worker_cfg.fused_decode_buckets)
+                    >= self.max_batch_size):
+                k = worker_cfg.fused_decode_steps
+            demand = -(-self.max_batch_size * k // step)  # ceil
             for b in worker_cfg.detok_buckets:
                 if b >= demand:
                     self.detokenize_max_batch_size = min(
@@ -92,11 +101,9 @@ class OnlineScheduler(Scheduler):
             else:
                 background.append(req)
 
-        max_seq = self.model_worker.max_prefill_tokens
-        for req in prefill:
-            est = req.input_length or self._estimate_prompt_len(req)
-            if est <= max_seq and self.model_worker.can_admit(est):
-                return [req]
+        sel = self._pack_prefills(prefill)
+        if sel:
+            return sel
 
         out = critical[: self.max_batch_size]
         for req in background:
@@ -228,6 +235,11 @@ class OnlineScheduler(Scheduler):
             selected.append(req)
             return len(idxs)
 
+        stats = getattr(self.model_worker, "phase_stats", None)
+        if stats is not None:
+            t, c = stats.get("sched.detok_candidates", (0.0, 0))
+            stats["sched.detok_candidates"] = (t + len(candidates), c + 1)
+
         for req, quota in zip(critical, assigned):
             if quota > 0:
                 used += take_chunks(req, quota)
@@ -246,4 +258,7 @@ class OnlineScheduler(Scheduler):
             if req.done_all and req not in selected:
                 selected.append(req)
 
+        if stats is not None:
+            t, c = stats.get("sched.detok_windows_sel", (0.0, 0))
+            stats["sched.detok_windows_sel"] = (t + used, c + 1)
         return mini_sel + selected

@@ -58,6 +58,9 @@ def _run_scheduler_daemon(args) -> None:
         first_chunk_frames=args.first_chunk_frames,
         ramp_frames=args.ramp_frames,
         fused_decode_steps=args.fused_decode_steps,
+        fused_decode_buckets=(
+            _parse_buckets(args.fused_decode_buckets) or (1,)),
+        detok_pipeline_depth=args.detok_pipeline_depth,
         enable_profiling=args.enable_profiling,
         detokenizer_device_index=(1 if args.enable_disaggregation else None),
         codec_dtype=args.codec_dtype,
@@ -100,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--first-chunk-frames", type=int, default=0)
     p.add_argument("--ramp-frames", type=int, default=0)
     p.add_argument("--fused-decode-steps", type=int, default=0)
+    p.add_argument("--fused-decode-buckets", default=None,
+                   help="comma list of batch buckets served by the fused "
+                        "k-step decode executable (include max-batch-size "
+                        "to fuse the full decode batch)")
+    p.add_argument("--detok-pipeline-depth", type=int, default=1,
+                   help="in-flight detokenize batches with deferred audio "
+                        "readback")
     p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)

@@ -74,6 +74,10 @@ class WorkerConfig:
     #: for step N's tokens to reach the host — essential when dispatch or
     #: transfer latency is high (SURVEY §7.2 hard part 4). 0 = synchronous.
     pipeline_depth: int = 0
+    #: in-flight detokenize batches with deferred audio readback (>=2 keeps
+    #: the codec fed while a wide fused-decode executable holds the chip);
+    #: clamped to 0 when pipeline_depth is 0 (synchronous mode)
+    detok_pipeline_depth: int = 1
     #: tensor parallelism over ICI: shard the backbone (Megatron-style) and
     #: the KV pools (kv-head axis) across tp_size devices. The TPU-native
     #: addition for backbones that exceed one chip (GLM-4-Voice-9B on v5e).
@@ -165,6 +169,9 @@ class ModelWorker:
         self.config = config or WorkerConfig()
         self.logger = get_logger("worker")
         self.phase_stats = {}
+        #: in-flight detokenize batches (audio, mapping, finish_check),
+        #: oldest first; see _detok_depth
+        self._pending_detok = []
         cfg = self.config
         bb = model.backbone_config
         use_pallas = cfg.use_pallas
@@ -1249,7 +1256,7 @@ class ModelWorker:
         pipeline. Returns the requests whose chunks were just emitted."""
         resolved: list[Request] = []
         if not requests:
-            if self._pending_detok is not None:
+            if self._pending_detok:
                 resolved = self._resolve_detok()
             return resolved
         model = self.model
@@ -1297,7 +1304,7 @@ class ModelWorker:
                 continue
             finish_check.append(req)
         if not by_len:
-            resolved = self._resolve_detok() if self._pending_detok else []
+            resolved = self._resolve_detok()
             self._maybe_finish(finish_check)
             return pre_resolved + resolved + finish_check
 
@@ -1362,6 +1369,8 @@ class ModelWorker:
                                               mapping[s:s + cap], length, fc)
             return resolved
         n = len(windows)
+        tot, cnt = self.phase_stats.get("detok.windows", (0.0, 0))
+        self.phase_stats["detok.windows"] = (tot + n, cnt + 1)
         B = self._detok_bucket(n)
         token_ids = np.zeros((B, length, C), np.int32)
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
@@ -1377,23 +1386,30 @@ class ModelWorker:
         tok_dev = jax.device_put(token_ids, self.detokenizer_device)
         slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
         self._stat("detok.upload", t0)
-        resolved = []
-        if self._pending_detok is not None:
-            t0 = time.perf_counter()
-            resolved = self._resolve_detok()
-            self._stat("detok.resolve", t0)
         t0 = time.perf_counter()
         audio, self.codec_cache = fn(
             model.codec_params, tok_dev, self.codec_cache, slot_dev)
         ctx.__exit__(None, None, None)
         self._host_prefetch(audio)
         self._stat("detok.dispatch", t0)
-        self._pending_detok = (audio, mapping, finish_check)
-        if self.config.pipeline_depth == 0:
-            resolved = resolved + self._resolve_detok()
+        self._pending_detok.append((audio, mapping, finish_check))
+        resolved = []
+        t0 = time.perf_counter()
+        while len(self._pending_detok) > self._detok_depth:
+            resolved += self._resolve_detok()
+        self._stat("detok.resolve", t0)
         return resolved
 
-    _pending_detok = None
+    @property
+    def _detok_depth(self) -> int:
+        """In-flight detokenize batches whose audio readback is deferred.
+        0 when the decode pipeline is synchronous; otherwise the configured
+        depth (>=2 keeps the codec fed while a wide fused-decode executable
+        occupies the chip — the readback of batch N would otherwise block
+        behind it before batch N+1 could even be dispatched)."""
+        if self.config.pipeline_depth == 0:
+            return 0
+        return max(1, self.config.detok_pipeline_depth)
 
     def _run_detok_windows(self, requests: list[Request], length: int
                            ) -> list[Request]:
@@ -1445,22 +1461,19 @@ class ModelWorker:
         fn = self._get_detok_fn(key)
         tok_dev = jax.device_put(token_ids, self.detokenizer_device)
         slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
-        resolved: list[Request] = []
-        if self._pending_detok is not None:
-            resolved = self._resolve_detok()
         audio, self.codec_cache = fn(
             model.codec_params, tok_dev, self.codec_cache, slot_dev)
         self._host_prefetch(audio)
-        self._pending_detok = (audio, mapping, [])
-        if self.config.pipeline_depth == 0:
-            resolved = resolved + self._resolve_detok()
+        self._pending_detok.append((audio, mapping, []))
+        resolved: list[Request] = []
+        while len(self._pending_detok) > self._detok_depth:
+            resolved += self._resolve_detok()
         return resolved
 
     def _resolve_detok(self) -> list[Request]:
-        if self._pending_detok is None:
+        if not self._pending_detok:
             return []
-        audio, mapping, finish_check = self._pending_detok
-        self._pending_detok = None
+        audio, mapping, finish_check = self._pending_detok.pop(0)
         t0 = time.perf_counter()
         audio_np = np.asarray(jax.device_get(audio))  # (B, ch, samples)
         self._stat("detok.audio_get", t0)
@@ -1481,8 +1494,11 @@ class ModelWorker:
         return touched
 
     def flush_detokenize(self) -> list[Request]:
-        """Resolve any in-flight detokenize batch."""
-        return self._resolve_detok()
+        """Resolve ALL in-flight detokenize batches."""
+        out: list[Request] = []
+        while self._pending_detok:
+            out += self._resolve_detok()
+        return out
 
     def _maybe_finish(self, requests: list[Request]) -> None:
         interval = self.model.detokenize_interval
@@ -1622,11 +1638,14 @@ class ModelWorker:
                     "warmup: fused decode bucket B=%d k=%d compiled "
                     "(%.2f ms/call)", B, K, ms)
 
-        # chained cold-start executable (fused decode + first-chunk detok)
+        # chained cold-start executable (fused decode + first-chunk detok).
+        # Only the bucket serving batch 1: run_cold_start handles single
+        # near-idle streams, and a full-batch chain executable's codec
+        # temps can tip a ~9.4G-persistent config into runtime HBM OOM.
         KC = self.first_chunk_frames
         if (K >= 2 and KC >= 2 and model.supports_chained_detok
                 and self.detokenizer_device is self.lm_device):
-            for B in cfg.fused_decode_buckets:
+            for B in cfg.fused_decode_buckets[:1]:
                 meta0 = AttnMetadata(
                     False, jnp.zeros((B,), jnp.int32),
                     jnp.zeros((B,), jnp.int32),
