@@ -1,0 +1,41 @@
+#!/bin/bash
+# One-command real-server goodput benchmark on the TPU (VERDICT r2 #2).
+#
+# Launches the production server (qwen3-tts profile = the measured-optimal
+# serving configuration from vox_serve_tpu/profiles.py), waits for warmup
+# (first launch compiles the full executable lattice, ~3 min; subsequent
+# launches hit JAX_COMPILATION_CACHE_DIR and start in ~40 s), then drives
+# the HTTP goodput client at the given arrival rates and writes the result
+# JSON to artifacts/goodput_tpu_r3.json.
+#
+# Usage: benchmark/run_goodput_tpu.sh [rate ...]   (default: 1.0 2.0)
+set -u
+cd "$(dirname "$0")/.."
+PORT=${PORT:-8791}
+RATES=${*:-"1.0 2.0"}
+OUT=${OUT:-artifacts/goodput_tpu_r3.json}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache_tpu}
+
+echo "[goodput] launching server on :$PORT (qwen3-tts profile)"
+python -m vox_serve_tpu.launch --model Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice \
+    --port "$PORT" > /tmp/goodput_tpu_server.log 2>&1 &
+echo $! > /tmp/goodput_tpu_server.pid
+trap 'kill $(cat /tmp/goodput_tpu_server.pid) 2>/dev/null' EXIT
+
+# wait for warmup: /health turns healthy only once the scheduler is live
+for i in $(seq 1 120); do
+    if curl -sf "http://127.0.0.1:$PORT/health" >/dev/null 2>&1; then
+        break
+    fi
+    sleep 5
+done
+curl -sf "http://127.0.0.1:$PORT/health" || { echo "server never came up"; exit 1; }
+echo "[goodput] server healthy; warm request"
+curl -s -X POST "http://127.0.0.1:$PORT/generate" -F "text=warmup request" \
+    -o /dev/null -w " warm=%{http_code} t=%{time_total}s\n"
+
+echo "[goodput] driving rates: $RATES"
+# shellcheck disable=SC2086
+python benchmark/goodput.py --port "$PORT" --num-requests 48 \
+    --request-rate $RATES | tee "$OUT"
+echo "[goodput] wrote $OUT"
