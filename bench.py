@@ -22,6 +22,10 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
+from vox_serve_tpu.utils import apply_platform_override
+
+apply_platform_override()  # VOX_SERVE_PLATFORM=cpu for off-TPU smoke runs
+
 import jax.numpy as jnp
 
 from vox_serve_tpu.models.qwen3_tts import Qwen3TTSLM
