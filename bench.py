@@ -77,7 +77,7 @@ def main():
     if smoke:  # CPU logic check: tiny model, short phases
         from vox_serve_tpu.models.dummy import DummyLM
 
-        BATCH = 4
+        BATCH = int(os.environ.get("VOX_BENCH_BATCH", "4"))
         CAPACITY_SECONDS = 2.0
         model = DummyLM(max_tokens=64)
     else:
