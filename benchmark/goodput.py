@@ -120,7 +120,8 @@ async def one_request(session, base, text, args, results, save_idx=None):
         results.append({"error": "no audio"})
         return
     if save_idx is not None and save_buf:
-        out = Path(args.output_dir)
+        # per-rate subdir: a rate sweep restarts save_idx at 0 per rate
+        out = Path(args.output_dir) / f"rate_{args._current_rate}"
         out.mkdir(parents=True, exist_ok=True)
         (out / f"req_{save_idx:04d}.wav").write_bytes(b"".join(save_buf))
     ttfa = chunk_times[0] - start
@@ -139,6 +140,7 @@ async def one_request(session, base, text, args, results, save_idx=None):
 
 
 async def run_one_rate(args, prompts, rate) -> dict:
+    args._current_rate = rate
     base = f"http://{args.host}:{args.port}"
     results = []
     rng = random.Random(args.seed)

@@ -12,7 +12,7 @@ import time
 
 import aiohttp
 
-from goodput import PROMPTS, load_prompts
+from goodput import load_prompts
 
 
 async def one(session, base, text, sample_rate, results):

@@ -102,7 +102,14 @@ def test_fused_decode_input_streaming_caps_k():
     req = Request(request_id="st", prompt="x", is_input_streaming=True)
     req.pending_text_tokens.put(5)
     req.pending_text_tokens.put(6)
-    assert s._fused_decode_steps([req]) == 2
+    # fewer buffered tokens than k: fall back to single-step — warmup only
+    # compiles (bucket, k), so any other fused k would compile mid-serving
+    assert s._fused_decode_steps([req]) == 1
+    req.pending_text_tokens.put(7)
+    req.pending_text_tokens.put(8)
+    assert s._fused_decode_steps([req]) == 4
+    while not req.pending_text_tokens.empty():
+        req.pending_text_tokens.get()
     req.text_complete = True
     assert s._fused_decode_steps([req]) == 4
 

@@ -121,3 +121,61 @@ def test_decode_page_growth_never_exhausts():
     comps = _completions(_drive(sched))
     assert set(comps) == {"solo"}
     assert not comps["solo"]["reason"].startswith("error")
+
+
+def test_deferred_row_does_not_consume_streamed_text():
+    """A decode row deferred by KV backpressure (or hard-stopped at the
+    block-table limit) must not consume a buffered text token or the
+    one-shot EOS: the step never executes, so consuming would silently drop
+    speech (round-3 review fix — injection now happens after the
+    backpressure checks in _plan_decode_row)."""
+    model = DummyLM(max_tokens=40)
+    cfg = WorkerConfig(max_batch_size=2, num_pages=8, page_size=8,
+                       prefill_token_buckets=(64,), max_prefill_requests=2,
+                       warmup=False)
+    worker = ModelWorker(model, cfg)
+    req = Request(request_id="st", prompt="hello world",
+                  is_input_streaming=True, is_streaming=True,
+                  sampling_config=SamplingConfig(max_tokens=40))
+    worker.run_lm_prefill([req])
+    worker.sync()
+    req.done_lm_generation = False
+    req.pending_text_tokens.put(7)
+    req.pending_text_tokens.put(8)
+
+    # drain the pool so the next page-boundary growth defers the row
+    hold = worker.allocator.alloc(worker.allocator.num_unreserved)
+    # place the request exactly at a page boundary
+    req.kv_token_len = (req.kv_token_len // 8 + 1) * 8
+    before = req.pending_text_tokens.qsize()
+
+    B = 2
+    import numpy as np
+    overrides = np.zeros((B, model.n_codebooks), np.int32)
+    override_mask = np.zeros((B, model.n_codebooks), bool)
+    gen_idx = np.zeros((B,), np.int32)
+    positions = np.zeros((B,), np.int32)
+    page_ids = np.zeros((B,), np.int32)
+    offsets = np.zeros((B,), np.int32)
+    block_tables = np.zeros((B, worker.max_pages_per_seq), np.int32)
+    seq_lens = np.ones((B,), np.int32)
+    slot_ids = np.zeros((B,), np.int32)
+    hard_stopped = set()
+    worker._plan_decode_row(req, 0, overrides, override_mask, gen_idx,
+                           positions, page_ids, offsets, block_tables,
+                           seq_lens, slot_ids, hard_stopped)
+    assert 0 in hard_stopped  # deferred by backpressure
+    assert req.pending_text_tokens.qsize() == before  # token NOT consumed
+    assert not req.eos_injected
+
+    # same for the one-shot EOS
+    while not req.pending_text_tokens.empty():
+        req.pending_text_tokens.get()
+    req.text_complete = True
+    hard_stopped.clear()
+    worker._plan_decode_row(req, 0, overrides, override_mask, gen_idx,
+                           positions, page_ids, offsets, block_tables,
+                           seq_lens, slot_ids, hard_stopped)
+    assert 0 in hard_stopped
+    assert not req.eos_injected  # EOS still pending for a real step
+    worker.allocator.free(hold)

@@ -38,6 +38,31 @@ def test_explicit_flags_override_profile():
     assert a.max_num_pages == 3072
 
 
+def test_explicit_batch_yields_consistent_worker_config():
+    """Regression: --max-batch-size on a profiled model must not carry over
+    the profile's 144-scale bucket lattices — WorkerConfig asserts
+    decode_buckets[-1] == max_batch_size and the daemon died at startup."""
+    from vox_serve_tpu.worker import WorkerConfig
+
+    a = _resolved(["--model", "qwen3-tts", "--max-batch-size", "16"])
+    assert a.decode_buckets is None
+    assert a.detok_buckets is None
+    assert a.fused_decode_buckets is None
+
+    def parse(spec):
+        return tuple(int(x) for x in spec.split(",")) if spec else None
+
+    cfg = WorkerConfig(
+        max_batch_size=a.max_batch_size,
+        decode_buckets_override=parse(a.decode_buckets),
+        detok_buckets_override=parse(a.detok_buckets),
+        fused_decode_buckets=parse(a.fused_decode_buckets) or (1,),
+        fused_decode_steps=a.fused_decode_steps,
+    )
+    assert cfg.decode_buckets[-1] == 16
+    assert cfg.detok_buckets[-1] <= 16
+
+
 def test_unprofiled_model_gets_generic_defaults():
     a = _resolved(["--model", "orpheus"])
     assert a.max_batch_size == 8

@@ -53,24 +53,11 @@ DAC_CONFIG = SNACConfig(
 def _resample_441_to_24(x: jax.Array) -> jax.Array:
     """Polyphase windowed-sinc resample along the last axis, 44100 -> 24000
     (reference semantics: torchaudio resample, zonos.py:929-935 — ceil
-    output-length convention). Shares the filter design with the
-    silentcipher watermarker's resampler (watermark/silentcipher.py)."""
-    from ..watermark.silentcipher import _resample_filter
+    output-length convention). Delegates to the shared resampler in
+    watermark/silentcipher.py."""
+    from ..watermark.silentcipher import sinc_resample
 
-    up, down = 80, 147  # 24000/300, 44100/300
-    n_in = x.shape[-1]
-    lead = x.shape[:-1]
-    n_out = -(-n_in * up // down)  # ceil, matching torchaudio
-    h = jnp.asarray(_resample_filter(up, down))
-    taps = h.shape[0]
-    flat = x.reshape((-1, n_in))
-    xe = jnp.zeros((flat.shape[0], n_in * up), flat.dtype).at[:, ::up].set(flat)
-    pad = taps // 2
-    y = jax.lax.conv_general_dilated(
-        xe[:, None, :], h[None, None, :].astype(flat.dtype),
-        window_strides=(down,), padding=((pad, pad),),
-        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
-    return y[:, :n_out].reshape(lead + (n_out,))
+    return sinc_resample(x, 44100, 24000, out_len="ceil")
 
 
 class ZonosLM(BaseLM):

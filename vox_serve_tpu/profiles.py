@@ -75,13 +75,27 @@ def resolve_profile(model_name: str) -> dict[str, Any]:
     return prof
 
 
+#: profile entries whose values are scaled to the profile's max_batch_size;
+#: applying them verbatim under an explicit --max-batch-size would violate
+#: WorkerConfig's bucket invariants (decode_buckets[-1] == max_batch_size)
+#: and crash the scheduler daemon at startup.
+_BATCH_SCALED_KEYS = ("decode_buckets", "detok_buckets",
+                      "fused_decode_buckets")
+
+
 def apply_profile(args, logger=None) -> None:
     """Fill unset (None) argparse flags from the model's serving profile.
     ``enable_pallas`` composes with ``--disable-pallas``."""
     prof = resolve_profile(args.model)
+    user_batch = getattr(args, "max_batch_size", None) is not None
     applied = {}
     for key, value in prof.items():
         if key == "enable_pallas":
+            continue
+        if user_batch and key in _BATCH_SCALED_KEYS:
+            # explicit batch size: the profile's bucket lattices are scaled
+            # to ITS batch; leave these unset so the worker derives a
+            # consistent lattice for the requested batch
             continue
         if getattr(args, key, None) is None:
             setattr(args, key, value)

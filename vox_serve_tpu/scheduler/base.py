@@ -232,8 +232,13 @@ class Scheduler:
         if len(lm) > max(buckets, default=0):
             return 1
         for r in lm:
-            if r.is_input_streaming and not r.text_complete:
-                k = min(k, max(1, r.pending_text_tokens.qsize()))
+            if r.is_input_streaming and not r.text_complete \
+                    and r.pending_text_tokens.qsize() < k:
+                # warmup compiles ONLY (bucket, fused_decode_steps):
+                # dispatching a smaller k would trigger a multi-minute XLA
+                # compile mid-serving. Fall back to the (always-compiled)
+                # single-step path until enough text is buffered.
+                return 1
         return k
 
     def _fail_requests(self, requests: list[Request], exc: Exception,

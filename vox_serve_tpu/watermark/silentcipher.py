@@ -309,18 +309,23 @@ def _resample_filter(up: int, down: int, zeros: int = 12) -> np.ndarray:
     return (h * (up / h.sum())).astype(np.float32)
 
 
-def sinc_resample(x: jax.Array, orig_sr: int, new_sr: int) -> jax.Array:
-    """Polyphase windowed-sinc resample, (B, S) -> (B, S * new // orig)."""
+def sinc_resample(x: jax.Array, orig_sr: int, new_sr: int,
+                  out_len: str = "floor") -> jax.Array:
+    """Polyphase windowed-sinc resample along the last axis (any leading
+    dims). ``out_len`` picks the output-length convention: "floor"
+    (S*up//down, julius) or "ceil" (torchaudio.functional.resample)."""
     if orig_sr == new_sr:
         return x
     g = math.gcd(orig_sr, new_sr)
     up, down = new_sr // g, orig_sr // g
-    h = jnp.asarray(_resample_filter(up, down))
+    lead, S = x.shape[:-1], x.shape[-1]
+    flat = x.reshape((-1, S))
+    h = jnp.asarray(_resample_filter(up, down)).astype(flat.dtype)
     taps = h.shape[0]
-    B, S = x.shape
-    xe = jnp.zeros((B, S * up)).at[:, ::up].set(x)
+    xe = jnp.zeros((flat.shape[0], S * up), flat.dtype).at[:, ::up].set(flat)
     pad = taps // 2
     y = jax.lax.conv_general_dilated(
         xe[:, None, :], h[None, None, :], window_strides=(down,),
         padding=((pad, pad),), dimension_numbers=("NCH", "OIH", "NCH"))[:, 0]
-    return y[:, : S * up // down]
+    n_out = -(-S * up // down) if out_len == "ceil" else S * up // down
+    return y[:, :n_out].reshape(lead + (n_out,))

@@ -960,12 +960,6 @@ class ModelWorker:
         model = self.model
         C = model.n_codebooks
         page_size = self.config.page_size
-        if req.is_input_streaming:
-            tok = np.zeros((C,), np.int32)
-            self._inject_streaming_text_token(req, tok)
-            ch = model.text_channel_index % C
-            overrides[i, ch] = tok[model.text_channel_index]
-            override_mask[i, ch] = True
         inflight = req.extras.get("inflight", 0)
         # position of the token fed this step, accounting for
         # not-yet-resolved pipelined steps
@@ -1007,6 +1001,16 @@ class ModelWorker:
         seq_lens[i] = req.kv_token_len
         slot_ids[i] = req.slot
         req.extras["inflight"] = inflight + 1
+        if req.is_input_streaming:
+            # inject AFTER the hard-stop/backpressure checks above: a
+            # deferred row must not consume a buffered text token (or the
+            # one-shot EOS) for a step that never executes. The fused path
+            # (run_lm_decode_multi) allocates first for the same reason.
+            tok = np.zeros((C,), np.int32)
+            self._inject_streaming_text_token(req, tok)
+            ch = model.text_channel_index % C
+            overrides[i, ch] = tok[model.text_channel_index]
+            override_mask[i, ch] = True
 
     # ------------------------------------------------------------------
     # fused multi-step decode (one dispatch for k steps — the cold-stream
@@ -1212,13 +1216,11 @@ class ModelWorker:
             pcm = pcm[:, :max(trim, 0)]
         if pcm.shape[1]:
             req.output_audio.put(_pcm_bytes(pcm))
+        # window = first_chunk_frames < interval <= ramp_frames always
+        # (worker properties above), so the ramp continues from here — the
+        # regular-window handoff happens later in _run_detok_windows.
         req.extras["ramp_next"] = window
         req.extras["ramp_size"] = min(window, interval)
-        ramp_end = self.ramp_frames or interval
-        if window >= ramp_end:
-            step = interval - model.detokenize_overlap
-            req.audio_decode_idx = [window - step]
-            req.next_audio_decode_idx = [window - step]
 
     def sync(self) -> None:
         """Resolve all in-flight decode steps (host state catches up)."""
