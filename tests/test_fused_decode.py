@@ -138,6 +138,9 @@ def test_cold_start_chained_first_chunk_matches_host_path():
         audio_by_mode[fused] = audio
         if fused:
             assert w.can_cold_start(req) or req.is_input_streaming is False
+            # the single-dispatch chain executable must actually be used
+            assert any(k[0] == "cold_chain" for k in w._lm_fns), \
+                "cold start silently fell back off the single-dispatch path"
     assert audio_by_mode[0] == audio_by_mode[2], (
         len(audio_by_mode[0]), len(audio_by_mode[2]))
 

@@ -53,8 +53,8 @@ class OnlineScheduler(Scheduler):
     # -- cold-start fast path --------------------------------------------
     def _maybe_cold_start(self, lm) -> bool:
         """Near-idle streaming prefill: chain prefill + fused decode +
-        first-chunk detok (worker.run_cold_start) so first PCM costs two
-        dispatches and one readback. Under load the normal batched path
+        first-chunk detok (worker.run_cold_start) so first PCM costs ONE
+        dispatch and one readback. Under load the normal batched path
         keeps the chip busy for everyone instead."""
         if len(lm) != 1 or not lm[0].is_streaming:
             return False

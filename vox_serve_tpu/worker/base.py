@@ -479,16 +479,24 @@ class ModelWorker:
                 fn = self._build_lm_multi_fn(bucket[1])
             elif phase == "decode_multi_detok":
                 fn = self._build_lm_multi_fn(bucket[1], with_detok=True)
+            elif phase == "cold_chain":
+                fn = self._build_cold_chain_fn(bucket[1])
             else:
                 fn = self._build_lm_fn(phase)
             self._lm_fns[key] = fn
         return fn
 
     def _build_lm_fn(self, phase: str):
-        model = self.model
-
         if phase == "decode":
             return self._build_lm_decode_fn()
+        return jax.jit(self._make_phase_body(phase),
+                       donate_argnums=(6, 7, 8, 9, 10))
+
+    def _make_phase_body(self, phase: str):
+        """Unjitted single-step body (prefill or generic phase) — jitted
+        standalone by ``_build_lm_fn`` and composed into the single-dispatch
+        cold-start chain by ``_build_cold_chain_fn``."""
+        model = self.model
 
         def step(params, token_ids, positions, features, masks, meta,
                  k_pages, v_pages, rep_cache, feedback, last_tokens,
@@ -527,7 +535,7 @@ class ModelWorker:
             return (out.sampled, out.k_pages, out.v_pages, new_rep,
                     new_feedback, new_last)
 
-        return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
+        return step
 
     def _build_lm_decode_fn(self):
         """Decode step with PACKED host metadata: all nine per-step planning
@@ -592,6 +600,15 @@ class ModelWorker:
         and streamed-text overrides (k, B, C) — none depend on sampled
         tokens, so they are computable up front. seq_lens advance on-device
         as ``seq_lens0 + i``."""
+        step = self._make_multi_body(n_steps)
+        if with_detok:
+            return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10, 17))
+        return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
+
+    def _make_multi_body(self, n_steps: int):
+        """Unjitted fused k-step (+ optional chained detok) body — see
+        ``_build_lm_multi_fn``. Passing ``codec_params`` selects the detok
+        chain at trace time."""
         model = self.model
 
         def step(params, overrides_k, positions_k, meta0, page_ids_k,
@@ -676,9 +693,45 @@ class ModelWorker:
             return (sampled_k, k_pages, v_pages, rep_cache, feedback,
                     last_tokens, _pcm16(audio), new_cache)
 
-        if with_detok:
-            return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10, 17))
-        return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
+        return step
+
+    def _build_cold_chain_fn(self, n_steps: int):
+        """Single-dispatch cold start: prefill + fused k-step decode +
+        first-chunk detokenize composed into ONE executable. The 2-dispatch
+        path (run_lm_prefill then decode_multi_detok) already keeps all
+        intermediate state device-resident; this removes the remaining
+        second host dispatch (each costs a full tunnel RPC, ~15-40 ms
+        through a remote backend). Returns the prefill sample concatenated
+        ahead of the k scan outputs, (k+1, B, C), plus the first-chunk PCM."""
+        prefill_body = self._make_phase_body("prefill")
+        multi_body = self._make_multi_body(n_steps)
+
+        def cold(params, tokens, pos, feat, msk, meta_p,
+                 k_pages, v_pages, rep_cache, feedback, last_tokens,
+                 slot_ids_p, base_key, counter, last_idx,
+                 overrides_k, positions_k, meta0, page_ids_k, offsets_k,
+                 slot_ids_d, override_mask_k, gen_idx0,
+                 codec_params, codec_cache):
+            (s0, k_pages, v_pages, rep_cache, feedback, last_tokens) = \
+                prefill_body(params, tokens, pos, feat, msk, meta_p,
+                             k_pages, v_pages, rep_cache, feedback,
+                             last_tokens, slot_ids_p, base_key, counter,
+                             last_idx, jnp.zeros((1,), bool),
+                             jnp.zeros_like(slot_ids_p))
+            (sampled_k, k_pages, v_pages, rep_cache, feedback, last_tokens,
+             audio, codec_cache) = multi_body(
+                params, overrides_k, positions_k, meta0, page_ids_k,
+                offsets_k, k_pages, v_pages, rep_cache, feedback,
+                last_tokens, slot_ids_d, base_key, counter + 1,
+                override_mask_k, gen_idx0, codec_params, codec_cache)
+            # prefill sample rows aligned to the fused batch (row order is
+            # the same single request)
+            Bd = sampled_k.shape[1]
+            sampled_all = jnp.concatenate([s0[None, :Bd], sampled_k], axis=0)
+            return (sampled_all, k_pages, v_pages, rep_cache, feedback,
+                    last_tokens, audio, codec_cache)
+
+        return jax.jit(cold, donate_argnums=(6, 7, 8, 9, 10, 24))
 
     def _get_detok_fn(self, bucket):
         fn = self._detok_fns.get(bucket)
@@ -730,15 +783,23 @@ class ModelWorker:
         )
 
     def run_lm_prefill(self, requests: list[Request]) -> None:
-        if not requests:
-            return
         # NOTE: no sync() here. In-flight decode steps are ordered against
         # this prefill by the data dependencies on the donated state arrays
         # (KV pools, slot buffers, codec caches); draining the pipeline on
         # every admission cost ~0.5 s per prefill under load (measured:
         # 19 ms executable vs ~490 ms in-loop).
+        requests = self._admit_prefills(requests)
+        if not requests:
+            return
+        self._dispatch_prefill(requests, self._prefill_host_arrays(requests))
+
+    def _admit_prefills(self, requests: list[Request]) -> list[Request]:
+        """Slot assignment, preprocessing, bucket trim and KV-page
+        reservation; returns the requests actually ready to prefill this
+        step (failures are isolated per request, overflow defers)."""
+        if not requests:
+            return []
         model = self.model
-        C = model.n_codebooks
         cfg = self.config
         page_size = cfg.page_size
 
@@ -801,10 +862,15 @@ class ModelWorker:
             req.extras["kv_reserved"] = reserve
             req.kv_token_len = req.input_length
             admitted.append(req)
-        requests = admitted
-        if not requests:
-            return
+        return admitted
 
+    def _prefill_host_arrays(self, requests: list[Request]) -> dict:
+        """Pack the admitted requests into the padded prefill bucket's host
+        arrays (tokens, segment ids, positions, KV page targets, ...)."""
+        model = self.model
+        C = model.n_codebooks
+        cfg = self.config
+        page_size = cfg.page_size
         total = sum(r.input_length for r in requests)
         T = self.prefill_token_bucket(total)
         B = cfg.max_prefill_requests
@@ -849,6 +915,16 @@ class ModelWorker:
             jnp.asarray(page_ids), jnp.asarray(offsets),
             segment_ids=jnp.asarray(seg), q_positions=jnp.asarray(pos),
         )
+        return {"T": T, "B": B, "tokens": tokens, "pos": pos, "feat": feat,
+                "msk": msk, "meta": meta, "slot_ids": slot_ids,
+                "last_idx": last_idx}
+
+    def _dispatch_prefill(self, requests: list[Request], arr: dict) -> None:
+        model = self.model
+        T, B = arr["T"], arr["B"]
+        feat, msk, meta = arr["feat"], arr["msk"], arr["meta"]
+        tokens, pos = arr["tokens"], arr["pos"]
+        slot_ids, last_idx = arr["slot_ids"], arr["last_idx"]
         fn = self._get_lm_fn("prefill", (T, B))
         self._step_counter += 1
         ctx = self._trace(f"lm_prefill_t{T}_b{len(requests)}")
@@ -1046,12 +1122,21 @@ class ModelWorker:
         if not requests:
             return
         model = self.model
-        C = model.n_codebooks
-        cfg = self.config
-        page_size = cfg.page_size
         K = n_steps
         B = self._fused_bucket(len(requests))
         assert B is not None
+        arr, hard_stopped = self._plan_decode_multi(requests, K, B)
+        self._dispatch_decode_multi(requests, K, B, arr, hard_stopped,
+                                    first_chunk)
+
+    def _plan_decode_multi(self, requests: list[Request], K: int,
+                           B: int) -> tuple[dict, set[int]]:
+        """Host planning for a fused k-step decode: preallocate KV pages for
+        all K tokens per request and build the (K, B) per-step metadata."""
+        model = self.model
+        C = model.n_codebooks
+        cfg = self.config
+        page_size = cfg.page_size
 
         overrides = np.zeros((K, B, C), np.int32)
         override_mask = np.zeros((K, B, C), bool)
@@ -1112,15 +1197,25 @@ class ModelWorker:
             block_tables=jnp.asarray(block_tables),
             seq_lens=jnp.asarray(seq_lens0),
         )
+        return ({"overrides": overrides, "override_mask": override_mask,
+                 "gen_idx0": gen_idx0, "positions": positions,
+                 "page_ids": page_ids, "offsets": offsets, "meta0": meta0,
+                 "slot_ids": slot_ids}, hard_stopped)
+
+    def _dispatch_decode_multi(self, requests: list[Request], K: int, B: int,
+                               arr: dict, hard_stopped: set[int],
+                               first_chunk: bool) -> None:
+        model = self.model
         counter = self._step_counter + 1
         self._step_counter += K  # one RNG fold per scanned step
         args = (
-            model.params, jnp.asarray(overrides), jnp.asarray(positions),
-            meta0, jnp.asarray(page_ids), jnp.asarray(offsets),
+            model.params, jnp.asarray(arr["overrides"]),
+            jnp.asarray(arr["positions"]), arr["meta0"],
+            jnp.asarray(arr["page_ids"]), jnp.asarray(arr["offsets"]),
             self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-            self.last_tokens, jnp.asarray(slot_ids), self._base_key,
-            jnp.int32(counter), jnp.asarray(override_mask),
-            jnp.asarray(gen_idx0),
+            self.last_tokens, jnp.asarray(arr["slot_ids"]), self._base_key,
+            jnp.int32(counter), jnp.asarray(arr["override_mask"]),
+            jnp.asarray(arr["gen_idx0"]),
         )
         if first_chunk:
             fn = self._get_lm_fn("decode_multi_detok", (B, K))
@@ -1151,7 +1246,7 @@ class ModelWorker:
 
     # ------------------------------------------------------------------
     # cold-start fast path: prefill + fused decode + first-chunk detok in
-    # TWO dispatches, no intermediate host readback
+    # ONE dispatch, no intermediate host readback
     # ------------------------------------------------------------------
     def can_cold_start(self, req: Request) -> bool:
         cfg = self.config
@@ -1163,25 +1258,70 @@ class ModelWorker:
                 and not req.is_input_streaming)
 
     def run_cold_start(self, req: Request) -> None:
-        """Dispatch prefill then the chained fused-decode+detok executable
-        back-to-back: the feedback token and audio frames stay
-        device-resident, so the first PCM chunk costs two dispatches and a
-        single readback instead of (2 + first_chunk_frames) dispatch/readback
-        rounds (each a full tunnel round trip). Caller gates on
+        """Dispatch prefill + fused k-step decode + first-chunk detok as ONE
+        executable (``cold_chain``): the feedback token and audio frames
+        stay device-resident and the first PCM chunk costs a single host
+        dispatch plus one readback, instead of (2 + first_chunk_frames)
+        dispatch/readback rounds (each a full tunnel round trip). Falls back
+        to a plain prefill dispatch when the fused leg cannot run (KV
+        backpressure, block-table limit). Caller gates on
         ``can_cold_start``."""
-        self.run_lm_prefill([req])
-        if not req.done_lm_prefill or req.done_all:
+        admitted = self._admit_prefills([req])
+        if req not in admitted or req.done_all:
             return  # admission deferred or preprocess failed — normal path
-        k = self.first_chunk_frames
-        if not self.can_decode_multi([req], k):
+        parr = self._prefill_host_arrays(admitted)
+        K = self.first_chunk_frames
+        B = self._fused_bucket(1)
+        if not self.can_decode_multi([req], K):
+            self._dispatch_prefill(admitted, parr)
             return
-        self.run_lm_decode_multi([req], k, first_chunk=True)
+        # prefill bookkeeping BEFORE fused planning: positions/gen_idx of
+        # the k decode steps account for the in-flight prefill token
+        req.done_lm_prefill = True
+        req.extras["inflight"] = req.extras.get("inflight", 0) + 1
+        darr, hard = self._plan_decode_multi([req], K, B)
+        if hard:
+            # fused KV prealloc deferred — undo and take the normal path
+            req.done_lm_prefill = False
+            req.extras["inflight"] -= 1
+            self._dispatch_prefill(admitted, parr)
+            return
+        model = self.model
+        counter = self._step_counter + 1
+        self._step_counter += 1 + K  # prefill + one RNG fold per step
+        fn = self._get_lm_fn("cold_chain", (parr["T"], K))
+        ctx = self._trace(f"lm_cold_chain_t{parr['T']}_k{K}")
+        ctx.__enter__()
+        (sampled_all, self.k_pages, self.v_pages, self.rep_cache,
+         self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
+            model.params, jnp.asarray(parr["tokens"]),
+            jnp.asarray(parr["pos"]),
+            None if parr["feat"] is None else jnp.asarray(parr["feat"]),
+            None if parr["msk"] is None else jnp.asarray(parr["msk"]),
+            parr["meta"], self.k_pages, self.v_pages, self.rep_cache,
+            self.feedback, self.last_tokens, jnp.asarray(parr["slot_ids"]),
+            self._base_key, jnp.int32(counter),
+            jnp.asarray(parr["last_idx"]),
+            jnp.asarray(darr["overrides"]), jnp.asarray(darr["positions"]),
+            darr["meta0"], jnp.asarray(darr["page_ids"]),
+            jnp.asarray(darr["offsets"]), jnp.asarray(darr["slot_ids"]),
+            jnp.asarray(darr["override_mask"]), jnp.asarray(darr["gen_idx0"]),
+            model.codec_params, self.codec_cache)
+        ctx.__exit__(None, None, None)
+        self._host_prefetch(sampled_all, audio)
+        # one pending entry: K+1 sampled steps (prefill + k scan), audio
+        # window = K frames (prefill sample + first K-1 scan outputs)
+        self._pending.append((sampled_all, [req], set(), K + 1, audio, K))
+        while len(self._pending) > self.config.pipeline_depth:
+            self._resolve_one()
 
     def _resolve_one(self) -> None:
         entry = self._pending.pop(0)
         sampled, requests, hard_stopped = entry[:3]
         n_steps = entry[3] if len(entry) > 3 else 1
         audio = entry[4] if len(entry) > 4 else None
+        # cold_chain entries carry K+1 sampled steps but a K-frame window
+        window = entry[5] if len(entry) > 5 else n_steps
         t0 = time.perf_counter()
         sampled_np = np.asarray(jax.device_get(sampled))
         audio_np = None if audio is None else np.asarray(jax.device_get(audio))
@@ -1201,7 +1341,7 @@ class ModelWorker:
                     break
                 self.model.update_request_state(req, sampled_np[s, i])
             if audio_np is not None:
-                self._emit_cold_chunk(req, audio_np[i], n_steps)
+                self._emit_cold_chunk(req, audio_np[i], window)
 
     def _emit_cold_chunk(self, req: Request, pcm: np.ndarray,
                          window: int) -> None:
@@ -1680,6 +1820,60 @@ class ModelWorker:
                 self.logger.info(
                     "warmup: cold-start chain B=%d k=%d compiled "
                     "(%.2f ms/call)", B, KC, ms)
+
+            # single-dispatch cold chain (prefill + fused decode + detok in
+            # ONE executable), per prefill token bucket
+            Bd = cfg.fused_decode_buckets[0]
+            for T in sorted(cfg.prefill_token_buckets):
+                Bp = cfg.max_prefill_requests
+                meta_p = AttnMetadata(
+                    True, jnp.zeros((T,), jnp.int32),
+                    jnp.arange(T, dtype=jnp.int32) % cfg.page_size,
+                    segment_ids=jnp.full((T,), -1, jnp.int32),
+                    q_positions=jnp.zeros((T,), jnp.int32),
+                )
+                feat = msk = None
+                if model.needs_input_features:
+                    feat = jnp.zeros((T, model.backbone_config.hidden_size),
+                                     jnp.float32)
+                if model.needs_input_masks:
+                    msk = jnp.zeros((T, C), bool)
+                meta0 = AttnMetadata(
+                    False, jnp.zeros((Bd,), jnp.int32),
+                    jnp.zeros((Bd,), jnp.int32),
+                    block_tables=jnp.zeros((Bd, self.max_pages_per_seq),
+                                           jnp.int32),
+                    seq_lens=jnp.ones((Bd,), jnp.int32),
+                )
+                fn = self._get_lm_fn("cold_chain", (T, KC))
+
+                def call_chain(fn=fn, T=T, Bp=Bp, Bd=Bd, feat=feat, msk=msk,
+                               meta_p=meta_p, meta0=meta0):
+                    out = fn(model.params, jnp.zeros((T, C), jnp.int32),
+                             jnp.zeros((T,), jnp.int32), feat, msk, meta_p,
+                             self.k_pages, self.v_pages, self.rep_cache,
+                             self.feedback, self.last_tokens,
+                             jnp.full((Bp,), cfg.max_batch_size, jnp.int32),
+                             self._base_key, jnp.int32(0),
+                             jnp.zeros((Bp,), jnp.int32),
+                             jnp.zeros((KC, Bd, C), jnp.int32),
+                             jnp.zeros((KC, Bd), jnp.int32), meta0,
+                             jnp.zeros((KC, Bd), jnp.int32),
+                             jnp.zeros((KC, Bd), jnp.int32),
+                             jnp.full((Bd,), cfg.max_batch_size, jnp.int32),
+                             jnp.zeros((KC, Bd, C), bool),
+                             jnp.zeros((Bd,), jnp.int32),
+                             model.codec_params, self.codec_cache)
+                    (_, self.k_pages, self.v_pages, self.rep_cache,
+                     self.feedback, self.last_tokens, audio,
+                     self.codec_cache) = out
+                    return audio
+
+                audio = call_chain()
+                ms = probe(call_chain, audio)
+                self.logger.info(
+                    "warmup: cold chain T=%d k=%d compiled (%.2f ms/call)",
+                    T, KC, ms)
 
         # detokenize buckets (regular interval + multi-chunk catch-up
         # windows + first-chunk minis)
