@@ -329,5 +329,27 @@ def main():
     }))
 
 
+def _main_with_claim_retry():
+    """The tunneled TPU can be claimed by another tenant; backend init then
+    fails with UNAVAILABLE after a ~25 min queue wait. jax caches the failed
+    backend for the process lifetime, so retry by re-exec (bounded via env
+    counter) instead of looping in-process."""
+    try:
+        main()
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e):
+            raise
+        import sys
+
+        attempt = int(os.environ.get("VOX_BENCH_CLAIM_ATTEMPT", "0"))
+        if attempt >= int(os.environ.get("VOX_BENCH_CLAIM_RETRIES", "12")):
+            raise
+        print(f"TPU unavailable (claim held elsewhere); retry "
+              f"{attempt + 1} in 120s", file=sys.stderr, flush=True)
+        time.sleep(120)
+        os.environ["VOX_BENCH_CLAIM_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_claim_retry()
