@@ -108,8 +108,14 @@ def main():
         num_pages=int(os.environ.get("VOX_BENCH_PAGES", "3072")),
         page_size=int(os.environ.get("VOX_BENCH_PAGE_SIZE", "16")),
         # churn: capacity-stream completions arrive ~BATCH*k/CAP_TOKENS
-        # per step; admissions must keep up or the batch drains
-        prefill_token_buckets=(128,), max_prefill_requests=4,
+        # per step; admissions must keep up or the batch drains. The dev
+        # tokenizer yields ~50-token prompts, so a 128-token bucket packs
+        # only 2 admissions per prefill dispatch; a 256 bucket packs 4+
+        # (halves the per-admission dispatch overhead inside the window)
+        prefill_token_buckets=(
+            int(os.environ.get("VOX_BENCH_PREFILL_BUCKET", "256")),),
+        max_prefill_requests=int(
+            os.environ.get("VOX_BENCH_PREFILL_REQS", "5")),
         # warmup compiles the full (small) lattice up front — first-use
         # compiles previously landed INSIDE the capacity window (61s of
         # detok "time" was two bucket-16 codec compiles)
