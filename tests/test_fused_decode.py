@@ -163,3 +163,28 @@ def test_cold_start_early_stop_trims_chunk():
     # absolute-position cap: prompt len already exceeds it -> stops at once
     _drive(s, [req])
     assert req.done_all
+
+
+def test_cold_start_long_prompt_falls_back_to_two_dispatch():
+    """Prompts landing in a non-smallest prefill bucket must not lazily
+    compile a cold_chain executable (mid-serving XLA stall); they take the
+    2-dispatch path (prefill, then the warmed fused decode+detok chain) and
+    still stream audio."""
+    w = ModelWorker(_greedy_model(max_tokens=24), WorkerConfig(
+        max_batch_size=4, num_pages=128, page_size=8,
+        prefill_token_buckets=(16, 128), max_prefill_requests=4,
+        warmup=False, first_chunk_frames=2,
+        fused_decode_steps=2, fused_decode_buckets=(2,)))
+    s = OnlineScheduler(model_worker=w, max_batch_size=4, connect=False)
+    req = Request(request_id="lp",
+                  prompt="a deliberately long prompt " * 4,
+                  is_streaming=True, is_pressing=True)
+    msgs = _drive(s, [req])
+    assert req.done_all
+    assert req.input_length > 16, "prompt must exceed the smallest bucket"
+    audio = b"".join(m.split(b"|", 2)[2] for m in msgs
+                     if m.startswith(b"lp") and m.split(b"|")[1] == b"AUDIO")
+    assert len(audio) > 0
+    # no cold_chain compiled for the big bucket
+    assert not any(k[0] == "cold_chain" and k[1][0] > 16
+                   for k in w._lm_fns), "big-bucket chain must not compile"

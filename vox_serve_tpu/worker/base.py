@@ -1275,6 +1275,16 @@ class ModelWorker:
         if not self.can_decode_multi([req], K):
             self._dispatch_prefill(admitted, parr)
             return
+        if parr["T"] != min(self.config.prefill_token_buckets):
+            # only the smallest prompt bucket's chain is compiled at warmup
+            # (a 1024-token chain would add minutes of startup compile for a
+            # rare case, and lazy compile would stall serving). Longer
+            # prompts take the 2-dispatch path: prefill, then the warmed
+            # fused decode+detok chain.
+            self._dispatch_prefill(admitted, parr)
+            if self.can_decode_multi([req], K):
+                self.run_lm_decode_multi([req], K, first_chunk=True)
+            return
         # prefill bookkeeping BEFORE fused planning: positions/gen_idx of
         # the k decode steps account for the in-flight prefill token
         req.done_lm_prefill = True
@@ -1822,9 +1832,10 @@ class ModelWorker:
                     "(%.2f ms/call)", B, KC, ms)
 
             # single-dispatch cold chain (prefill + fused decode + detok in
-            # ONE executable), per prefill token bucket
+            # ONE executable) — smallest prompt bucket only; longer prompts
+            # take the 2-dispatch path (see run_cold_start)
             Bd = cfg.fused_decode_buckets[0]
-            for T in sorted(cfg.prefill_token_buckets):
+            for T in sorted(cfg.prefill_token_buckets)[:1]:
                 Bp = cfg.max_prefill_requests
                 meta_p = AttnMetadata(
                     True, jnp.zeros((T,), jnp.int32),
