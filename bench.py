@@ -110,10 +110,12 @@ def main():
         # churn: capacity-stream completions arrive ~BATCH*k/CAP_TOKENS
         # per step; admissions must keep up or the batch drains. The dev
         # tokenizer yields ~50-token prompts, so a 128-token bucket packs
-        # only 2 admissions per prefill dispatch; a 256 bucket packs 4+
-        # (halves the per-admission dispatch overhead inside the window)
-        prefill_token_buckets=(
-            int(os.environ.get("VOX_BENCH_PREFILL_BUCKET", "256")),),
+        # only 2 admissions per prefill dispatch; the 256 bucket packs 4+
+        # (halves per-admission dispatch overhead inside the window). 128
+        # stays as the small bucket so a single cold stream's chain prefill
+        # isn't padded to 256 (TTFA).
+        prefill_token_buckets=tuple(int(x) for x in os.environ.get(
+            "VOX_BENCH_PREFILL_BUCKETS", "128,256").split(",")),
         max_prefill_requests=int(
             os.environ.get("VOX_BENCH_PREFILL_REQS", "5")),
         # warmup compiles the full (small) lattice up front — first-use
