@@ -97,3 +97,18 @@ def test_input_streaming_end_to_end():
             break
     assert req.done_all
     assert req.eos_injected
+
+
+def test_non_streaming_completes_under_online_scheduler(worker):
+    """Regression: the online scheduler's detok selection starved
+    non-pressing (non-streaming) requests when no pressing stream existed —
+    the request generated tokens but never detokenized or completed."""
+    from vox_serve_tpu.scheduler.online import OnlineScheduler
+
+    s = OnlineScheduler(model_worker=worker, max_batch_size=4, connect=False)
+    req = Request(request_id="bg1", prompt="plain generate request")
+    msgs = drive(s, [req])
+    assert req.done_all
+    audio = b"".join(m.split(b"|", 2)[2] for m in msgs
+                     if m.split(b"|")[1] == b"AUDIO" and m.startswith(b"bg1"))
+    assert len(audio) > 0

@@ -188,3 +188,30 @@ def test_cold_start_long_prompt_falls_back_to_two_dispatch():
     # no cold_chain compiled for the big bucket
     assert not any(k[0] == "cold_chain" and k[1][0] > 16
                    for k in w._lm_fns), "big-bucket chain must not compile"
+
+
+def test_cold_start_sampled_tokens_match_across_paths():
+    """With STOCHASTIC sampling and a fixed worker seed, the unfused,
+    fused-2-dispatch, and single-dispatch-chain cold paths must produce the
+    SAME token sequence: all three advance the RNG fold counter identically
+    (prefill c+1, then one fold per decode step). Catches counter
+    misalignment the greedy equality test cannot see."""
+    toks = {}
+    for fused in (0, 2):
+        m = DummyLM(max_tokens=20)
+        m.sampling_config = SamplingConfig(temperature=0.9, top_k=8,
+                                           max_tokens=20)
+        w = ModelWorker(m, WorkerConfig(
+            max_batch_size=4, num_pages=64, page_size=8,
+            prefill_token_buckets=(64,), max_prefill_requests=4,
+            warmup=False, first_chunk_frames=2 if fused else 0,
+            fused_decode_steps=fused, fused_decode_buckets=(2,)))
+        s = OnlineScheduler(model_worker=w, max_batch_size=4, connect=False)
+        req = Request(request_id="rng", prompt="stochastic cold start",
+                      is_streaming=True, is_pressing=True)
+        _drive(s, [req])
+        assert req.done_all
+        toks[fused] = [int(t[0]) for t in req.lm_output_tokens]
+        if fused:
+            assert any(k[0] == "cold_chain" for k in w._lm_fns)
+    assert toks[0] == toks[2], (toks[0], toks[2])

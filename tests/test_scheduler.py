@@ -170,12 +170,17 @@ def test_online_detok_proportional_allocation():
     assert len(b.next_audio_decode_idx) >= 1
 
 
-def test_online_no_pressing_no_detok():
+def test_online_background_detok_when_no_pressing():
+    """Non-pressing (non-streaming) requests get the whole detok budget when
+    no pressing stream needs it — an early return here used to starve them
+    forever on a stream-free server (request never reached done_all)."""
     s = _sched(OnlineScheduler)
     a = Request(request_id="a", done_lm_prefill=True)  # not streaming
     a.lm_output_audio_tokens = [np.array([1], np.int32)] * 8
     s.active_requests = [a]
-    assert s._select_detokenize_requests() == []
+    sel = s._select_detokenize_requests()
+    assert sel == [a]
+    assert len(a.next_audio_decode_idx) >= 1
 
 
 def test_offline_defers_detok_until_lm_done():

@@ -173,10 +173,9 @@ class OnlineScheduler(Scheduler):
 
         critical = [r for r in candidates if r.is_pressing]
         background = [r for r in candidates if not r.is_pressing]
-        done_all = [r for r in candidates if r.done_all]
-
-        if not critical:
-            return mini_sel + done_all
+        # NOTE: no early return when critical is empty — background requests
+        # (non-streaming /generate traffic) then get the whole budget below;
+        # an early return here starved them forever on a stream-free server.
 
         # remaining-chunk counts per critical request
         def remaining_chunks(req: Request) -> int:
