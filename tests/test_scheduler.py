@@ -206,3 +206,26 @@ def test_request_payload_parsing():
     assert req.is_streaming and req.is_pressing
     assert req.model_kwargs == {"speaker": "vivian"}
     assert s._handle_request_payload(b"garbage-no-delimiter") is None
+
+
+def test_duplicate_request_id_does_not_crash_selection():
+    """Two distinct live Requests sharing a request_id (client retry) used
+    to crash detok selection: dataclass field equality reached numpy-array
+    fields in `req in selected` (ValueError). Request is eq=False now."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    w = ModelWorker(DummyLM(max_tokens=12), WorkerConfig(
+        max_batch_size=4, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4, warmup=False))
+    s = OnlineScheduler(model_worker=w, max_batch_size=4, connect=False)
+    r1 = Request(request_id="dup", prompt="same prompt")
+    r2 = Request(request_id="dup", prompt="same prompt")
+    s.enqueue_request(r1)
+    s.enqueue_request(r2)
+    for _ in range(200):
+        s._step()
+        if r1.done_all and r2.done_all:
+            break
+    assert r1.done_all and r2.done_all
+    assert r1 != r2  # identity semantics

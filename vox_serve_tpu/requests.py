@@ -19,8 +19,13 @@ import numpy as np
 from .sampling import SamplingConfig
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class Request:
+    # eq=False: identity semantics. Field equality would make `req in list`
+    # compare numpy-array fields (ValueError) whenever two distinct requests
+    # share a request_id (client retry while the original is active) — and a
+    # scheduler-side membership check must never treat two live requests as
+    # interchangeable anyway.
     request_id: str
     prompt: Optional[str] = None
     audio_path: Optional[str] = None

@@ -184,9 +184,12 @@ class OnlineScheduler(Scheduler):
             next_idx = (req.next_audio_decode_idx[-1] + step
                         if req.next_audio_decode_idx else 0)
             remaining = len(req.lm_output_audio_tokens) - next_idx
-            count = max(0, remaining // step)
-            if req.done_lm_generation and remaining > 0:
-                count += 1
+            # a non-final window consumes `interval` tokens and advances by
+            # `step`; `remaining // step` overcounted when overlap > 0,
+            # leaking pressing quota to background under saturation
+            count = max(0, (remaining - interval) // step + 1)
+            if req.done_lm_generation and remaining - count * step > 0:
+                count += 1  # final partial window
             return count
 
         counts = [remaining_chunks(r) for r in critical]
@@ -227,8 +230,6 @@ class OnlineScheduler(Scheduler):
                 idxs.append(next_idx)
                 budget -= 1
             if not idxs:
-                if req.done_all:
-                    selected.append(req)
                 return 0
             req.next_audio_decode_idx = idxs
             selected.append(req)
@@ -252,9 +253,11 @@ class OnlineScheduler(Scheduler):
             for req in background:
                 if left <= 0:
                     break
-                left -= take_chunks(req, left)
+                n = take_chunks(req, left)
+                left -= n
+                used += n
         for req in background:
-            if req.done_all and req not in selected:
+            if req.done_all and not any(r is req for r in selected):
                 selected.append(req)
 
         if stats is not None:
