@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import threading
 import time
 from typing import Any, Optional
 
@@ -35,7 +36,7 @@ from ..ops.kv_cache import (KVCacheConfig, PageAllocator, PageAllocatorError,
                             alloc_kv_pages)
 from ..requests import Request
 from ..sampling import init_repetition_cache
-from ..utils import cdiv, get_logger, next_power_of_2
+from ..utils import cdiv, get_logger
 
 
 def _pcm16(audio):
@@ -162,6 +163,17 @@ class WorkerConfig:
         return self.decode_buckets
 
 
+
+def _locked(fn):
+    """Serialize a ModelWorker entry point on the dispatch lock (see
+    ModelWorker._dispatch_lock)."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._dispatch_lock:
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class ModelWorker:
     def __init__(self, model: BaseLM, config: WorkerConfig | None = None,
                  rank: int | None = None):
@@ -169,6 +181,13 @@ class ModelWorker:
         self.config = config or WorkerConfig()
         self.logger = get_logger("worker")
         self.phase_stats = {}
+        #: serializes host-side dispatch bookkeeping (pending lists, slot
+        #: free-list, allocator, donated-buffer reassignment). The
+        #: disaggregation scheduler drives LM and detokenize from two
+        #: executor threads; device work still overlaps — only the brief
+        #: host planning/dispatch sections serialize. RLock: entry points
+        #: nest (fail_request -> free_kv_cache, cold start -> prefill).
+        self._dispatch_lock = threading.RLock()
         #: in-flight detokenize batches (audio, mapping, finish_check),
         #: oldest first; see _detok_depth
         self._pending_detok = []
@@ -396,6 +415,13 @@ class ModelWorker:
 
     @property
     def first_chunk_frames(self) -> int:
+        if self.model.detokenize_overlap > 0:
+            # overlapped-window codecs (cosyvoice2/step flows) cannot ramp:
+            # a mini chunk followed by a regular-window handoff skips the
+            # frames between first_chunk_frames and the first full window's
+            # emission range (review r3: ~0.9 s audible gap at interval=28,
+            # overlap=3). First chunk waits for a full window instead.
+            return 0
         f = self.config.first_chunk_frames
         return f if 0 < f < self.model.detokenize_interval else 0
 
@@ -445,6 +471,7 @@ class ModelWorker:
         assert req.slot is None
         req.slot = self._free_slots.pop()
 
+    @_locked
     def fail_request(self, req: Request, reason: str) -> None:
         """Fail one request without touching the rest of the batch: mark it
         complete with an error reason and release its resources. The
@@ -455,6 +482,7 @@ class ModelWorker:
         req.finish_reason = f"error: {reason}"
         self.free_kv_cache(req)
 
+    @_locked
     def free_kv_cache(self, req: Request) -> None:
         if req.extras.get("inflight"):
             self.sync()
@@ -472,6 +500,10 @@ class ModelWorker:
     # jitted step builders
     # ------------------------------------------------------------------
     def _get_lm_fn(self, phase: str, bucket: tuple):
+        if phase == "decode":
+            # the decode wrapper is bucket-independent (jit retraces per
+            # input shape internally); one cached wrapper serves all buckets
+            bucket = ()
         key = (phase, bucket)
         fn = self._lm_fns.get(key)
         if fn is None:
@@ -782,6 +814,7 @@ class ModelWorker:
             f"{max(self.config.prefill_token_buckets)}"
         )
 
+    @_locked
     def run_lm_prefill(self, requests: list[Request]) -> None:
         # NOTE: no sync() here. In-flight decode steps are ordered against
         # this prefill by the data dependencies on the donated state arrays
@@ -899,9 +932,9 @@ class ModelWorker:
             tokens[cursor:cursor + L] = req.input_tokens
             seg[cursor:cursor + L] = i
             pos[cursor:cursor + L] = np.arange(L)
-            for t in range(L):
-                page_ids[cursor + t] = pages[t // page_size]
-                offsets[cursor + t] = t % page_size
+            idx = np.arange(L)
+            page_ids[cursor:cursor + L] = np.asarray(pages)[idx // page_size]
+            offsets[cursor:cursor + L] = idx % page_size
             if feat is not None and req.input_features is not None:
                 feat[cursor:cursor + L] = req.input_features
             if msk is not None and req.input_masks is not None:
@@ -928,18 +961,20 @@ class ModelWorker:
         fn = self._get_lm_fn("prefill", (T, B))
         self._step_counter += 1
         ctx = self._trace(f"lm_prefill_t{T}_b{len(requests)}")
-        ctx.__enter__()
-        (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-         self.last_tokens) = fn(
-            model.params, jnp.asarray(tokens), jnp.asarray(pos),
-            None if feat is None else jnp.asarray(feat),
-            None if msk is None else jnp.asarray(msk),
-            meta, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-            self.last_tokens, jnp.asarray(slot_ids), self._base_key,
-            jnp.int32(self._step_counter), jnp.asarray(last_idx),
-            jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32),
-        )
-        ctx.__exit__(None, None, None)
+        try:
+            ctx.__enter__()
+            (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+             self.last_tokens) = fn(
+                model.params, jnp.asarray(tokens), jnp.asarray(pos),
+                None if feat is None else jnp.asarray(feat),
+                None if msk is None else jnp.asarray(msk),
+                meta, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+                self.last_tokens, jnp.asarray(slot_ids), self._base_key,
+                jnp.int32(self._step_counter), jnp.asarray(last_idx),
+                jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32),
+            )
+        finally:
+            ctx.__exit__(None, None, None)
         # defer the sampled-token readback through the same pipeline as
         # decode steps (the first decode consumes the sampled token from the
         # device-resident feedback buffer, so the host copy is bookkeeping)
@@ -966,6 +1001,7 @@ class ModelWorker:
                 return b
         return self.config.detok_buckets[-1]  # callers chunk to the ceiling
 
+    @_locked
     def run_lm_decode(self, requests: list[Request]) -> None:
         if not requests:
             return
@@ -1011,14 +1047,16 @@ class ModelWorker:
         fn = self._get_lm_fn("decode", (B,))
         self._step_counter += 1
         ctx = self._trace(f"lm_decode_b{B}")
-        ctx.__enter__()
-        (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-         self.last_tokens) = fn(
-            model.params, jnp.asarray(packed), self.k_pages, self.v_pages,
-            self.rep_cache, self.feedback, self.last_tokens,
-            self._base_key, jnp.int32(self._step_counter),
-        )
-        ctx.__exit__(None, None, None)
+        try:
+            ctx.__enter__()
+            (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+             self.last_tokens) = fn(
+                model.params, jnp.asarray(packed), self.k_pages, self.v_pages,
+                self.rep_cache, self.feedback, self.last_tokens,
+                self._base_key, jnp.int32(self._step_counter),
+            )
+        finally:
+            ctx.__exit__(None, None, None)
         self._host_prefetch(sampled)
         self._stat("decode.dispatch", t0)
         t0 = time.perf_counter()
@@ -1044,7 +1082,13 @@ class ModelWorker:
         # grow KV by one token
         t = req.kv_token_len
         if t >= self.max_pages_per_seq * page_size:
-            # hard stop: sequence would overflow its block table
+            # hard stop: sequence would overflow its block table. Resolve
+            # in-flight pipelined steps FIRST — setting done_lm_generation
+            # while earlier (legitimate) steps are unresolved would make
+            # _resolve_one discard their tokens (pipeline_depth frames of
+            # audio silently lost from the stream's tail).
+            while self._pending:
+                self._resolve_one()
             req.done_lm_generation = True
             req.finish_reason = "length"
             self.logger.warning(
@@ -1082,11 +1126,24 @@ class ModelWorker:
             # deferred row must not consume a buffered text token (or the
             # one-shot EOS) for a step that never executes. The fused path
             # (run_lm_decode_multi) allocates first for the same reason.
-            tok = np.zeros((C,), np.int32)
-            self._inject_streaming_text_token(req, tok)
-            ch = model.text_channel_index % C
-            overrides[i, ch] = tok[model.text_channel_index]
-            override_mask[i, ch] = True
+            try:
+                tok = np.zeros((C,), np.int32)
+                self._inject_streaming_text_token(req, tok)
+                ch = model.text_channel_index % C
+                overrides[i, ch] = tok[model.text_channel_index]
+                override_mask[i, ch] = True
+            except Exception:
+                # the row is already live: reset it to the padded-slot
+                # convention (scratch page, sentinel slot) BEFORE the
+                # caller's fail_request frees this request's KV pages —
+                # otherwise the dispatched step would write into pages a
+                # co-batched request may have re-allocated
+                slot_ids[i] = self.config.max_batch_size
+                page_ids[i] = 0
+                offsets[i] = 0
+                override_mask[i, :] = False
+                req.extras["inflight"] = inflight
+                raise
 
     # ------------------------------------------------------------------
     # fused multi-step decode (one dispatch for k steps — the cold-stream
@@ -1108,6 +1165,7 @@ class ModelWorker:
         limit = self.max_pages_per_seq * self.config.page_size
         return all(r.kv_token_len + n_steps <= limit for r in requests)
 
+    @_locked
     def run_lm_decode_multi(self, requests: list[Request], n_steps: int,
                             first_chunk: bool = False) -> None:
         """Run n_steps decode steps for the batch in ONE dispatch (scan).
@@ -1220,22 +1278,26 @@ class ModelWorker:
         if first_chunk:
             fn = self._get_lm_fn("decode_multi_detok", (B, K))
             ctx = self._trace(f"lm_cold_start_b{B}_k{K}")
-            ctx.__enter__()
-            (sampled, self.k_pages, self.v_pages, self.rep_cache,
-             self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
-                *args, model.codec_params, self.codec_cache)
-            ctx.__exit__(None, None, None)
+            try:
+                ctx.__enter__()
+                (sampled, self.k_pages, self.v_pages, self.rep_cache,
+                 self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
+                    *args, model.codec_params, self.codec_cache)
+            finally:
+                ctx.__exit__(None, None, None)
             self._host_prefetch(sampled, audio)
             self._pending.append((sampled, list(requests), hard_stopped, K,
                                   audio))
         else:
             fn = self._get_lm_fn("decode_multi", (B, K))
             ctx = self._trace(f"lm_decode_multi_b{B}_k{K}")
-            ctx.__enter__()
-            t0 = time.perf_counter()
-            (sampled, self.k_pages, self.v_pages, self.rep_cache,
-             self.feedback, self.last_tokens) = fn(*args)
-            ctx.__exit__(None, None, None)
+            try:
+                ctx.__enter__()
+                t0 = time.perf_counter()
+                (sampled, self.k_pages, self.v_pages, self.rep_cache,
+                 self.feedback, self.last_tokens) = fn(*args)
+            finally:
+                ctx.__exit__(None, None, None)
             self._host_prefetch(sampled)
             self._stat("decode_multi.dispatch", t0)
             self._pending.append((sampled, list(requests), hard_stopped, K))
@@ -1257,6 +1319,7 @@ class ModelWorker:
                 and self._fused_bucket(1) is not None
                 and not req.is_input_streaming)
 
+    @_locked
     def run_cold_start(self, req: Request) -> None:
         """Dispatch prefill + fused k-step decode + first-chunk detok as ONE
         executable (``cold_chain``): the feedback token and audio frames
@@ -1301,23 +1364,25 @@ class ModelWorker:
         self._step_counter += 1 + K  # prefill + one RNG fold per step
         fn = self._get_lm_fn("cold_chain", (parr["T"], K))
         ctx = self._trace(f"lm_cold_chain_t{parr['T']}_k{K}")
-        ctx.__enter__()
-        (sampled_all, self.k_pages, self.v_pages, self.rep_cache,
-         self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
-            model.params, jnp.asarray(parr["tokens"]),
-            jnp.asarray(parr["pos"]),
-            None if parr["feat"] is None else jnp.asarray(parr["feat"]),
-            None if parr["msk"] is None else jnp.asarray(parr["msk"]),
-            parr["meta"], self.k_pages, self.v_pages, self.rep_cache,
-            self.feedback, self.last_tokens, jnp.asarray(parr["slot_ids"]),
-            self._base_key, jnp.int32(counter),
-            jnp.asarray(parr["last_idx"]),
-            jnp.asarray(darr["overrides"]), jnp.asarray(darr["positions"]),
-            darr["meta0"], jnp.asarray(darr["page_ids"]),
-            jnp.asarray(darr["offsets"]), jnp.asarray(darr["slot_ids"]),
-            jnp.asarray(darr["override_mask"]), jnp.asarray(darr["gen_idx0"]),
-            model.codec_params, self.codec_cache)
-        ctx.__exit__(None, None, None)
+        try:
+            ctx.__enter__()
+            (sampled_all, self.k_pages, self.v_pages, self.rep_cache,
+             self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
+                model.params, jnp.asarray(parr["tokens"]),
+                jnp.asarray(parr["pos"]),
+                None if parr["feat"] is None else jnp.asarray(parr["feat"]),
+                None if parr["msk"] is None else jnp.asarray(parr["msk"]),
+                parr["meta"], self.k_pages, self.v_pages, self.rep_cache,
+                self.feedback, self.last_tokens, jnp.asarray(parr["slot_ids"]),
+                self._base_key, jnp.int32(counter),
+                jnp.asarray(parr["last_idx"]),
+                jnp.asarray(darr["overrides"]), jnp.asarray(darr["positions"]),
+                darr["meta0"], jnp.asarray(darr["page_ids"]),
+                jnp.asarray(darr["offsets"]), jnp.asarray(darr["slot_ids"]),
+                jnp.asarray(darr["override_mask"]), jnp.asarray(darr["gen_idx0"]),
+                model.codec_params, self.codec_cache)
+        finally:
+            ctx.__exit__(None, None, None)
         self._host_prefetch(sampled_all, audio)
         # one pending entry: K+1 sampled steps (prefill + k scan), audio
         # window = K frames (prefill sample + first K-1 scan outputs)
@@ -1372,6 +1437,7 @@ class ModelWorker:
         req.extras["ramp_next"] = window
         req.extras["ramp_size"] = min(window, interval)
 
+    @_locked
     def sync(self) -> None:
         """Resolve all in-flight decode steps (host state catches up)."""
         while self._pending:
@@ -1398,6 +1464,7 @@ class ModelWorker:
     # ------------------------------------------------------------------
     # detokenize
     # ------------------------------------------------------------------
+    @_locked
     def run_detokenize(self, requests: list[Request]) -> list[Request]:
         """Decode `audio_decode_idx` chunk windows into PCM on-device, then
         trim/emit per the reference rules (worker/base.py:616-681).
@@ -1533,15 +1600,17 @@ class ModelWorker:
         key = B if length == model.detokenize_interval else (B, length)
         fn = self._get_detok_fn(key)
         ctx = self._trace(f"detokenize_b{B}_l{length}")
-        ctx.__enter__()
-        t0 = time.perf_counter()
-        tok_dev = jax.device_put(token_ids, self.detokenizer_device)
-        slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
-        self._stat("detok.upload", t0)
-        t0 = time.perf_counter()
-        audio, self.codec_cache = fn(
-            model.codec_params, tok_dev, self.codec_cache, slot_dev)
-        ctx.__exit__(None, None, None)
+        try:
+            ctx.__enter__()
+            t0 = time.perf_counter()
+            tok_dev = jax.device_put(token_ids, self.detokenizer_device)
+            slot_dev = jax.device_put(slot_ids, self.detokenizer_device)
+            self._stat("detok.upload", t0)
+            t0 = time.perf_counter()
+            audio, self.codec_cache = fn(
+                model.codec_params, tok_dev, self.codec_cache, slot_dev)
+        finally:
+            ctx.__exit__(None, None, None)
         self._host_prefetch(audio)
         self._stat("detok.dispatch", t0)
         self._pending_detok.append((audio, mapping, finish_check))
@@ -1600,11 +1669,8 @@ class ModelWorker:
             # while production rate p <= playback rate q. Sizes: F, F, 2F...
             req.extras["ramp_size"] = min(
                 req.extras["ramp_next"], model.detokenize_interval)
-            if model.detokenize_overlap > 0:
-                # overlapped-window codecs need the crossfade context of a
-                # full window; ramp only the very first chunk
-                req.extras["ramp_next"] = max(
-                    req.extras["ramp_next"], self.ramp_frames)
+            # (overlap-window codecs never reach here: first_chunk_frames
+            # property returns 0 for detokenize_overlap > 0)
             if req.extras["ramp_next"] >= self.ramp_frames:
                 # ramp complete: regular windows continue from here
                 req.audio_decode_idx = [req.extras["ramp_next"] - step]
@@ -1645,6 +1711,7 @@ class ModelWorker:
                 touched.append(r)
         return touched
 
+    @_locked
     def flush_detokenize(self) -> list[Request]:
         """Resolve ALL in-flight detokenize batches."""
         out: list[Request] = []
