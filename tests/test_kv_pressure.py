@@ -179,3 +179,23 @@ def test_deferred_row_does_not_consume_streamed_text():
     assert 0 in hard_stopped
     assert not req.eos_injected  # EOS still pending for a real step
     worker.allocator.free(hold)
+
+
+def test_allocator_free_validation():
+    """free() validates everything before mutating: double-free, scratch
+    page, out-of-range, and duplicate pages all raise without leaking."""
+    a = PageAllocator(9)  # pages 1..8 free
+    pages = a.alloc(3)
+    a.free(pages)
+    with pytest.raises(PageAllocatorError):
+        a.free([pages[0]])  # double free
+    with pytest.raises(PageAllocatorError):
+        a.free([0])  # scratch
+    with pytest.raises(PageAllocatorError):
+        a.free([99])  # out of range
+    p = a.alloc(2)
+    with pytest.raises(PageAllocatorError):
+        a.free([p[0], p[0]])  # duplicate in one call
+    assert p[0] not in a._free  # nothing mutated by the failed frees
+    a.free(p)
+    assert a.num_free == 8

@@ -49,7 +49,7 @@ def combined_kv_supported(head_dim: int, num_kv_heads: int,
     and the combined 2*KH head axis XLA-fully-tileable at the KV dtype."""
     if head_dim != 128:
         return False
-    packing = {2: 2, 4: 1}.get(jnp.dtype(dtype).itemsize, 1)
+    packing = {1: 4, 2: 2, 4: 1}.get(jnp.dtype(dtype).itemsize, 1)
     x = 2 * num_kv_heads
     if x % packing:
         return False
@@ -76,20 +76,22 @@ def alloc_kv_pages(cfg: KVCacheConfig, sharding=None):
       returned value is None (callers thread (pool, None) where the legacy
       pair went).
     """
+    def _zeros(shape):
+        if sharding is None:
+            return jnp.zeros(shape, dtype=cfg.dtype)
+        # allocate each shard in place: an eager jnp.zeros would stage the
+        # WHOLE mesh-aggregate pool on one device before resharding, OOMing
+        # a TP deployment whose pool only fits the combined HBM
+        return jax.jit(lambda: jnp.zeros(shape, dtype=cfg.dtype),
+                       out_shardings=sharding)()
+
     if cfg.combined:
         shape = (cfg.num_layers, cfg.num_pages, cfg.page_size,
                  2 * cfg.num_kv_heads, cfg.head_dim)
-        pool = jnp.zeros(shape, dtype=cfg.dtype)
-        if sharding is not None:
-            pool = jax.device_put(pool, sharding)
-        return pool, None
-    shape = (cfg.num_layers, cfg.num_kv_heads, cfg.num_pages, cfg.page_size, cfg.head_dim)
-    k = jnp.zeros(shape, dtype=cfg.dtype)
-    v = jnp.zeros(shape, dtype=cfg.dtype)
-    if sharding is not None:
-        k = jax.device_put(k, sharding)
-        v = jax.device_put(v, sharding)
-    return k, v
+        return _zeros(shape), None
+    shape = (cfg.num_layers, cfg.num_kv_heads, cfg.num_pages, cfg.page_size,
+             cfg.head_dim)
+    return _zeros(shape), _zeros(shape)
 
 
 class PageAllocatorError(RuntimeError):
@@ -112,6 +114,7 @@ class PageAllocator:
             raise ValueError("need at least 2 pages (one reserved)")
         self.num_pages = num_pages
         self._free = list(range(num_pages - 1, 0, -1))  # pop() yields 1,2,...
+        self._free_set = set(self._free)  # O(1) double-free detection
         # pages promised to admitted requests for their generation budget but
         # not yet materialized; admission control counts them as spoken-for so
         # decode-phase page growth can never hit exhaustion mid-stream
@@ -135,13 +138,25 @@ class PageAllocator:
                 f", free {len(self._free)} (reserved {self._reserved})"
             )
         self._reserved -= reserved
-        return [self._free.pop() for _ in range(n)]
+        out = [self._free.pop() for _ in range(n)]
+        self._free_set.difference_update(out)
+        return out
 
     def free(self, pages: list[int]) -> None:
+        # validate EVERYTHING before mutating: a partial free on error would
+        # leak the tail of the list; a double-free would hand the same page
+        # to two live requests (silent KV corruption)
         for p in pages:
             if p == self.SCRATCH_PAGE:
                 raise PageAllocatorError("cannot free the scratch page")
-            self._free.append(p)
+            if not 0 < p < self.num_pages:
+                raise PageAllocatorError(f"page {p} out of range")
+            if p in self._free_set:
+                raise PageAllocatorError(f"double free of page {p}")
+        if len(set(pages)) != len(pages):
+            raise PageAllocatorError("duplicate pages in one free() call")
+        self._free.extend(pages)
+        self._free_set.update(pages)
 
     def can_alloc(self, n: int) -> bool:
         return n <= self.num_unreserved

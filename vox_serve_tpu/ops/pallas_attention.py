@@ -28,6 +28,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+#: tokens moved per decode-kernel DMA chunk; the worker sizes block tables
+#: so chunks stay full-width (worker/base.py uses this constant)
+CHUNK_TOKENS = 128
+
+
+def decode_fold(head_dim: int) -> int:
+    """Lane-fold factor of the legacy (pair-layout) decode kernel for
+    sub-128 head dims; the kernel requires 128 % head_dim == 0 and
+    page_size % fold == 0 (single source of the rule the worker checks)."""
+    return max(1, 128 // head_dim) if head_dim <= 128 else 1
+
+
 def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # (B, maxP) int32 in SMEM
@@ -63,12 +75,13 @@ def _decode_kernel(
     seq_len = seq_lens_ref[b]
     chunk_tokens = chunk_pages * page_size
     num_chunks = pl.cdiv(seq_len, chunk_tokens)
-    max_chunks = max_pages // chunk_pages
 
     def start_chunk_dma(slot, c):
         for i in range(chunk_pages):
             page_idx = c * chunk_pages + i
-            # pages beyond the table clamp to entry 0 (scratch page)
+            # pages beyond the table clamp to the LAST table entry (a
+            # real page for a live request; safe only because tail-chunk
+            # scores are seq_len-masked)
             pid = block_tables_ref[b, jnp.minimum(page_idx, max_pages - 1)]
             pltpu.make_async_copy(
                 k_hbm.at[lyr, h, pid], k_scratch.at[slot, i],

@@ -200,7 +200,9 @@ class ModelWorker:
         combined = combined_kv_supported(head_dim, bb.num_kv_heads, bb.dtype)
         if os.environ.get("VOX_KV_COMBINED", "") in ("0", "false"):
             combined = False  # escape hatch / legacy-layout A-B testing
-        fold = max(1, 128 // head_dim) if head_dim <= 128 else 1
+        from ..ops.pallas_attention import CHUNK_TOKENS, decode_fold
+
+        fold = decode_fold(head_dim)
         if use_pallas and not combined and (128 % head_dim != 0
                                             or cfg.page_size % fold != 0):
             # the legacy kernel folds sub-128 head dims into the lane axis
@@ -211,6 +213,17 @@ class ModelWorker:
                 "pallas attention disabled: head_dim %d / page_size %d not "
                 "fold-compatible", head_dim, cfg.page_size)
             use_pallas = False
+        if use_pallas:
+            # the ragged prefill kernel (used for buckets >= 512) tiles in
+            # 128-wide query / 256-wide kv blocks; catch an incompatible
+            # bucket at config time instead of a ValueError mid-warmup
+            bad = [t for t in cfg.prefill_token_buckets
+                   if t >= 512 and t % 256]
+            if bad:
+                raise ValueError(
+                    f"prefill_token_buckets {bad} incompatible with the "
+                    "Pallas ragged prefill kernel: buckets >= 512 must be "
+                    "multiples of 256 (or pass --disable-pallas)")
         model.use_pallas_attention = use_pallas
 
         self.kv_config = KVCacheConfig(
@@ -263,7 +276,7 @@ class ModelWorker:
             max(cfg.prefill_token_buckets) + model.max_tokens + 8,
             cfg.page_size,
         ) + 1
-        chunk_pages = max(1, 128 // cfg.page_size)
+        chunk_pages = max(1, CHUNK_TOKENS // cfg.page_size)
         self.max_pages_per_seq = cdiv(width, chunk_pages) * chunk_pages
 
         # slots
