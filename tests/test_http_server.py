@@ -135,3 +135,16 @@ def test_stream_text_unknown_request_404(server):
 def test_generate_missing_text_422(server):
     r = httpx.post(server + "/generate", data={}, timeout=30)
     assert r.status_code == 422
+
+
+def test_prompt_with_pipe_character(server):
+    """The ZMQ frame is <json>|<body>; a '|' inside the prompt used to
+    truncate the JSON at the wrong separator and silently drop the request
+    (client hung to timeout). The parser now consumes the exact JSON prefix."""
+    with httpx.stream("POST", server + "/generate",
+                      data={"text": "left | middle | right"},
+                      timeout=60) as r:
+        assert r.status_code == 200
+        body = b"".join(r.iter_bytes())
+    assert body[:4] == b"RIFF"
+    assert len(body) > 44

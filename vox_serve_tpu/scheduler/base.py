@@ -288,12 +288,19 @@ class Scheduler:
         self.active_requests.append(req)
 
     def _handle_request_payload(self, payload: bytes) -> Optional[Request]:
-        sep = payload.find(b"|")
-        if sep == -1:
+        if b"|" not in payload:
             self.logger.warning("malformed request message: %r", payload[:50])
             return None
         try:
-            d = json.loads(payload[:sep].decode("utf-8"))
+            # the frame is <json>|<body>, but the prompt (inside the JSON)
+            # may itself contain '|' — splitting at the FIRST pipe truncated
+            # the JSON and silently dropped the request. raw_decode consumes
+            # exactly the JSON prefix; latin-1 is a byte<->char bijection and
+            # the sender's json.dumps is ensure_ascii, so indices line up.
+            text = payload.decode("latin-1")
+            d, end = json.JSONDecoder().raw_decode(text)
+            if end >= len(payload) or payload[end:end + 1] != b"|":
+                raise ValueError("missing frame separator after JSON")
         except Exception:
             self.logger.warning("bad request JSON: %r", payload[:80])
             return None

@@ -34,7 +34,10 @@ class InputStreamingScheduler(OnlineScheduler):
     # -- message dispatch -------------------------------------------------
     def _handle_message(self, payload: bytes) -> None:
         parts = payload.split(b"|", 2)
-        if len(parts) == 3 and parts[1] in (
+        # a JSON /generate frame starts with '{'; without this guard a
+        # prompt containing "|TEXT_UPDATE|" would be misrouted as a
+        # text-stream control frame and silently dropped
+        if len(parts) == 3 and not parts[0].startswith(b"{") and parts[1] in (
             b"TEXT_STREAM_START", b"TEXT_UPDATE", b"TEXT_COMPLETE",
         ):
             rid = parts[0].decode()

@@ -67,6 +67,7 @@ class APIServer:
 
         self.pending_requests: dict[str, dict] = {}
         self.ready_ranks: set[int] = set()
+        self.dead_ranks: set[int] = set()
         self.assets_available = True  # any rank on dev assets flips this
         self.recently_completed: "collections.OrderedDict[str, float]" = (
             collections.OrderedDict())
@@ -93,7 +94,10 @@ class APIServer:
         self.result_socket.setsockopt(zmq.LINGER, 0)
         self.result_socket.bind(f"ipc:///tmp/vox_serve_result{socket_suffix}.ipc")
 
-        self.to_scheduler: "queue.Queue[bytes]" = queue.Queue(
+        #: (payload, rank) — rank affinity: every frame of a request goes
+        #: to the rank that owns it (round-robin only assigns the FIRST
+        #: frame; input-streaming TEXT_UPDATE/TEXT_COMPLETE must follow)
+        self.to_scheduler: "queue.Queue[tuple[bytes, int]]" = queue.Queue(
             maxsize=max(1, max_batch_size * 2 * dp_size))
         self.sender_thread = threading.Thread(target=self._sender_loop,
                                               daemon=True)
@@ -108,22 +112,27 @@ class APIServer:
 
     def _monitor_schedulers(self) -> None:
         """Fail fast when a scheduler daemon dies (the reference never detects
-        this, SURVEY §5.3): error out all pending requests instead of letting
-        clients hang until timeout."""
+        this, SURVEY §5.3): error out that rank's pending requests, remove
+        the rank from rotation, flip /health unhealthy, and KEEP monitoring
+        the remaining ranks."""
         while self.running:
             time.sleep(1.0)
             for i, p in enumerate(self.scheduler_processes):
+                if i in self.dead_ranks:
+                    continue
                 rc = p.poll()
                 if rc is not None:
                     self.logger.error(
-                        "scheduler rank %d died (exit code %s); failing "
+                        "scheduler rank %d died (exit code %s); failing its "
                         "pending requests", i, rc)
+                    self.dead_ranks.add(i)
+                    self.ready_ranks.discard(i)
                     with self.request_lock:
                         for rid, data in self.pending_requests.items():
-                            data["error"] = (
-                                f"scheduler process died (exit {rc})")
-                            data["event"].set()
-                    return
+                            if data.get("rank") == i:
+                                data["error"] = (
+                                    f"scheduler process died (exit {rc})")
+                                data["event"].set()
 
     # ------------------------------------------------------------------
     # scheduler subprocess management
@@ -164,7 +173,8 @@ class APIServer:
     def ready(self) -> bool:
         if not self.scheduler_processes:  # in-process/test mode
             return True
-        return len(self.ready_ranks) >= self.dp_size
+        return (not self.dead_ranks
+                and len(self.ready_ranks) >= self.dp_size)
 
     # ------------------------------------------------------------------
     # threads
@@ -173,11 +183,10 @@ class APIServer:
         backoff_initial, backoff_max = 0.001, 0.02
         while self.running:
             try:
-                payload = self.to_scheduler.get(timeout=0.1)
+                payload, rank = self.to_scheduler.get(timeout=0.1)
             except queue.Empty:
                 continue
-            sock = self.request_sockets[self.dp_request_counter % self.dp_size]
-            self.dp_request_counter += 1
+            sock = self.request_sockets[rank]
             backoff = backoff_initial
             while self.running:
                 try:
@@ -236,7 +245,13 @@ class APIServer:
                     if mtype == "AUDIO":
                         self.pending_requests[rid]["chunks"].append(data)
                     elif mtype == "COMPLETION":
-                        info = json.loads(data.decode())
+                        # a malformed payload must not kill this thread —
+                        # every future request would hang to timeout
+                        try:
+                            info = json.loads(data.decode())
+                        except Exception:
+                            info = {"status": "completed",
+                                    "note": "unparseable completion payload"}
                         self.logger.info("request %s completed: %s", rid, info)
                         self.pending_requests[rid]["event"].set()
                         self.recently_completed[rid] = now
@@ -249,40 +264,77 @@ class APIServer:
     # ------------------------------------------------------------------
     # request entry points
     # ------------------------------------------------------------------
-    def _enqueue_request(self, payload: bytes) -> None:
+    def _enqueue_request(self, payload: bytes, rank: int) -> None:
         try:
-            self.to_scheduler.put_nowait(payload)
+            self.to_scheduler.put_nowait((payload, rank))
         except queue.Full:
             raise APIError(429, "Server busy; please retry shortly") from None
+
+    def _pick_rank(self) -> int:
+        live = [r for r in range(self.dp_size) if r not in self.dead_ranks]
+        if not live:
+            raise APIError(503, "all scheduler ranks are dead")
+        rank = live[self.dp_request_counter % len(live)]
+        self.dp_request_counter += 1
+        return rank
+
+    def _register(self, rid: str, entry: dict, payload: bytes) -> None:
+        """Insert the pending entry and enqueue the first frame; on queue
+        saturation the entry is removed again (it leaked one dict entry per
+        429 before)."""
+        with self.request_lock:
+            self.pending_requests[rid] = entry
+        try:
+            self._enqueue_request(payload, entry["rank"])
+        except APIError:
+            self._finish_request(rid)
+            raise
+
+    def _finish_request(self, rid: str) -> None:
+        """Drop a pending entry and its uploaded reference audio (the upload
+        lives until the request is done — a fixed timer deleted it before a
+        loaded scheduler had read it)."""
+        with self.request_lock:
+            data = self.pending_requests.pop(rid, None)
+            self.recently_completed[rid] = time.time()
+        if data and data.get("upload_path"):
+            try:
+                p = Path(data["upload_path"])
+                if p.exists():
+                    p.unlink()
+            except OSError:
+                pass
 
     def start_streaming_request(self, text: str = None,
                                 audio_path: str = None,
                                 model_kwargs: dict = None) -> str:
         rid = str(uuid.uuid4())
-        with self.request_lock:
-            self.pending_requests[rid] = {
-                "chunks": [], "event": threading.Event(),
-                "streaming": True, "consumed_chunks": 0,
-            }
+        rank = self._pick_rank()
+        entry = {
+            "chunks": [], "event": threading.Event(),
+            "streaming": True, "consumed_chunks": 0,
+            "rank": rank, "upload_path": audio_path,
+        }
         msg = json.dumps({
             "request_id": rid, "prompt": text, "audio_path": audio_path,
             "is_streaming": True, "model_kwargs": model_kwargs or {},
         }).encode() + b"|audio_data_placeholder"
-        self._enqueue_request(msg)
+        self._register(rid, entry, msg)
         return rid
 
     def start_input_streaming_request(self, audio_path: str = None,
                                       model_kwargs: dict = None) -> str:
         rid = str(uuid.uuid4())
-        with self.request_lock:
-            self.pending_requests[rid] = {
-                "chunks": [], "event": threading.Event(),
-                "streaming": True, "input_streaming": True,
-                "consumed_chunks": 0,
-            }
+        rank = self._pick_rank()
+        entry = {
+            "chunks": [], "event": threading.Event(),
+            "streaming": True, "input_streaming": True,
+            "consumed_chunks": 0, "rank": rank, "upload_path": audio_path,
+        }
         cfg = {"audio_path": audio_path, "model_kwargs": model_kwargs or {}}
-        self._enqueue_request(
-            rid.encode() + b"|TEXT_STREAM_START|" + json.dumps(cfg).encode())
+        self._register(rid, entry,
+                       rid.encode() + b"|TEXT_STREAM_START|"
+                       + json.dumps(cfg).encode())
         return rid
 
     def send_text_chunk(self, rid: str, text: str) -> bool:
@@ -290,16 +342,26 @@ class APIServer:
             data = self.pending_requests.get(rid)
             if not data:
                 raise APIError(404, f"Request {rid} not found")
+            if not data.get("input_streaming"):
+                raise APIError(
+                    400, f"Request {rid} is not an input streaming request")
             if data["event"].is_set():
                 raise APIError(400, f"Request {rid} already completed")
-        self._enqueue_request(rid.encode() + b"|TEXT_UPDATE|" + text.encode())
+            rank = data["rank"]
+        self._enqueue_request(rid.encode() + b"|TEXT_UPDATE|" + text.encode(),
+                              rank)
         return True
 
     def end_input_streaming(self, rid: str) -> None:
         with self.request_lock:
-            if rid not in self.pending_requests:
+            data = self.pending_requests.get(rid)
+            if data is None:
                 raise APIError(404, f"Request {rid} not found")
-        self._enqueue_request(rid.encode() + b"|TEXT_COMPLETE|")
+            if not data.get("input_streaming"):
+                raise APIError(
+                    400, f"Request {rid} is not an input streaming request")
+            rank = data["rank"]
+        self._enqueue_request(rid.encode() + b"|TEXT_COMPLETE|", rank)
 
     # ------------------------------------------------------------------
     # chunk consumption
@@ -308,39 +370,42 @@ class APIServer:
         import asyncio
 
         start = time.time()
-        while True:
-            if time.time() - start > self.timeout_seconds:
-                with self.request_lock:
-                    self.pending_requests.pop(rid, None)
-                raise APIError(500, "Generation timed out")
-            new_chunks, done = [], False
-            with self.request_lock:
-                data = self.pending_requests.get(rid)
-                if data:
-                    avail = len(data["chunks"])
-                    consumed = data.get("consumed_chunks", 0)
-                    new_chunks = data["chunks"][consumed:avail]
-                    data["consumed_chunks"] = avail
-                    done = data["event"].is_set()
-                else:
-                    done = True
-            for c in new_chunks:
-                yield c
-            if done:
-                remaining, error = [], None
+        try:
+            while True:
+                if time.time() - start > self.timeout_seconds:
+                    raise APIError(500, "Generation timed out")
+                new_chunks, done = [], False
                 with self.request_lock:
                     data = self.pending_requests.get(rid)
                     if data:
+                        avail = len(data["chunks"])
                         consumed = data.get("consumed_chunks", 0)
-                        remaining = data["chunks"][consumed:]
-                        error = data.get("error")
-                        self.pending_requests.pop(rid, None)
-                for c in remaining:
+                        new_chunks = data["chunks"][consumed:avail]
+                        data["consumed_chunks"] = avail
+                        done = data["event"].is_set()
+                    else:
+                        done = True
+                for c in new_chunks:
                     yield c
-                if error:
-                    raise APIError(500, error)
-                break
-            await asyncio.sleep(0.001)
+                if done:
+                    remaining, error = [], None
+                    with self.request_lock:
+                        data = self.pending_requests.get(rid)
+                        if data:
+                            consumed = data.get("consumed_chunks", 0)
+                            remaining = data["chunks"][consumed:]
+                            error = data.get("error")
+                    for c in remaining:
+                        yield c
+                    if error:
+                        raise APIError(500, error)
+                    break
+                await asyncio.sleep(0.001)
+        finally:
+            # runs on normal completion, timeout, AND generator abandonment
+            # (client disconnect / handler cancellation): without it the
+            # orphaned entry kept accumulating PCM forever
+            self._finish_request(rid)
 
     def collect_all_chunks(self, rid: str) -> bytes:
         """Blocking wait for completion (non-streaming /generate path)."""
@@ -348,15 +413,14 @@ class APIServer:
             data = self.pending_requests.get(rid)
         if data is None:
             raise APIError(404, f"Request {rid} not found")
-        if not data["event"].wait(timeout=self.timeout_seconds):
-            with self.request_lock:
-                self.pending_requests.pop(rid, None)
-            raise APIError(500, "Generation timed out")
-        with self.request_lock:
-            data = self.pending_requests.pop(rid, None)
-        if data and data.get("error"):
-            raise APIError(500, data["error"])
-        return b"".join(data["chunks"]) if data else b""
+        try:
+            if not data["event"].wait(timeout=self.timeout_seconds):
+                raise APIError(500, "Generation timed out")
+            if data.get("error"):
+                raise APIError(500, data["error"])
+            return b"".join(data["chunks"])
+        finally:
+            self._finish_request(rid)
 
     def has_request(self, rid: str) -> Optional[dict]:
         with self.request_lock:

@@ -9,8 +9,6 @@ from __future__ import annotations
 import asyncio
 import io
 import json
-import threading
-import time
 import uuid
 import wave
 from pathlib import Path
@@ -70,19 +68,6 @@ def _model_kwargs_from(fields: dict) -> dict:
     return out
 
 
-def _schedule_upload_cleanup(audio_path: str | None, delay: float = 60.0):
-    if not audio_path:
-        return
-
-    def _rm():
-        time.sleep(delay)
-        p = Path(audio_path)
-        if p.exists():
-            p.unlink()
-
-    threading.Thread(target=_rm, daemon=True).start()
-
-
 # ---------------------------------------------------------------------------
 # handlers
 # ---------------------------------------------------------------------------
@@ -100,12 +85,12 @@ async def generate(request: web.Request) -> web.StreamResponse:
     sample_rate = request.app["sample_rate"]
 
     try:
+        # the uploaded reference audio is deleted when the request finishes
+        # (api._finish_request) — a fixed 60 s timer deleted it before a
+        # loaded scheduler had read it
         rid = server.start_streaming_request(text, audio_path, model_kwargs)
     except APIError as e:
-        _schedule_upload_cleanup(audio_path)
         return _json_error(e.status, e.detail)
-
-    _schedule_upload_cleanup(audio_path)
 
     if streaming:
         resp = web.StreamResponse(
@@ -127,10 +112,14 @@ async def generate(request: web.Request) -> web.StreamResponse:
         await resp.write_eof()
         return resp
 
-    # non-streaming: wait for full audio, return a complete WAV
-    loop = asyncio.get_running_loop()
+    # non-streaming: accumulate on the event loop (parking an executor
+    # thread per request for up to timeout_seconds starved the shared
+    # default executor under concurrency)
     try:
-        pcm = await loop.run_in_executor(None, server.collect_all_chunks, rid)
+        parts = []
+        async for chunk in server.async_stream_chunks(rid):
+            parts.append(chunk)
+        pcm = b"".join(parts)
     except APIError as e:
         return _json_error(e.status, e.detail)
     buf = io.BytesIO()
@@ -152,8 +141,6 @@ async def stream_start(request: web.Request) -> web.Response:
         rid = server.start_input_streaming_request(audio_path, model_kwargs)
     except APIError as e:
         return _json_error(e.status, e.detail)
-    finally:
-        _schedule_upload_cleanup(audio_path)
     return web.json_response({"request_id": rid})
 
 
@@ -225,17 +212,27 @@ async def health(request: web.Request) -> web.Response:
 async def cors_middleware(request: web.Request, handler):
     if request.method == "OPTIONS":
         resp = web.Response()
-    else:
-        resp = await handler(request)
-    resp.headers["Access-Control-Allow-Origin"] = "*"
-    resp.headers["Access-Control-Allow-Methods"] = "*"
-    resp.headers["Access-Control-Allow-Headers"] = "*"
-    return resp
+        _set_cors(resp.headers)
+        return resp
+    return await handler(request)
+
+
+def _set_cors(headers) -> None:
+    headers["Access-Control-Allow-Origin"] = "*"
+    headers["Access-Control-Allow-Methods"] = "*"
+    headers["Access-Control-Allow-Headers"] = "*"
+
+
+async def _on_prepare(request, response) -> None:
+    # set at prepare time: mutating headers AFTER a StreamResponse has
+    # prepared is a silent no-op, so streamed WAVs went out without CORS
+    _set_cors(response.headers)
 
 
 def build_app(server: APIServer, sample_rate: int = 24000) -> web.Application:
     app = web.Application(middlewares=[cors_middleware],
                           client_max_size=64 * 1024 * 1024)
+    app.on_response_prepare.append(_on_prepare)
     app["server"] = server
     app["sample_rate"] = sample_rate
     app.router.add_post("/generate", generate)
