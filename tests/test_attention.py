@@ -223,3 +223,52 @@ def test_combined_pool_matches_legacy_decode():
         np.testing.assert_allclose(np.asarray(out_comb),
                                    np.asarray(out_legacy),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_glm_interleaved_partial_rope_matches_chatglm_reference():
+    """GLM-4-Voice uses ChatGLM rotary: interleaved pairs (2i, 2i+1) over
+    the first head_dim//2 dims, pass-through beyond (the reference passes
+    interleave=True, rotary_dim=head_dim//2 to flashinfer,
+    glm_voice.py:148-155). Verify against a direct numpy transcription of
+    ChatGLM's apply_rotary_pos_emb."""
+    import numpy as np
+
+    from vox_serve_tpu.ops.rope import apply_rope_interleaved, rope_frequencies
+
+    T, H, D, RD = 5, 2, 16, 8
+    rng = np.random.RandomState(0)
+    q = rng.randn(T, H, D).astype(np.float32)
+    k = rng.randn(T, 1, D).astype(np.float32)
+    pos = np.arange(T, dtype=np.int32)
+    theta = 10000.0
+
+    inv = rope_frequencies(RD, theta)
+    qj, kj = apply_rope_interleaved(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(pos), inv, rope_dim=RD)
+
+    # numpy ChatGLM reference: rotary over xr=x[..., :RD] viewed as
+    # (RD//2, 2) pairs, angle_i = pos * theta^(-2i/RD)
+    def ref(x):
+        invf = 1.0 / theta ** (np.arange(0, RD, 2, dtype=np.float64) / RD)
+        ang = pos[:, None].astype(np.float64) * invf[None, :]
+        cos, sin = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+        xr = x[..., :RD].reshape(x.shape[0], x.shape[1], RD // 2, 2)
+        x1, x2 = xr[..., 0], xr[..., 1]
+        out = np.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        out = out.reshape(x.shape[0], x.shape[1], RD)
+        return np.concatenate([out, x[..., RD:]], axis=-1)
+
+    np.testing.assert_allclose(np.asarray(qj), ref(q), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kj), ref(k), rtol=1e-5, atol=1e-5)
+
+
+def test_glm_backbone_config_uses_interleaved_rope():
+    from vox_serve_tpu.models.glm_voice import GLMVoiceLM
+
+    cfg = GLMVoiceLM.backbone_config_for_testing() \
+        if hasattr(GLMVoiceLM, "backbone_config_for_testing") else None
+    if cfg is None:
+        import inspect
+
+        src = inspect.getsource(GLMVoiceLM)
+        assert "rope_interleaved=True" in src

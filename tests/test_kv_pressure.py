@@ -199,3 +199,52 @@ def test_allocator_free_validation():
     assert p[0] not in a._free  # nothing mutated by the failed frees
     a.free(p)
     assert a.num_free == 8
+
+
+def test_slot_reuse_resets_repetition_and_codec_state():
+    """A reused slot must not leak the previous occupant's state: the
+    repetition-penalty appearance cache (global window ORs forever) and the
+    streaming codec cache (crossfade with the prior request's audio tail)."""
+    import jax.numpy as jnp
+
+    model = DummyLM(max_tokens=8)
+    model.sampling_config = SamplingConfig(
+        greedy=True, max_tokens=8, repetition_penalty=2.0,
+        repetition_window=-1)
+    cfg = WorkerConfig(max_batch_size=1, num_pages=32, page_size=8,
+                       prefill_token_buckets=(64,), max_prefill_requests=1,
+                       warmup=False)
+    w = ModelWorker(model, cfg)
+
+    r1 = Request(request_id="a", prompt="first occupant",
+                 sampling_config=model.sampling_config)
+    w.run_lm_prefill([r1])
+    for _ in range(6):
+        r1.done_lm_generation = False
+        w.run_lm_decode([r1])
+    w.sync()
+    slot = r1.slot
+    if w.rep_cache is not None:
+        assert int(np.asarray(w.rep_cache[slot]).sum()) >= 2  # history built
+    w.free_kv_cache(r1)
+
+    # dirty the codec cache row to simulate streaming state left behind
+    if w.codec_cache is not None:
+        import jax
+        w.codec_cache = jax.tree.map(
+            lambda a: a.at[slot].set(jnp.ones((), a.dtype)), w.codec_cache)
+
+    r2 = Request(request_id="b", prompt="second occupant",
+                 sampling_config=model.sampling_config)
+    w.run_lm_prefill([r2])
+    w.sync()
+    assert r2.slot == slot  # same slot reused
+    if w.codec_cache is not None:
+        import jax
+        leaves = jax.tree.leaves(jax.tree.map(
+            lambda a: float(jnp.abs(a[slot]).sum()), w.codec_cache))
+        assert all(v == 0.0 for v in leaves), "codec cache row not zeroed"
+    if w.rep_cache is not None:
+        # row re-initialized from zero: only B's first sampled token(s) set
+        row = np.asarray(w.rep_cache[slot])
+        assert row.sum() <= row.shape[-2]  # at most one token per codebook

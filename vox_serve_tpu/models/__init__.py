@@ -116,6 +116,13 @@ def load_model(
             overrides[k] = v
     if greedy:
         overrides["greedy"] = True
+    if overrides.get("cfg_scale") is not None:
+        # parity with the reference: the flag is plumbed but no model
+        # consumes it in compute (reference worker/base.py:90 stores it,
+        # nothing reads it) — warn instead of silently implying guidance
+        logger.warning("--cfg-scale is accepted for reference CLI parity "
+                       "but classifier-free guidance is not applied by any "
+                       "model (the reference does not apply it either)")
     model.sampling_config = base.replace(**overrides) if overrides else base
     logger.info("loaded model %s with sampling %s", model_name,
                 model.sampling_config)

@@ -33,7 +33,8 @@ from ..ops.attention import (
     write_kv_prefill,
 )
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rope, rope_frequencies
+from ..ops.rope import (apply_rope, apply_rope_interleaved,
+                        rope_frequencies)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,9 @@ class BackboneConfig:
     head_dim: Optional[int] = None  # default hidden_size // num_heads
     rope_theta: float = 10000.0
     rope_dim: Optional[int] = None  # partial rotary if < head_dim
+    #: ChatGLM convention: rotate interleaved pairs (2i, 2i+1) instead of
+    #: split halves (GLM-4-Voice; reference glm_voice.py:153 interleave=True)
+    rope_interleaved: bool = False
     llama31_rope_scaling: bool = False
     rms_eps: float = 1e-6
     qkv_bias: bool = False  # Qwen2-style
@@ -54,7 +58,6 @@ class BackboneConfig:
     mlp_bias: bool = False
     qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
     use_layer_norm: bool = False  # Zonos: LayerNorm (with bias) instead of RMSNorm
-    learned_pos_emb: bool = False  # Chatterbox t3: learned abs. positions, no RoPE
     max_position_embeddings: int = 8192
     attn_scale: Optional[float] = None
     dtype: jnp.dtype = jnp.bfloat16
@@ -131,10 +134,6 @@ def init_backbone_params(cfg: BackboneConfig, key: jax.Array) -> dict:
         params["layers"]["post_norm_b"] = jnp.zeros(
             (L, cfg.hidden_size), dtype=cfg.dtype)
         params["final_norm_b"] = jnp.zeros((cfg.hidden_size,), dtype=cfg.dtype)
-    if cfg.learned_pos_emb:
-        params["pos_emb"] = (
-            jax.random.normal(keys[2], (cfg.max_position_embeddings, cfg.hidden_size)) * 0.02
-        ).astype(cfg.dtype)
     return params
 
 
@@ -163,15 +162,13 @@ def backbone_forward(
     """
     hd = cfg.resolved_head_dim
     H, KH = cfg.num_heads, cfg.num_kv_heads
-    inv_freq = None
-    if not cfg.learned_pos_emb:
-        inv_freq = rope_frequencies(
-            cfg.rope_dim or hd,
-            theta=cfg.rope_theta,
-            llama31_scaling=cfg.llama31_rope_scaling,
-        )
-    else:
-        x = x + jnp.take(params["pos_emb"], positions, axis=0).astype(x.dtype)
+    # (no learned-positions path here: Chatterbox handles its learned
+    # absolute positions in its own embed_step before backbone_forward)
+    inv_freq = rope_frequencies(
+        cfg.rope_dim or hd,
+        theta=cfg.rope_theta,
+        llama31_scaling=cfg.llama31_rope_scaling,
+    )
 
     T = x.shape[0]
 
@@ -204,7 +201,12 @@ def backbone_forward(
             k = rms_norm(k, lp["attn"]["k_norm"], cfg.rms_eps)
 
         if inv_freq is not None:
-            q, k = apply_rope(q, k, positions, inv_freq, rope_dim=cfg.rope_dim)
+            if cfg.rope_interleaved:
+                q, k = apply_rope_interleaved(q, k, positions, inv_freq,
+                                              rope_dim=cfg.rope_dim)
+            else:
+                q, k = apply_rope(q, k, positions, inv_freq,
+                                  rope_dim=cfg.rope_dim)
 
         kp, vp = write_kv_prefill(kp, vp, layer_idx, k, v, meta)
         if meta.is_prefill:

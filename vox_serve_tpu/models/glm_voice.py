@@ -56,6 +56,11 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
             num_heads=32, num_kv_heads=2, head_dim=128,
             intermediate_size=13696, qkv_bias=True,
             rope_theta=10000.0, rope_dim=64,  # partial rotary
+            # ChatGLM rotates interleaved pairs (2i, 2i+1), not split halves
+            # (reference glm_voice.py:148-155: interleave=True); split-half
+            # on the raw checkpoint weights would rotate every q/k channel
+            # against the wrong partner
+            rope_interleaved=True,
             rms_eps=1.5625e-07, dtype=dtype,
         )
         self._flow_cfg = debug_flow or GLMFlowConfig(vocab_size=AUDIO_VOCAB)

@@ -73,6 +73,10 @@ class ZonosLM(BaseLM):
             vocab_size=LM_VOCAB, hidden_size=2048, num_layers=26,
             num_heads=16, num_kv_heads=16, intermediate_size=8192,
             use_layer_norm=True, rope_theta=10000.0, dtype=dtype,
+            # torch nn.LayerNorm eps the checkpoint was trained with
+            # (reference zonos.py:36 norm_epsilon=1e-5); the RMSNorm
+            # default (1e-6) deviated on every layer
+            rms_eps=1e-5,
         )
         self._dac_cfg = debug_codec or DAC_CONFIG
         self._init_params()

@@ -83,19 +83,29 @@ def apply_rope_interleaved(
     k: jax.Array,
     positions: jax.Array,
     inv_freq: jax.Array,
+    rope_dim: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """GPT-NeoX-interleaved variant (pairs (2i, 2i+1) rotated together),
-    needed by some codec transformers."""
+    """Interleaved variant (pairs (2i, 2i+1) rotated together): GPT-NeoX
+    convention, and — with rope_dim < D — ChatGLM's partial rotary as used
+    by GLM-4-Voice (reference model/glm_voice.py:148-155 passes
+    interleave=True, rotary_dim=head_dim//2 to flashinfer). Dims beyond
+    rope_dim pass through unrotated."""
 
     def rot(x: jax.Array) -> jax.Array:
         T, H, D = x.shape
-        angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+        rd = rope_dim if rope_dim is not None else D
+        xr, xp = x[..., :rd], x[..., rd:]
+        angles = (positions[:, None].astype(jnp.float32)
+                  * inv_freq[None, :rd // 2])
         cos = jnp.cos(angles)[:, None, :]
         sin = jnp.sin(angles)[:, None, :]
-        xf = x.astype(jnp.float32).reshape(T, H, D // 2, 2)
+        xf = xr.astype(jnp.float32).reshape(T, H, rd // 2, 2)
         x1, x2 = xf[..., 0], xf[..., 1]
         r1 = x1 * cos - x2 * sin
         r2 = x2 * cos + x1 * sin
-        return jnp.stack([r1, r2], axis=-1).reshape(T, H, D).astype(x.dtype)
+        out = jnp.stack([r1, r2], axis=-1).reshape(T, H, rd).astype(x.dtype)
+        if rd < D:
+            out = jnp.concatenate([out, xp], axis=-1)
+        return out
 
     return rot(q), rot(k)

@@ -119,8 +119,12 @@ def update_repetition_cache(
 
 
 def _mask_top_k(logits: jax.Array, k: int) -> jax.Array:
-    """Keep only the k largest logits along the last axis."""
+    """Keep only the k largest logits along the last axis. k <= 0 is the
+    common 'disabled' convention (HF/vLLM) — no-op rather than a trace-time
+    shape error from lax.top_k."""
     k = min(int(k), logits.shape[-1])
+    if k <= 0:
+        return logits
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 

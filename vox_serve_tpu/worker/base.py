@@ -376,6 +376,7 @@ class ModelWorker:
         self._pending: list[tuple] = []
 
         self._lm_fns: dict[tuple, Any] = {}
+        self._zero_cache_fn = None
         self._detok_fns: dict[int, Any] = {}
 
         if cfg.warmup:
@@ -558,7 +559,19 @@ class ModelWorker:
                 token_ids = jnp.where(override_mask, token_ids, buf_tokens)
             rep_rows = None
             if rep_cache is not None:
-                rep_rows = jnp.take(rep_cache, slot_ids, axis=0, mode="clip")
+                if phase == "prefill":
+                    # a reused slot still holds the PREVIOUS occupant's
+                    # appearance cache; a fresh request has no history, so
+                    # prefill starts from zeros (and its scatter-back fully
+                    # re-initializes the slot). Gathering here penalized new
+                    # requests for the prior request's tokens — and with a
+                    # global window the slot plane accumulated forever.
+                    rep_rows = jnp.zeros(
+                        (slot_ids.shape[0],) + rep_cache.shape[1:],
+                        rep_cache.dtype)
+                else:
+                    rep_rows = jnp.take(rep_cache, slot_ids, axis=0,
+                                        mode="clip")
             if feedback is not None and phase == "decode" and model.feedback_dim:
                 feat_rows = jnp.take(feedback, slot_ids, axis=0, mode="clip")
                 features = feat_rows
@@ -850,12 +863,26 @@ class ModelWorker:
         page_size = cfg.page_size
 
         # ---- admission: per-request failures must not crash the rank ----
-        ready: list[Request] = []
+        # slot assignment first, then ONE batched zero of the fresh slots'
+        # codec-cache rows: a reused slot still holds the previous
+        # occupant's streaming codec state (conv/attention caches), and the
+        # new request's first window would crossfade with the prior
+        # request's audio tail. Per-request decoder_cache_init (preprocess,
+        # below) overwrites the zeroed row where a model provides one.
+        fresh_slots: list[int] = []
+        admitted_set = []
         for req in requests:
             if req.slot is None:
                 if not self._free_slots:
                     break  # defer the rest to the next step
                 self.admit(req)
+                fresh_slots.append(req.slot)
+            admitted_set.append(req)
+        self._zero_slot_caches(fresh_slots)
+        requests = admitted_set
+
+        ready: list[Request] = []
+        for req in requests:
             if req.input_tokens is None:
                 try:
                     po = model.preprocess(req.prompt, req.audio_path,
@@ -1746,6 +1773,25 @@ class ModelWorker:
     # ------------------------------------------------------------------
     # slot cache init
     # ------------------------------------------------------------------
+    def _zero_slot_caches(self, slots: list[int]) -> None:
+        """Zero the codec-cache rows of freshly assigned slots in ONE
+        scatter (padded to max_prefill_requests so the executable is
+        shape-stable)."""
+        if self.codec_cache is None or not slots:
+            return
+        B = max(self.config.max_prefill_requests, len(slots))
+        arr = np.full((B,), self.config.max_batch_size, np.int32)
+        arr[:len(slots)] = slots
+        fn = self._zero_cache_fn
+        if fn is None:
+            def _zero(cache, s):
+                return jax.tree.map(
+                    lambda a: a.at[s].set(
+                        jnp.zeros((), a.dtype), mode="drop"), cache)
+
+            fn = self._zero_cache_fn = jax.jit(_zero, donate_argnums=(0,))
+        self.codec_cache = fn(self.codec_cache, jnp.asarray(arr))
+
     def _write_slot_cache(self, slot: int, row_pytree: Any) -> None:
         self.codec_cache = jax.tree.map(
             lambda a, r: a.at[slot].set(jnp.asarray(r).astype(a.dtype)),
