@@ -75,3 +75,25 @@ def test_resolve_profile_substring_match():
     assert resolve_profile("Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice")[
         "max_batch_size"] == 144
     assert resolve_profile("dummy")["max_num_pages"] == 256
+
+
+def test_equal_explicit_batch_keeps_tuned_lattices():
+    """--max-batch-size equal to the profile's own batch must keep the
+    tuned bucket lattices (dropping them silently disabled full-batch
+    fused decode)."""
+    a = _resolved(["--model", "qwen3-tts", "--max-batch-size", "144"])
+    assert a.decode_buckets == "1,144"
+    assert a.fused_decode_buckets == "1,144"
+    assert a.detok_buckets == "16,80"
+
+
+def test_explicit_decode_buckets_imply_batch():
+    """--decode-buckets without --max-batch-size: the buckets' tail implies
+    the batch (the profile's 144 would violate the WorkerConfig invariant
+    and kill the daemon via bare assert)."""
+    a = _resolved(["--model", "qwen3-tts", "--decode-buckets", "1,32"])
+    assert a.max_batch_size == 32
+    assert a.decode_buckets == "1,32"
+    # other batch-scaled profile keys dropped (derive for batch 32)
+    assert a.detok_buckets is None
+    assert a.fused_decode_buckets is None

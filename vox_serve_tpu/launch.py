@@ -92,12 +92,15 @@ def main(argv=None) -> None:
 
     apply_platform_override()
 
+    # coerce BEFORE the mutual-exclusion check: --scheduler-type
+    # disaggregation used to bypass the guard and every pinned daemon died
+    # on devices[1] IndexError instead of a clean CLI error
+    if args.scheduler_type == "disaggregation" and not args.enable_disaggregation:
+        args.enable_disaggregation = True
     if args.dp_size > 1 and args.enable_disaggregation:
         logger.error("--dp-size > 1 and --enable-disaggregation are mutually "
                      "exclusive")
         sys.exit(2)
-    if args.scheduler_type == "disaggregation" and not args.enable_disaggregation:
-        args.enable_disaggregation = True
 
     # fill unset flags from the model's serving profile (measured optimum)
     from .profiles import apply_profile
@@ -116,8 +119,6 @@ def main(argv=None) -> None:
     from .models import get_model_class
     cls = get_model_class(args.model)  # validates the name early
     sample_rate = getattr(cls, "SAMPLE_RATE", None) or 24000
-    if args.model == "dummy":
-        sample_rate = 16000
 
     from .server.api import APIServer
     from .server.app import build_app

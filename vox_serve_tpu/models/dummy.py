@@ -81,9 +81,13 @@ class DummyLM(BaseLM):
     def output_audio_length(self):
         return self.detokenize_interval * self.SAMPLES_PER_TOKEN
 
+    #: class attr so launch.py's header-rate resolution sees it without
+    #: instantiating the model (no special case in launch)
+    SAMPLE_RATE = 16000
+
     @property
     def sample_rate(self):
-        return 16000
+        return self.SAMPLE_RATE
 
     supports_input_streaming = True
 

@@ -9,11 +9,11 @@ emitted chunk (f32_to_i16) and by the API server for WAV header framing.
 from __future__ import annotations
 
 import ctypes
-import io
 import os
+import struct
 import subprocess
+import tempfile
 import threading
-import wave
 from pathlib import Path
 
 import numpy as np
@@ -25,7 +25,15 @@ logger = get_logger("native")
 _LIB = None
 _LOCK = threading.Lock()
 _SRC = Path(__file__).resolve().parent.parent / "native" / "voxaudio.c"
-_SO = Path("/tmp/voxaudio") / "libvoxaudio.so"
+#: per-uid build dir: a shared fixed /tmp path let another user pre-plant a
+#: newer .so that the mtime check would happily CDLL into this process
+_SO = Path(tempfile.gettempdir()) / f"voxaudio-{os.getuid()}" / "libvoxaudio.so"
+
+#: RIFF streaming sentinel: unknown-length sizes (players treat the data
+#: chunk as extending to EOF; a literal 0 makes spec-strict readers decode
+#: zero frames from a saved stream). Chosen so both the RIFF size
+#: (data_len + 36) and the data-chunk size wrap to ~0xFFFFFFFF.
+STREAMING_DATA_LEN = 0xFFFFFFFF - 36
 
 
 def _build() -> Path | None:
@@ -33,9 +41,19 @@ def _build() -> Path | None:
         _SO.parent.mkdir(parents=True, exist_ok=True)
         if (not _SO.exists()
                 or _SO.stat().st_mtime < _SRC.stat().st_mtime):
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
-                check=True, capture_output=True)
+            # build to a unique temp name then atomically rename: dp_size>1
+            # daemons race this build on first run, and CDLL'ing a
+            # partially-written .so crashes the process
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(_SO.parent))
+            os.close(fd)
+            try:
+                subprocess.run(
+                    ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, str(_SRC)],
+                    check=True, capture_output=True)
+                os.replace(tmp, _SO)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         return _SO
     except Exception as e:
         logger.warning("native build failed (%s); numpy fallback",
@@ -45,6 +63,8 @@ def _build() -> Path | None:
 
 def get_lib():
     global _LIB
+    if _LIB is not None:  # lock-free fast path (per-chunk hot path)
+        return _LIB or None
     with _LOCK:
         if _LIB is not None:
             return _LIB or None
@@ -74,16 +94,23 @@ def f32_to_i16(audio: np.ndarray) -> bytes:
 
 
 def wav_header(sample_rate: int, channels: int = 1, bits: int = 16,
-               data_len: int = 0) -> bytes:
+               data_len: int | None = None) -> bytes:
+    """44-byte RIFF/WAVE header. data_len=None means a live stream of
+    unknown length (sentinel sizes); pass the real byte count for files."""
+    if data_len is None:
+        data_len = STREAMING_DATA_LEN
     lib = get_lib()
-    if lib is None:
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as wf:
-            wf.setnchannels(channels)
-            wf.setsampwidth(bits // 8)
-            wf.setframerate(sample_rate)
-            wf.writeframes(b"")
-        return buf.getvalue()
-    out = (ctypes.c_uint8 * 44)()
-    lib.wav_header(sample_rate, channels, bits, data_len, out)
-    return bytes(out)
+    if lib is not None:
+        out = (ctypes.c_uint8 * 44)()
+        lib.wav_header(sample_rate, channels, bits, data_len, out)
+        return bytes(out)
+    # stdlib fallback mirroring the native layout (the wave module cannot
+    # write sentinel sizes)
+    byte_rate = sample_rate * channels * (bits // 8)
+    block_align = channels * (bits // 8)
+    return (b"RIFF"
+            + struct.pack("<I", (data_len + 36) & 0xFFFFFFFF)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                          byte_rate, block_align, bits)
+            + b"data" + struct.pack("<I", data_len & 0xFFFFFFFF))

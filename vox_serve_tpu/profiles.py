@@ -88,14 +88,30 @@ def apply_profile(args, logger=None) -> None:
     ``enable_pallas`` composes with ``--disable-pallas``."""
     prof = resolve_profile(args.model)
     user_batch = getattr(args, "max_batch_size", None) is not None
+    # --max-batch-size equal to the profile's own batch keeps the tuned
+    # lattices (dropping them silently disabled full-batch fused decode)
+    conflicting_batch = (user_batch
+                         and args.max_batch_size != prof.get("max_batch_size"))
+    # explicit --decode-buckets without --max-batch-size: the profile's
+    # batch would violate WorkerConfig's buckets[-1] == max_batch_size
+    # invariant (bare assert killed the daemon) — the buckets imply the
+    # batch instead
+    user_decode_buckets = getattr(args, "decode_buckets", None)
+    if user_decode_buckets and not user_batch:
+        args.max_batch_size = int(str(user_decode_buckets).split(",")[-1])
+        conflicting_batch = (
+            args.max_batch_size != prof.get("max_batch_size"))
+        if logger is not None:
+            logger.info("--decode-buckets implies --max-batch-size %d",
+                        args.max_batch_size)
     applied = {}
     for key, value in prof.items():
         if key == "enable_pallas":
             continue
-        if user_batch and key in _BATCH_SCALED_KEYS:
-            # explicit batch size: the profile's bucket lattices are scaled
-            # to ITS batch; leave these unset so the worker derives a
-            # consistent lattice for the requested batch
+        if conflicting_batch and key in _BATCH_SCALED_KEYS:
+            # explicit batch size differing from the profile's: its bucket
+            # lattices are scaled to ITS batch; leave these unset so the
+            # worker derives a consistent lattice for the requested batch
             continue
         if getattr(args, key, None) is None:
             setattr(args, key, value)

@@ -23,7 +23,12 @@ def set_global_log_level(level: str | int) -> None:
     """Set the level for all vox_serve_tpu loggers (thread-safe)."""
     global _GLOBAL_LEVEL
     if isinstance(level, str):
-        level = getattr(logging, level.upper())
+        resolved = getattr(logging, level.upper(), None)
+        if not isinstance(resolved, int):
+            raise ValueError(
+                f"unknown log level {level!r}; expected one of "
+                "DEBUG/INFO/WARNING/ERROR/CRITICAL")
+        level = resolved
     with _LEVEL_LOCK:
         _GLOBAL_LEVEL = level
         for lg in _LOGGERS.values():
@@ -87,13 +92,6 @@ def apply_platform_override() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
-
-
-def env_flag(name: str, default: bool = False) -> bool:
-    v = os.environ.get(name)
-    if v is None:
-        return default
-    return v.lower() not in ("0", "false", "no", "off", "")
 
 
 def load_audio_mono(path: str, target_sr: "int | None",
