@@ -112,3 +112,22 @@ def test_non_streaming_completes_under_online_scheduler(worker):
     audio = b"".join(m.split(b"|", 2)[2] for m in msgs
                      if m.split(b"|")[1] == b"AUDIO" and m.startswith(b"bg1"))
     assert len(audio) > 0
+
+
+def test_empty_input_stream_completes():
+    """A text stream opened then closed with no usable text must complete
+    (empty_stream) instead of sitting paused forever."""
+    from vox_serve_tpu.scheduler.input_streaming import InputStreamingScheduler
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    w = ModelWorker(DummyLM(max_tokens=12), WorkerConfig(
+        max_batch_size=4, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4, warmup=False))
+    s = InputStreamingScheduler(model_worker=w, max_batch_size=4,
+                                connect=False)
+    s._handle_message(b"er1|TEXT_STREAM_START|{}")
+    s._handle_message(b"er1|TEXT_COMPLETE|")
+    comps = [m for m in s._inproc_results if m.split(b"|")[1] == b"COMPLETION"]
+    assert len(comps) == 1
+    assert not s.active_requests
+    assert "er1" not in s._streams

@@ -66,3 +66,37 @@ def test_tp_kv_pool_is_sharded():
     sh = worker.k_pages.sharding
     # kv-head axis (axis 1) split 4 ways
     assert sh.shard_shape(worker.k_pages.shape)[1] == SMALL.num_kv_heads // 4
+
+
+def test_layer_norm_model_shardings_match_param_structure():
+    """use_layer_norm models (Zonos) add *_b bias keys; the sharding pytree
+    must mirror them or device_put's tree.map raises at startup."""
+    import jax
+    import jax.numpy as jnp
+
+    from vox_serve_tpu.models.backbone import (BackboneConfig,
+                                               init_backbone_params)
+    from vox_serve_tpu.parallel.mesh import make_mesh
+    from vox_serve_tpu.parallel.sharding import backbone_param_shardings
+
+    cfg = BackboneConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, use_layer_norm=True,
+        dtype=jnp.float32)
+    params = init_backbone_params(cfg, jax.random.key(0))
+    mesh = make_mesh(dp=1, tp=len(jax.devices()))
+    sh = backbone_param_shardings(mesh, params)
+    # tree.map with both trees raises on structure mismatch — exactly the
+    # failure mode shard_params would hit at startup
+    jax.tree.map(lambda a, s: None, params, sh)
+
+
+def test_make_mesh_validation():
+    import jax
+    import pytest
+
+    from vox_serve_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(dp=n * 2)  # more replicas than devices

@@ -19,9 +19,19 @@ def make_mesh(dp: int = 1, tp: int | None = None,
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if tp is None:
-        tp = n // dp
-    if dp * tp > n:
-        raise ValueError(f"mesh dp={dp} x tp={tp} needs {dp*tp} devices, "
+        tp, rem = divmod(n, dp)
+        if tp == 0:
+            raise ValueError(
+                f"mesh dp={dp} needs at least {dp} devices, have {n}")
+        if rem:
+            # silent truncation hid chips from the deployment
+            import logging
+
+            logging.getLogger("vox_serve_tpu.parallel").warning(
+                "mesh dp=%d over %d devices: %d trailing device(s) unused",
+                dp, n, rem)
+    if tp < 1 or dp * tp > n:
+        raise ValueError(f"mesh dp={dp} x tp={tp} needs {dp * tp} devices, "
                          f"have {n}")
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))

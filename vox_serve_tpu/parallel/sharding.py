@@ -56,6 +56,14 @@ def backbone_param_shardings(mesh: Mesh, params: dict) -> dict:
         },
         "final_norm": ns(None),
     }
+    # LayerNorm-bias keys (use_layer_norm models, e.g. Zonos): the sharding
+    # pytree must match the param pytree's STRUCTURE or tree.map raises at
+    # startup
+    for key in ("input_norm_b", "post_norm_b"):
+        if key in params["layers"]:
+            shardings["layers"][key] = ns(None, None)
+    if "final_norm_b" in params:
+        shardings["final_norm_b"] = ns(None)
     if "pos_emb" in params:
         shardings["pos_emb"] = ns(None, None)
     return shardings

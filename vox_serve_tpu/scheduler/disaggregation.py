@@ -41,15 +41,35 @@ class DisaggregationScheduler(Scheduler):
         asyncio.run(self._main())
 
     async def _main(self) -> None:
+        import json as _json
+
         self._detok_queue = asyncio.Queue()
         self._lock = asyncio.Lock()
+        # READY handshake (base run_forever does this; without it the API
+        # server's /health reported "warming" forever under disaggregation)
+        model = getattr(self.model_worker, "model", None)
+        self._send(b"__scheduler__|READY|" + _json.dumps({
+            "rank": self.rank,
+            "assets_available": bool(getattr(model, "assets_available",
+                                             True)),
+        }).encode())
         self.logger.info("disaggregation loops starting")
         await asyncio.gather(self._lm_loop(), self._detokenizer_loop())
 
     # ------------------------------------------------------------------
     async def _lm_loop(self) -> None:
+        import os
+        import time as _time
+
         loop = asyncio.get_running_loop()
+        last_orphan_check = _time.monotonic()
         while True:
+            now = _time.monotonic()
+            if now - last_orphan_check > 5.0:
+                last_orphan_check = now
+                if os.getppid() == 1:
+                    self.logger.info("parent process gone; scheduler exiting")
+                    return
             async with self._lock:
                 self._prepare_requests()
                 lm = self._select_lm_requests()
@@ -57,12 +77,26 @@ class DisaggregationScheduler(Scheduler):
             for req in detok:
                 await self._detok_queue.put(req)
             if lm:
-                if not lm[0].done_lm_prefill:
-                    await loop.run_in_executor(
-                        self._lm_pool, self.model_worker.run_lm_prefill, lm)
-                else:
-                    await loop.run_in_executor(
-                        self._lm_pool, self.model_worker.run_lm_decode, lm)
+                # same per-batch isolation as base._step: one failing
+                # request must not kill the rank (an uncaught exception
+                # here propagated through asyncio.gather and died)
+                try:
+                    if not lm[0].done_lm_prefill:
+                        await loop.run_in_executor(
+                            self._lm_pool,
+                            self.model_worker.run_lm_prefill, lm)
+                        dec = self._select_decode_after_prefill(lm)
+                        if dec:
+                            await loop.run_in_executor(
+                                self._lm_pool, self._run_decode, dec)
+                    else:
+                        # _run_decode routes through fused multi-step decode
+                        # when eligible (run_lm_decode directly lost it)
+                        await loop.run_in_executor(
+                            self._lm_pool, self._run_decode, lm)
+                except Exception as e:
+                    async with self._lock:
+                        self._fail_requests(lm, e, "lm step")
             else:
                 await asyncio.sleep(0.0005)
 
@@ -92,12 +126,22 @@ class DisaggregationScheduler(Scheduler):
             try:
                 emitted = await loop.run_in_executor(
                     self._detok_pool, self.model_worker.run_detokenize, batch)
-                emitted = emitted + await loop.run_in_executor(
-                    self._detok_pool, self.model_worker.flush_detokenize)
+                if self._detok_queue.empty():
+                    # drain the readback pipeline only when no further batch
+                    # is waiting: flushing every batch blocked the LM loop
+                    # on the dispatch lock for the whole codec readback,
+                    # serializing the two loops this scheduler exists to
+                    # overlap
+                    emitted = emitted + await loop.run_in_executor(
+                        self._detok_pool, self.model_worker.flush_detokenize)
                 async with self._lock:
                     self._send_responses(emitted)
-            except Exception as e:  # pragma: no cover
-                self.logger.error("detokenize error: %s", e, exc_info=True)
+            except Exception as e:
+                # fail the batch like base._step does — swallowing the error
+                # silently skipped the selected windows (the cursor had
+                # already advanced) leaving a gap in the PCM stream
+                async with self._lock:
+                    self._fail_requests(batch, e, "detokenize")
             finally:
                 for r in batch:
                     self._detokenizing_ids.discard(r.request_id)

@@ -91,8 +91,31 @@ class InputStreamingScheduler(OnlineScheduler):
         if not req.prefill_ready and req.input_text_buffer:
             # short utterance: prefill with whatever we have
             self._prepare_prefill_with_minimal_text(req)
+        if not req.prefill_ready:
+            # closed with no usable text (empty stream, or whitespace that
+            # tokenizes to nothing): complete immediately — the request
+            # would otherwise sit paused forever (client hangs to timeout,
+            # Request leaks in active_requests)
+            self.logger.info("stream %s closed with no text; completing",
+                             rid)
+            req.done_lm_generation = True
+            req.done_all = True
+            req.finish_reason = "empty_stream"
+            self._send_completion(req)
+            self.active_requests = [r for r in self.active_requests
+                                    if r is not req]
+            self._streams.pop(rid, None)
+            return
         req.text_complete = True
         self.logger.debug("text stream complete: %s", rid)
+
+    def _send_responses(self, emitted) -> None:
+        super()._send_responses(emitted)
+        # drop finished sessions from the stream map — entries previously
+        # lived for the process lifetime (unbounded memory; stale rids
+        # absorbed late TEXT_UPDATEs instead of warning)
+        for rid in [rid for rid, r in self._streams.items() if r.done_all]:
+            self._streams.pop(rid, None)
 
     def _prepare_prefill_with_minimal_text(self, req: Request) -> None:
         """Prefill with exactly one text token; queue the rest."""

@@ -9,22 +9,8 @@ from .base import Scheduler
 
 
 class OfflineScheduler(Scheduler):
-    def _select_lm_requests(self) -> list[Request]:
-        prefill, decode = [], []
-        for req in self.active_requests:
-            if req.done_lm_generation:
-                continue
-            if not req.done_lm_prefill:
-                prefill.append(req)
-            else:
-                decode.append(req)
-        if not prefill and not decode:
-            return []
-
-        sel = self._pack_prefills(prefill)
-        if sel:
-            return sel
-        return decode[: self.max_batch_size]
+    # LM selection: the base policy (packed prefills first, else a decode
+    # batch) is already offline-correct — only detokenize differs.
 
     def _select_detokenize_requests(self) -> list[Request]:
         if any(not r.done_lm_generation for r in self.active_requests):
