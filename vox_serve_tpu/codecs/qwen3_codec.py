@@ -295,7 +295,6 @@ def qwen3_codec_init_cache(cfg: Qwen3CodecConfig, batch: int) -> dict:
 
     cache = {
         "pos": jnp.zeros((batch,), jnp.int32),
-        "attn_len": jnp.zeros((batch,), jnp.int32),
         # batch axis LEADING on every leaf: the worker gathers/scatters
         # per-slot cache rows with take/set on axis 0
         "attn_k": jnp.zeros((batch, L, W, KH, hd)),
@@ -507,7 +506,6 @@ def _transformer(params: dict, cfg: Qwen3CodecConfig, x: jax.Array,
         new_cache["attn_k"] = jnp.stack(new_cache_k, axis=1)
         new_cache["attn_v"] = jnp.stack(new_cache_v, axis=1)
         new_cache["pos"] = cache["pos"] + T
-        new_cache["attn_len"] = jnp.minimum(cache["attn_len"] + T, W + T)
     return out, new_cache
 
 
@@ -566,7 +564,6 @@ def _pipeline(params: dict, cfg: Qwen3CodecConfig, codes: jax.Array,
     if cache is not None:
         new_cache = {
             "pos": tr_cache["pos"],
-            "attn_len": tr_cache["attn_len"],
             "attn_k": tr_cache["attn_k"],
             "attn_v": tr_cache["attn_v"],
             "pre_conv": pre_cache,

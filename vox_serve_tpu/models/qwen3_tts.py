@@ -81,6 +81,8 @@ class Qwen3TTSLM(BaseLMWithDepth):
         self.tts_model_size = "0b6" if "0.6b" in name else "1b7"
         scale = 1.0 if self.tts_model_size == "1b7" else 0.5
 
+        self._is_debug_config = any(
+            x is not None for x in (debug_backbone, debug_depth, debug_codec))
         self._cfg = debug_backbone or BackboneConfig(
             vocab_size=3072, hidden_size=2048, num_layers=28, num_heads=16,
             num_kv_heads=8, head_dim=128, intermediate_size=6144,
@@ -95,7 +97,12 @@ class Qwen3TTSLM(BaseLMWithDepth):
         self._detok_interval = detokenize_interval or 10
         self.depth_vocab_size = 2048
         self.num_code_groups = 16
+        from ..utils import get_logger
+
+        self.logger = get_logger("qwen3_tts")
         self.spk_ids = {"ryan": 2090, "vivian": 2091, "serena": 2092}
+        self.spk_dialects: dict = {}  # speaker -> dialect language name
+        self._load_talker_tables()
         self.text_tokenizer, self.assets_available = load_text_tokenizer(
             model_name, TEXT_VOCAB)
         self._init_params()
@@ -110,6 +117,33 @@ class Qwen3TTSLM(BaseLMWithDepth):
     @property
     def feedback_dim(self):
         return self._cfg.hidden_size
+
+    def _load_talker_tables(self) -> None:
+        """Speaker-id and dialect tables from the checkpoint's config.json
+        (reference talker_config.spk_id / spk_is_dialect) — the hardcoded
+        trio only covers the documented default speakers."""
+        import json as _json
+
+        from ..weights import resolve_model_dir
+
+        model_dir = resolve_model_dir(self.model_name)
+        if model_dir is None:
+            return
+        cfg_path = model_dir / "config.json"
+        try:
+            raw = _json.loads(cfg_path.read_text())
+        except OSError:
+            return
+        except Exception:
+            return
+        talker = raw.get("talker_config", {}) or {}
+        spk = talker.get("spk_id") or {}
+        if isinstance(spk, dict) and spk:
+            self.spk_ids = {str(k).lower(): int(v) for k, v in spk.items()}
+        dial = talker.get("spk_is_dialect") or {}
+        if isinstance(dial, dict):
+            self.spk_dialects = {str(k).lower(): v for k, v in dial.items()
+                                 if v}
 
     def _load_checkpoint(self) -> dict | None:
         """Map the HF checkpoint layout (reference qwen3_tts.py:707-894:
@@ -213,7 +247,10 @@ class Qwen3TTSLM(BaseLMWithDepth):
             self._codec_cfg, jax.random.key(12))
 
     def _init_params(self):
-        loaded = self._load_checkpoint()
+        # real weights only map onto the real architecture (same guard as
+        # the other families, e.g. glm_voice.py): under debug_* configs a
+        # cached checkpoint would shape-mismatch at first trace
+        loaded = None if self._is_debug_config else self._load_checkpoint()
         if loaded is not None:
             self.params = loaded
             self._init_codec_params()
@@ -309,6 +346,14 @@ class Qwen3TTSLM(BaseLMWithDepth):
         is_streaming = streaming_first_token is not None or bool(is_input_streaming)
         language = (language or "auto").lower()
         lang_id = LANGUAGE_IDS.get(language)
+        if (self.tts_model_type == "custom_voice" and lang_id is None
+                and language in ("chinese", "auto")):
+            # Chinese dialect speakers carry their dialect's language id
+            # (reference qwen3_tts.py:1550-1558; table from the checkpoint
+            # config via _load_talker_tables)
+            d = self.spk_dialects.get((speaker or "").lower())
+            if d:
+                lang_id = LANGUAGE_IDS.get(str(d).lower())
 
         if streaming_first_token is not None:
             text_ids = [int(streaming_first_token)]
@@ -318,7 +363,12 @@ class Qwen3TTSLM(BaseLMWithDepth):
 
         instruct_ids = None
         if instruct and self.tts_model_size != "0b6":
-            instruct_ids = self._encode_text(f"user\n{instruct}\n")
+            # exact reference template incl. the im_start/im_end special
+            # tokens (reference qwen3_tts.py:1480) — omitting them fed the
+            # talker a malformed role segment (VoiceDesign conditions its
+            # whole voice on this text)
+            instruct_ids = self._encode_text(
+                f"<|im_start|>user\n{instruct}<|im_end|>\n")
 
         # role tokens: stand-in for <|im_start|>assistant\n
         role_ids = self._encode_text("<|im_start|>assistant\n")[:3]
@@ -348,6 +398,16 @@ class Qwen3TTSLM(BaseLMWithDepth):
             ref_codes = self._encode_audio_to_codes(audio_path)
         icl = (self.tts_model_type == "base" and not x_vector_only_mode
                and ref_codes is not None)
+        if icl and not (ref_text or kwargs.get("ref_codes") is not None):
+            # the reference substitutes a DEFAULT audio+ref_text pair here
+            # (qwen3_tts.py:1496-1510, downloads an asset); offline we fall
+            # back to x-vector-only conditioning — ref codes with an empty
+            # reference text is a prompt structure the model never saw
+            self.logger.warning(
+                "voice clone without ref_text: falling back to x-vector-"
+                "only conditioning (provide ref_text for full ICL cloning)")
+            icl = False
+            ref_codes = None
         if icl and is_streaming:
             # reference rejects ICL + input streaming (qwen3_tts.py:1448-1451)
             raise ValueError("ICL voice clone is incompatible with input "
@@ -366,7 +426,13 @@ class Qwen3TTSLM(BaseLMWithDepth):
             rows.append((TTS_PAD, CODEC_PAD, True)); feats.append(spk_feat)
         elif self.tts_model_type == "custom_voice":
             spk = (speaker or "ryan").lower()
-            spk_id = self.spk_ids.get(spk, next(iter(self.spk_ids.values())))
+            if spk not in self.spk_ids:
+                fallback = next(iter(self.spk_ids))
+                self.logger.warning(
+                    "unknown speaker %r; falling back to %r (known: %s)",
+                    spk, fallback, sorted(self.spk_ids))
+                spk = fallback
+            spk_id = self.spk_ids[spk]
             rows.append((TTS_PAD, spk_id, True)); feats.append(None)
         # voice_design: no speaker position
 
@@ -383,12 +449,15 @@ class Qwen3TTSLM(BaseLMWithDepth):
                 rows.append((t, CODEC_PAD, True)); feats.append(None)
             rows.append((TTS_EOS, CODEC_PAD, True)); feats.append(None)
             rows.append((TTS_PAD, CODEC_BOS, True)); feats.append(None)
-            depth_embeds = np.asarray(self.params["depth"]["embeds"],
-                                      np.float32)  # (15, vocab, H)
+            # gather/sum ON DEVICE and transfer only the (T, H) result —
+            # np.asarray(depth embeds) copied the full (15, vocab, H) table
+            # to host float32 (~126 MB readback) per ICL request
             cb = np.clip(ref_codes[:, 1:self.num_code_groups], 0,
                          self.depth_vocab_size - 1)  # (T, 15)
-            summed = depth_embeds[np.arange(cb.shape[1])[None, :], cb, :]
-            summed = summed.sum(axis=1)  # (T, H)
+            de = self.params["depth"]["embeds"]
+            summed = np.asarray(jnp.sum(
+                de[jnp.arange(cb.shape[1])[None, :], jnp.asarray(cb), :],
+                axis=1), np.float32)  # (T, H)
             for t in range(ref_codes.shape[0]):
                 rows.append((TTS_PAD, int(ref_codes[t, 0]), True))
                 feats.append(summed[t])
@@ -540,11 +609,22 @@ class Qwen3TTSLM(BaseLMWithDepth):
         # unrolling the codebook scan lets XLA software-pipeline the depth
         # weights' HBM fetches across iterations (experimentally tunable)
         _unroll = int(_os.environ.get("VOX_DEPTH_UNROLL", "1"))
+        # scan runs codebooks 1..G-2 (each samples THEN forwards its
+        # embedding for the next head); the LAST codebook samples outside
+        # the scan — its depth_forward output was discarded, one of G-1
+        # forwards per decode frame wasted inside the hot step
+        G = self.num_code_groups
         (h, kc, vc, feedback), toks = jax.lax.scan(
             body, (h, kc, vc, feedback0),
-            jnp.arange(1, self.num_code_groups, dtype=jnp.int32),
+            jnp.arange(1, G - 1, dtype=jnp.int32),
             unroll=_unroll)
-        toks = toks.T  # (B, 15)
+        head_w = jnp.take(d["heads"], G - 2, axis=0)
+        logits = h.astype(jnp.float32) @ head_w.astype(jnp.float32)
+        tok_last = sample(logits[:, None, :], scfg,
+                          jax.random.fold_in(rng, G - 1), None)[:, 0]
+        feedback = feedback + jnp.take(
+            jnp.take(d["embeds"], G - 2, axis=0), tok_last, axis=0)
+        toks = jnp.concatenate([toks, tok_last[None]], axis=0).T  # (B, 15)
         text_col = jnp.full((B, 1), TTS_PAD, jnp.int32)
         all_ids = jnp.concatenate([cb0[:, None], toks, text_col], axis=1)
         return all_ids, feedback
