@@ -147,15 +147,22 @@ def test_step_audio2_audio_input(ref_wav):
     m = StepAudio2LM(
         debug_backbone=_small_backbone(158720, qkv_bias=True, rope_dim=8),
         debug_flow=SMALL_STEP_FLOW, debug_hift=SMALL_HIFT)
-    plain = m.preprocess(prompt="what was said?")
+    empty = m.preprocess(prompt="")
     sts = m.preprocess(prompt="what was said?", audio_path=ref_wav)
     n_markers = int((sts.input_tokens[:, 0] == AUDIO_MARKER).sum())
     assert n_markers > 0
-    assert sts.input_tokens.shape[0] == plain.input_tokens.shape[0] + n_markers
+    # reference single-turn layout: the human turn's content is the audio
+    # wrapper (<audio_start> patches <audio_end>), REPLACING the text —
+    # so vs an empty prompt the delta is markers + the two wrapper tokens
+    assert (sts.input_tokens.shape[0]
+            > empty.input_tokens.shape[0] + n_markers)
     # marker rows are masked and carry nonzero encoder features
     marker_mask = sts.input_tokens[:, 0] == AUDIO_MARKER
     assert sts.input_masks[marker_mask].all()
     assert np.abs(sts.input_features[marker_mask]).sum() > 0
+    # markers sit INSIDE the prompt (not prepended before the system turn)
+    first_marker = int(np.nonzero(marker_mask)[0][0])
+    assert first_marker > 0
 
 
 def test_glm_audio_input_tokens(ref_wav):

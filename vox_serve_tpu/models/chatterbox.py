@@ -228,6 +228,72 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
                                       jnp.asarray(emb), emo)
         return np.asarray(rows, np.float32)
 
+    @functools.cached_property
+    def _host_embed_tables(self):
+        """One-time host copies of the immutable embedding tables —
+        preprocess converted ~50 MB of tables device->host per request."""
+        return (np.asarray(self.params["text_embed"], np.float32),
+                np.asarray(self.params["text_pos"], np.float32),
+                np.asarray(self.params["speech_embed"], np.float32),
+                np.asarray(self.params["speech_pos"], np.float32))
+
+    @functools.cached_property
+    def _default_emo(self) -> float:
+        if self._default_conds is None:
+            return 0.5
+        t3 = self._default_conds["t3"]
+        return float(np.asarray(t3.get("emotion_adv", 0.5)).reshape(-1)[0])
+
+    def _default_rows_for_emo(self, emo: float):
+        from ..encoders.chatterbox_cond import chatterbox_cond_encode
+
+        t3 = self._default_conds["t3"]
+        spk = jnp.asarray(np.asarray(t3["speaker_emb"],
+                                     np.float32).reshape(-1))
+        toks = np.asarray(t3["cond_prompt_speech_tokens"]).reshape(-1)
+        emb_tbl = np.asarray(self.params["speech_embed"], np.float32)
+        pos_tbl = np.asarray(self.params["speech_pos"], np.float32)
+        emb = emb_tbl[toks % emb_tbl.shape[0]] + pos_tbl[:len(toks)]
+        return chatterbox_cond_encode(self._cond_loaded, spk,
+                                      jnp.asarray(emb), emo)
+
+    def _ref_speech_tokens(self, audio_path: str) -> np.ndarray:
+        """Reference WAV -> S3 speech tokens (weight-exact v2 from
+        s3gen.safetensors when available; dev fallback otherwise)."""
+        if self._s3v2 is not None:
+            from ..encoders.s3_exact import s3v2_encode
+            from ..encoders.whisper_exact import whisper_log_mel
+
+            wav16 = load_audio_mono(audio_path, 16000)
+            mel128 = whisper_log_mel(wav16, n_mels=128)
+            toks = s3v2_encode(self._s3v2[0], self._s3v2[1],
+                               jnp.asarray(mel128)[None])
+        else:
+            wav = load_audio_mono(audio_path, self.SAMPLE_RATE)
+            mel_cfg = MelConfig(sample_rate=self.SAMPLE_RATE,
+                                n_mels=self._spk_cfg.n_mels)
+            mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
+            toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)
+        return np.asarray(toks, np.int64)[0] % SPEECH_VOCAB
+
+    def _exact_ref_cond(self, audio_path: str, emo: float):
+        """Reference-audio conditioning through the weight-exact cond
+        encoder: exact-S3 prompt speech tokens (+ learned positions) with
+        the packaged default speaker embedding (see preprocess comment)."""
+        from ..encoders.chatterbox_cond import chatterbox_cond_encode
+
+        toks = np.asarray(self._ref_speech_tokens(audio_path)).reshape(-1)
+        toks = toks[:150]  # reference speech_cond_prompt_len
+        emb_tbl = np.asarray(self.params["speech_embed"], np.float32)
+        pos_tbl = np.asarray(self.params["speech_pos"], np.float32)
+        emb = emb_tbl[toks % emb_tbl.shape[0]] + pos_tbl[:len(toks)]
+        t3 = (self._default_conds or {}).get("t3", {})
+        spk_np = np.asarray(t3.get("speaker_emb",
+                                   np.zeros(256)), np.float32).reshape(-1)
+        return chatterbox_cond_encode(self._cond_loaded,
+                                      jnp.asarray(spk_np),
+                                      jnp.asarray(emb), emo)
+
     def _cond_fn(self, cond_params, ref_mel, ref_feats, ref_mask,
                  exaggeration):
         """ref_mel (1, n_mels, T), ref_feats (1, T', H), ref_mask (1, T')
@@ -311,10 +377,7 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
         masks = np.ones((T, 1), bool)
         H = self._cfg.hidden_size
         feats = np.zeros((T, H), np.float32)
-        text_tbl = np.asarray(self.params["text_embed"], np.float32)
-        tpos_tbl = np.asarray(self.params["text_pos"], np.float32)
-        spc_tbl = np.asarray(self.params["speech_embed"], np.float32)
-        spos_tbl = np.asarray(self.params["speech_pos"], np.float32)
+        text_tbl, tpos_tbl, spc_tbl, spos_tbl = self._host_embed_tables
         # cond rows: perceiver conditioning from the reference audio when
         # one is given (voice cloning); the packaged default voice
         # (conds.pt through the weight-exact cond encoder) otherwise; zeros
@@ -322,11 +385,23 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
         dci = None
         if audio_path is not None:
             try:
-                ref_mel, ref_feats, ref_mask = self._load_ref(audio_path)
-                cond = self._encode_cond(
-                    self.cond_params, ref_mel, ref_feats, ref_mask,
-                    jnp.float32(exaggeration if exaggeration is not None
-                                else 0.5))
+                exo = float(exaggeration if exaggeration is not None else 0.5)
+                if self._cond_loaded is not None:
+                    # weight-exact T3 cond encoder over exact-S3 prompt
+                    # speech tokens (reference chatterbox.py:615-625 +
+                    # 348-350). The reference's own VoiceEncoder is never
+                    # loaded upstream (self.ve unassigned,
+                    # model/chatterbox.py:621), so speaker_emb falls back to
+                    # the packaged default voice's stored embedding — the
+                    # prompt tokens carry the reference timbre. Previously
+                    # this path ran ENTIRELY through randomly-initialized
+                    # cond modules even with real weights loaded.
+                    cond = self._exact_ref_cond(audio_path, exo)
+                else:
+                    ref_mel, ref_feats, ref_mask = self._load_ref(audio_path)
+                    cond = self._encode_cond(
+                        self.cond_params, ref_mel, ref_feats, ref_mask,
+                        jnp.float32(exo))
                 feats[:COND_LEN] = np.asarray(cond, np.float32)
                 # flow x-vector from the s3gen CAMPPlus (reference
                 # s3gen.embed_ref; weight-exact encoders/campplus.py)
@@ -336,7 +411,16 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
             except Exception:  # unreadable/absent reference: neutral voice
                 pass
         elif self._default_cond_rows is not None:
-            feats[:COND_LEN] = self._default_cond_rows
+            exo = float(exaggeration if exaggeration is not None else 0.5)
+            if abs(exo - self._default_emo) > 1e-6 \
+                    and self._cond_loaded is not None:
+                # the requested exaggeration differs from the stored
+                # emotion_adv: rebuild the cond rows (the cached default
+                # made the documented knob a silent no-op)
+                feats[:COND_LEN] = np.asarray(
+                    self._default_rows_for_emo(exo), np.float32)
+            else:
+                feats[:COND_LEN] = self._default_cond_rows
             gen = self._default_conds["gen"]
             dci = self.make_flow_cache_row(
                 spk=np.asarray(gen["embedding"], np.float32).reshape(-1),

@@ -198,20 +198,17 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
         input_masks = np.ones((T, 1), bool)
         H = self._cfg.hidden_size
         feats = np.zeros((T, H), np.float32)
-        llm_embed = np.asarray(self.params["llm_embed"], np.float32)
-        text_embed_tbl = self.params["text_embed"]
-        speech_embed_tbl = self.params["speech_embed"]
+        llm_embed, text_tbl, speech_tbl = self._host_embed_tables
         feats[0] = llm_embed[SOS]
         pos = 1
-        for tid in ref_text + text_ids:
-            feats[pos] = np.asarray(text_embed_tbl[int(tid) % text_embed_tbl.shape[0]],
-                                    np.float32)
-            pos += 1
+        tids = np.asarray(ref_text + text_ids, np.int64) % text_tbl.shape[0]
+        feats[pos:pos + len(tids)] = text_tbl[tids]
+        pos += len(tids)
         feats[pos] = llm_embed[TASK_ID]
         pos += 1
-        for st in ref_speech:
-            feats[pos] = np.asarray(speech_embed_tbl[int(st)], np.float32)
-            pos += 1
+        sids = np.asarray(ref_speech, np.int64)
+        feats[pos:pos + len(sids)] = speech_tbl[sids]
+        pos += len(sids)
         # thread the x-vector into the flow decoder's per-slot cache
         dci = None
         if np.any(np.asarray(ref["spk"])):
@@ -243,15 +240,30 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
             toks = np.asarray(toks, np.int32) % SPEECH_TOKEN_SIZE
         if self._campplus is not None:
             # weight-exact CAMPPlus x-vector (reference runs campplus.onnx,
-            # model/cosyvoice2.py:360-373)
+            # model/cosyvoice2.py:360-373); reuse the already-loaded wav
             from ..encoders.campplus import campplus_embed, kaldi_fbank
 
-            wav16 = load_audio_mono(audio_path, 16000)
-            feat = kaldi_fbank(wav16)
+            feat = kaldi_fbank(wav)
             spk = campplus_embed(self._campplus, jnp.asarray(feat)[None])[0]
         else:
+            # dev fallback x-vector. NOTE: `mel` exists only on the non-s3v2
+            # branch above; compute it here so an s3v2-without-campplus
+            # combination doesn't NameError (which preprocess's exception
+            # guard silently converted into the neutral default voice)
+            mel_cfg = MelConfig(sample_rate=16000,
+                                n_mels=self._s3_cfg.n_mels)
+            mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
             spk = speaker_embed(self._spk_params, self._spk_cfg_, mel)[0]
         return toks[:MAX_REF_TOKENS], np.asarray(spk, np.float32)
+
+    @functools.cached_property
+    def _host_embed_tables(self):
+        """One-time host copies of the immutable embedding tables: the
+        per-token device gathers in preprocess cost hundreds of sequential
+        D2H round-trips per request."""
+        return (np.asarray(self.params["llm_embed"], np.float32),
+                np.asarray(self.params["text_embed"], np.float32),
+                np.asarray(self.params["speech_embed"], np.float32))
 
     @functools.cached_property
     def _s3_cfg(self):

@@ -220,7 +220,7 @@ class GLMVoiceLM(InterleavedAudioMixin, BaseLM):
                   "Do it step by step. First, think about the instruction "
                   "and respond in a interleaved manner, with 13 text token "
                   "followed by 26 audio tokens. ")
-        user = audio_str if audio_path is not None else prompt
+        user = audio_str if audio_path is not None else (prompt or "")
         text = (f"<|system|>\n{system}<|user|>\n{user}"
                 "<|assistant|>streaming_transcription\n")
         if hasattr(self.text_tokenizer, "encode"):

@@ -172,27 +172,42 @@ class StepAudio2LM(InterleavedAudioMixin, BaseLM):
     # ---- host-side ---------------------------------------------------------
     def preprocess(self, prompt=None, audio_path=None, **kwargs
                    ) -> PreprocessOutput:
-        text = (f"<|im_start|>user\n{prompt or ''}<|im_end|>\n"
-                "<|im_start|>assistant\n")
-        if hasattr(self.text_tokenizer, "encode"):
-            ids = list(self.text_tokenizer.encode(text))
+        """Single-turn Step-Audio-2 chat layout (reference
+        step_audio_2.py:538-573 + _apply_chat_template:503-530):
+        ``<|BOT|>system\\n...<|EOT|><|BOT|>human\\n{content}<|EOT|>
+        <|BOT|>assistant\\n<tts_start>`` where audio content is
+        ``<audio_start><audio_patch>*Ta<audio_end>`` INSIDE the human turn
+        and the encoder+adaptor features are spliced over the patch rows
+        (step_audio_2.py:601-610). The previous im_start template put the
+        audio before any role turn — a layout the model never saw."""
+
+        def enc_text(t):
+            if hasattr(self.text_tokenizer, "encode"):
+                return list(self.text_tokenizer.encode(t))
+            return list(self.text_tokenizer(t))
+
+        pre = enc_text("<|BOT|>system\nYou are a helpful assistant."
+                       "<|EOT|><|BOT|>human\n")
+        post = enc_text("<|EOT|><|BOT|>assistant\n<tts_start>")
+        enc = None
+        if audio_path is not None:
+            # whisper-style mel encoder (25 Hz -> 12.5 Hz pooled) + 2x conv
+            # adaptor (encoders/whisper_exact.py)
+            enc = self._encode_audio(audio_path)  # (T_a, H)
+            mid = (enc_text("<audio_start>")
+                   + [AUDIO_MARKER] * enc.shape[0]
+                   + enc_text("<audio_end>"))
         else:
-            ids = list(self.text_tokenizer(text))
+            mid = enc_text(prompt or "")
+        ids = pre + mid + post
         T = len(ids)
         toks = np.asarray(ids, np.int32)[:, None]
         masks = np.zeros((T, 1), bool)
         feats = np.zeros((T, self._cfg.hidden_size), np.float32)
-        if audio_path is not None:
-            # audio input: whisper-style mel encoder (25 Hz -> 12.5 Hz
-            # pooled) + 2x conv adaptor, features spliced over <audio>
-            # marker rows inserted before the assistant turn (reference
-            # step_audio_2.py:601-610, encoder/step_audio_2.py:197-225)
-            enc = self._encode_audio(audio_path)  # (T_a, H)
-            Ta = enc.shape[0]
-            marker_rows = np.full((Ta, 1), AUDIO_MARKER, np.int32)
-            toks = np.concatenate([marker_rows, toks], axis=0)
-            masks = np.concatenate([np.ones((Ta, 1), bool), masks], axis=0)
-            feats = np.concatenate([enc, feats], axis=0)
+        if enc is not None:
+            rows = np.nonzero(toks[:, 0] == AUDIO_MARKER)[0][: enc.shape[0]]
+            feats[rows] = enc[: len(rows)]
+            masks[rows] = True
         return PreprocessOutput(input_tokens=toks, input_masks=masks,
                                 input_features=feats)
 

@@ -110,11 +110,17 @@ class ZonosLM(BaseLM):
                 "heads": jnp.stack([as_j(f"heads.{i}.weight").T
                                     for i in range(N_CB)]),
             }
-            self._conditioners = load_conditioner_config(model_dir)
-            self._cond_params = load_conditioner_params(
+            # load BOTH before assigning EITHER: a failure after assigning
+            # only _conditioners left the checkpoint's conditioner list
+            # zipped against default-config random params — per-request
+            # crash or silently wrong prefix rows
+            conditioners = load_conditioner_config(model_dir)
+            cond_params = load_conditioner_params(
                 {k: np.asarray(v) for k, v in state.items()
                  if k.startswith("prefix_conditioner.")},
-                self._conditioners)
+                conditioners)
+            self._conditioners = conditioners
+            self._cond_params = cond_params
             return params
         except Exception as e:
             from ..utils import get_logger
