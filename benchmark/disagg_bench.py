@@ -12,9 +12,13 @@ milliseconds, small enough to compile in seconds on CPU) through
 and reports audio-throughput for each plus the overlap win. On real
 hardware the two devices are separate chips joined by ICI and the win is
 bounded by the detok share of chip time (~30-40% at the serving knee, see
-artifacts/bench_progression_r2.md); on the virtual CPU mesh both "devices"
-share host cores, so the number here is a conservative lower bound that
-mainly demonstrates the loops do overlap rather than serialize.
+artifacts/bench_progression_r2.md). On the virtual CPU mesh the number is
+a LOWER BOUND in two ways: both "devices" share host cores, and the CPU
+backend executes compute synchronously inside the dispatch call, so the
+worker's dispatch lock (which serializes only microsecond host bookkeeping
+on TPU, where dispatch is async) serializes the full compute here. Expect
+overlap_win <= 1 on CPU; the run demonstrates correctness of the
+disaggregated path, not its speedup.
 
 Run:  python benchmark/disagg_bench.py  [--streams 8] [--max-tokens 60]
 Writes artifacts/disagg_virtual_r3.json.
@@ -153,9 +157,25 @@ def run_disagg(streams, max_tokens):
             await asyncio.sleep(0.002)
             async with sched._lock:
                 nbytes += _drain(sched)
+        # done_all is set on the detok executor thread BEFORE the detok
+        # coroutine re-acquires the lock and emits the final window's
+        # bytes; cancelling immediately lost up to one window per stream
+        # (biased the disagg variant low vs the synchronous online A-run)
+        for _ in range(200):
+            await asyncio.sleep(0.005)
+            if sched._detok_queue.empty():
+                async with sched._lock:
+                    drained = _drain(sched)
+                nbytes += drained
+                if drained == 0:
+                    break
         for t in tasks:
             t.cancel()
         worker.sync()
+        flush = getattr(worker, "flush_detokenize", None)
+        if flush is not None:
+            async with sched._lock:
+                sched._send_responses(flush())
         nbytes += _drain(sched)
         return nbytes, time.perf_counter() - t0
 

@@ -126,8 +126,14 @@ async def one_request(session, base, text, args, results, save_idx=None):
         (out / f"req_{save_idx:04d}.wav").write_bytes(b"".join(save_buf))
     ttfa = chunk_times[0] - start
     viable = []
+    # O(n) prefix sums: the quadratic sum blocked the shared event loop
+    # after each stream, distorting concurrent requests' chunk timestamps
+    # at exactly the high rates being measured
+    import itertools
+
+    prefix = list(itertools.accumulate(chunk_durs))
     for i in range(1, len(chunk_times)):
-        played = sum(chunk_durs[:i])
+        played = prefix[i - 1]
         latency = chunk_times[i] - chunk_times[0]
         viable.append(played > latency)
     results.append({

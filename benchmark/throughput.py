@@ -23,7 +23,9 @@ async def one(session, base, text, sample_rate, results):
                                 timeout=aiohttp.ClientTimeout(total=900)) as r:
             body = await r.read()
             latency = time.perf_counter() - t0
-            audio_s = max(len(body) - 44, 0) / 2 / sample_rate
+            # an HTTP error body must not count as generated audio
+            audio_s = (max(len(body) - 44, 0) / 2 / sample_rate
+                       if r.status == 200 else 0.0)
             results.append({
                 "latency_s": round(latency, 3),
                 "audio_s": round(audio_s, 3),
@@ -67,7 +69,10 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--num-requests", type=int, default=16)
-    p.add_argument("--data-source", default="fixed")
+    from goodput import DATASETS
+
+    p.add_argument("--data-source", default="fixed",
+                   choices=["fixed"] + sorted(DATASETS))
     p.add_argument("--per-request", action="store_true",
                    help="include per-request latency/audio/RTF rows")
     p.add_argument("--sample-rate", type=int, default=24000)

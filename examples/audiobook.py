@@ -16,7 +16,12 @@ async def synth(session, url, text, idx, results):
     async with session.post(url + "/generate",
                             data={"text": text, "streaming": "false"},
                             timeout=aiohttp.ClientTimeout(total=900)) as r:
-        results[idx] = await r.read()
+        body = await r.read()
+        if r.status != 200:
+            # an error body spliced into the PCM would play as garbage
+            print(f"sentence {idx} failed ({r.status}): {body[:120]!r}")
+            return
+        results[idx] = body
 
 
 async def run(args):
@@ -34,8 +39,11 @@ async def run(args):
         await asyncio.gather(*[bounded(i, s) for i, s in enumerate(sentences)])
 
     # concatenate PCM payloads
-    pcm = b"".join(r[44:] for r in results if r)
-    sr = wave.open(io.BytesIO(results[0]), "rb").getframerate() if results[0] else 24000
+    ok = [r for r in results if r]
+    if not ok:
+        raise SystemExit("no sentence synthesized successfully")
+    pcm = b"".join(r[44:] for r in ok)
+    sr = wave.open(io.BytesIO(ok[0]), "rb").getframerate()
     with wave.open(args.out, "wb") as wf:
         wf.setnchannels(1)
         wf.setsampwidth(2)

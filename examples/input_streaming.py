@@ -21,8 +21,9 @@ def main():
     p.add_argument("--push-interval", type=float, default=0.15)
     args = p.parse_args()
 
-    rid = httpx.post(args.url + "/generate/stream/start",
-                     data={}, timeout=30).json()["request_id"]
+    r = httpx.post(args.url + "/generate/stream/start", data={}, timeout=30)
+    r.raise_for_status()  # surface 'warming' / wrong-scheduler errors
+    rid = r.json()["request_id"]
     print("request:", rid)
 
     total = {"bytes": 0}
@@ -30,6 +31,7 @@ def main():
     def consume():
         with httpx.stream("GET", f"{args.url}/generate/stream/{rid}/audio",
                           timeout=600) as r, open(args.out, "wb") as f:
+            r.raise_for_status()
             for chunk in r.iter_bytes():
                 f.write(chunk)
                 total["bytes"] += len(chunk)

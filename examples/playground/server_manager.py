@@ -5,7 +5,7 @@ TPU-native analogue of the reference playground's VoxServeServerManager
 ``python -m vox_serve_tpu.launch`` as a subprocess, tails its logs into a
 ring buffer, polls /health until ready (the server reports 503 "warming"
 during model init + warmup), and stops it cleanly. Device selection is
-TPU-chip index based (VOX_SERVE_TPU_DEVICES) instead of CUDA_VISIBLE_DEVICES.
+TPU-chip index based (VOX_SERVE_PLATFORM) instead of CUDA_VISIBLE_DEVICES.
 """
 
 from __future__ import annotations

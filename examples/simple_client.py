@@ -27,12 +27,13 @@ def main():
         r.raise_for_status()
         n = 0
         for chunk in r.iter_bytes():
+            n += len(chunk)
+            # first bytes past the 44-byte streaming WAV header = audio
             if first is None and n > 44:
                 first = time.perf_counter() - start
             f.write(chunk)
-            n += len(chunk)
-    print(f"wrote {n} bytes to {args.out}; "
-          f"TTFA {first * 1000:.0f} ms" if first else "no audio")
+    ttfa = f"TTFA {first * 1000:.0f} ms" if first else "no audio"
+    print(f"wrote {n} bytes to {args.out}; {ttfa}")
 
 
 if __name__ == "__main__":
