@@ -42,8 +42,7 @@ def test_f0_predictor_parity(ref_hift, mapped):
     mel = rng.normal(size=(2, 80, 12)).astype(np.float32)
     with torch.no_grad():
         ref = ref_hift.f0_predictor(torch.from_numpy(mel)).numpy()
-    ours = np.asarray(_f0_predictor(mapped, jnp.asarray(mel),
-                                    CFG.lrelu_slope))
+    ours = np.asarray(_f0_predictor(mapped, jnp.asarray(mel)))
     rel = np.linalg.norm(ours - ref) / (np.linalg.norm(ref) + 1e-9)
     assert rel < 1e-4, rel
 

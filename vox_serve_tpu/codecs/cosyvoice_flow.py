@@ -220,25 +220,6 @@ def load_cosy_flow_params(sd: dict, cfg: CosyFlowConfig,
     def ln(name):
         return {"w": arr(f"{name}.weight"), "b": arr(f"{name}.bias")}
 
-    def conformer_layer(pre):
-        return {
-            "self_attn": {
-                "linear_q": lin(f"{pre}.self_attn.linear_q"),
-                "linear_k": lin(f"{pre}.self_attn.linear_k"),
-                "linear_v": lin(f"{pre}.self_attn.linear_v"),
-                "linear_out": lin(f"{pre}.self_attn.linear_out"),
-                "linear_pos": lin(f"{pre}.self_attn.linear_pos", bias=False),
-                "pos_bias_u": arr(f"{pre}.self_attn.pos_bias_u"),
-                "pos_bias_v": arr(f"{pre}.self_attn.pos_bias_v"),
-            },
-            "feed_forward": {
-                "w_1": lin(f"{pre}.feed_forward.w_1"),
-                "w_2": lin(f"{pre}.feed_forward.w_2"),
-            },
-            "norm_mha": ln(f"{pre}.norm_mha"),
-            "norm_ff": ln(f"{pre}.norm_ff"),
-        }
-
     def causal_block(pre):
         return {"conv": conv(f"{pre}.block.0"), "norm": ln(f"{pre}.block.2")}
 
@@ -293,7 +274,6 @@ def load_cosy_flow_params(sd: dict, cfg: CosyFlowConfig,
         "final_proj": conv(f"{e}.final_proj"),
     }
 
-    enc = "encoder"
     return {
         **load_cosy_encoder_section(sd, cfg, prefix),
         "estimator": est,

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import conv1d, conv_transpose1d, init_conv1d, init_conv_transpose1d
+from .layers import (conv1d, conv_transpose1d, init_conv1d,
+                     init_conv_transpose1d, snake)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,23 +101,18 @@ def init_hift(cfg: HiFTConfig, key: jax.Array) -> dict:
     return p
 
 
-def _snake(x, alpha):
-    a = alpha[None, :, None]
-    return x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
-
-
 def _resblock(p, x, kernel, dilations):
     for i, dil in enumerate(dilations):
-        xt = _snake(x, p["alpha1"][i])
+        xt = snake(x, p["alpha1"][i])
         xt = conv1d(p["convs1"][i], xt, padding=_get_padding(kernel, dil),
                     dilation=dil)
-        xt = _snake(xt, p["alpha2"][i])
+        xt = snake(xt, p["alpha2"][i])
         xt = conv1d(p["convs2"][i], xt, padding=_get_padding(kernel, 1))
         x = x + xt
     return x
 
 
-def _f0_predictor(p, mel, slope):
+def _f0_predictor(p, mel):
     x = mel
     for conv in p["f0_convs"]:
         x = conv1d(conv, x, padding=1)
@@ -192,7 +188,7 @@ def hift_decode(params: dict, cfg: HiFTConfig, mel: jax.Array,
     overwrites the head of this chunk's source for phase continuity
     (reference forward_chunk, hifigan.py:640-665).
     """
-    f0 = _f0_predictor(params, mel, cfg.lrelu_slope)   # (B, T)
+    f0 = _f0_predictor(params, mel)   # (B, T)
     s = _sine_source(params, cfg, f0, rng)             # (B, 1, S)
     if source_cache is not None and source_cache.shape[2] > 0:
         keep = source_cache.shape[2]
@@ -328,6 +324,10 @@ def init_hift_cache(cfg: HiFTConfig, batch: int,
         "mel": jnp.zeros((batch, cfg.in_channels, ctx_frames)),
         "source": jnp.zeros((batch, 1, ctx_frames * up)),
         "speech": jnp.zeros((batch, ctx_frames * up)),
+        # False until the first chunk has decoded: the first chunk's head
+        # samples come from the all-zero context mel (vocoder garbage) and
+        # are muted instead of crossfaded in
+        "primed": jnp.zeros((batch,), bool),
     }
 
 
@@ -354,10 +354,17 @@ def hift_decode_chunk(params: dict, cfg: HiFTConfig, mel: jax.Array,
     window = jnp.asarray(np.hamming(2 * n).astype(np.float32))
     head = wav[:, :n] * window[None, :n] \
         + cache["speech"].astype(wav.dtype) * window[None, n:]
+    # first chunk: the head decodes the all-zero context mel — mute it
+    # (leading silence) instead of Hamming-ramping vocoder garbage in
+    primed = cache.get("primed")
+    if primed is not None:
+        head = jnp.where(primed[:, None], head, jnp.zeros_like(head))
     wav = jnp.concatenate([head, wav[:, n:]], axis=1)
     new_cache = {
         "mel": mel_in[:, :, -ctx:],
         "source": source[:, :, -n:],
         "speech": wav[:, -n:],
     }
+    if primed is not None:
+        new_cache["primed"] = jnp.ones_like(primed)
     return wav[:, :-n], new_cache

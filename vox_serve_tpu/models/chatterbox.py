@@ -407,7 +407,11 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
                 # s3gen.embed_ref; weight-exact encoders/campplus.py)
                 spk = self._campplus_xvector(audio_path)
                 if spk is not None:
-                    dci = self.make_flow_cache_row(spk=spk)
+                    # seed the flow token context/positions with the ref
+                    # speech tokens (see flow_common.make_flow_cache_row)
+                    dci = self.make_flow_cache_row(
+                        spk=spk,
+                        prompt_tokens=self._ref_speech_tokens(audio_path))
             except Exception:  # unreadable/absent reference: neutral voice
                 pass
         elif self._default_cond_rows is not None:
@@ -425,7 +429,8 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
             dci = self.make_flow_cache_row(
                 spk=np.asarray(gen["embedding"], np.float32).reshape(-1),
                 prompt_feat=np.asarray(gen["prompt_feat"],
-                                       np.float32)[0])
+                                       np.float32)[0],
+                prompt_tokens=np.asarray(gen["prompt_token"]).reshape(-1))
         pos = COND_LEN
         for i, t in enumerate(text_ids):
             feats[pos] = text_tbl[t] + tpos_tbl[i]

@@ -212,7 +212,10 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
         # thread the x-vector into the flow decoder's per-slot cache
         dci = None
         if np.any(np.asarray(ref["spk"])):
-            dci = self.make_flow_cache_row(spk=ref["spk"])
+            dci = self.make_flow_cache_row(
+                spk=ref["spk"],
+                prompt_tokens=np.asarray(ref["ref_speech_tokens"],
+                                         np.int64).reshape(-1))
         return PreprocessOutput(input_tokens=input_tokens,
                                 input_masks=input_masks,
                                 input_features=feats,

@@ -55,9 +55,11 @@ class CosyFlowDecodeMixin:
             spk = jnp.zeros((B, cfg.spk_dim))
             mel = cosy_flow_forward(codec_params["flow"], cfg, tokens, valid,
                                     spk, conds, rng, streaming=True)
+            # emit the FIRST step tokens (windows tile [i*step, i*step+W)
+            # from 0; the trailing `overlap` tokens are lookahead context)
             keep = step * cfg.token_mel_ratio
             wav, _ = hift_decode(codec_params["hift"], self._hift_cfg,
-                                 mel[:, :, -keep:])
+                                 mel[:, :, :keep])
             return wav[:, None, :], None
 
         ctx = cache["ctx_tokens"]                            # (B, K)
@@ -81,8 +83,14 @@ class CosyFlowDecodeMixin:
 
         mel = cosy_flow_forward(codec_params["flow"], cfg, toks_in, valid,
                                 cache["spk"], conds, rng, streaming=True)
+        # emit the FIRST step tokens OF THE WINDOW (after the K ctx tokens):
+        # scheduler windows tile [i*step, i*step + W) from token 0, and the
+        # window's trailing `overlap` tokens act as real lookahead for the
+        # emitted region (the old keep-last-step convention permanently
+        # dropped tokens [0, overlap) — the first ~120 ms of every stream —
+        # and emitted zero-lookahead tails at every chunk boundary)
         keep = step * r
-        mel = mel[:, :, -keep:]
+        mel = mel[:, :, K * r: K * r + keep]
         wav, new_hift = hift_decode_chunk(codec_params["hift"],
                                           self._hift_cfg, mel, cache["hift"])
 
@@ -93,13 +101,29 @@ class CosyFlowDecodeMixin:
         new_cache["hift"] = new_hift
         return wav[:, None, :], new_cache
 
-    def make_flow_cache_row(self, spk=None, prompt_feat=None):
+    def make_flow_cache_row(self, spk=None, prompt_feat=None,
+                            prompt_tokens=None):
         """Per-slot cache initialization row (PreprocessOutput.
-        decoder_cache_init): zero caches with the request's x-vector and
-        prompt-mel anchor filled in."""
+        decoder_cache_init): zero caches with the request's x-vector,
+        prompt-mel anchor, and prompt speech tokens filled in.
+
+        prompt_tokens seed the flow token context AND offset tok_pos, so
+        the prompt mel rows anchor the PROMPT's positions (reference
+        inpainting setup: prompt tokens + prompt mel at [0, P), generation
+        appended after). Without them the prompt mel anchored over
+        GENERATED-token positions, pulling the first seconds of every
+        utterance toward replicating the prompt recording."""
         row = jax.tree.map(lambda a: a[0], self.init_decoder_cache(1))
         if spk is not None:
             row["spk"] = jnp.asarray(spk, jnp.float32)
+        if prompt_tokens is not None:
+            pt = jnp.asarray(prompt_tokens, jnp.int32).reshape(-1)
+            pt = jnp.clip(pt, 0, self._flow_cfg.vocab_size - 1)
+            K = self.FLOW_CTX_TOKENS
+            k = min(pt.shape[0], K)
+            if k:
+                row["ctx_tokens"] = row["ctx_tokens"].at[K - k:].set(pt[-k:])
+            row["tok_pos"] = jnp.asarray(int(pt.shape[0]), jnp.int32)
         if prompt_feat is not None:
             pf = jnp.asarray(prompt_feat, jnp.float32)
             P = self.FLOW_PROMPT_FRAMES

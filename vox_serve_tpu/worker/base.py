@@ -1739,8 +1739,13 @@ class ModelWorker:
         touched: list[Request] = []
         for i, (req, decode_idx, last_len, window_len) in enumerate(mapping):
             pcm = audio_np[i]
-            if last_len < window_len:
-                trim = int(pcm.shape[1] * (last_len - 0.5) / window_len)
+            # overlap codecs emit only the FIRST (window - overlap) tokens'
+            # audio (the tail is lookahead), so the final-partial trim
+            # denominates in the EMITTED span; overlap=0 reduces to the
+            # reference rule (len - 0.5) / window
+            step_len = window_len - self.model.detokenize_overlap
+            if last_len < step_len:
+                trim = int(pcm.shape[1] * (last_len - 0.5) / step_len)
                 pcm = pcm[:, :max(trim, 0)]
             req.output_audio.put(_pcm_bytes(pcm))
             if req not in touched:
