@@ -23,21 +23,33 @@ from server_manager import ServerConfig, ServerManager  # noqa: E402
 
 BASE_DIR = Path(__file__).parent
 
-MODELS = [
-    "Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice",
-    "Qwen/Qwen3-TTS-12Hz-1.7B-Base",
-    "Qwen/Qwen3-TTS-12Hz-1.7B-VoiceDesign",
-    "Qwen/Qwen3-TTS-12Hz-0.6B-CustomVoice",
-    "Qwen/Qwen3-TTS-12Hz-0.6B-Base",
-    "canopylabs/orpheus-3b-0.1-ft",
-    "sesame/csm-1b",
-    "Zyphra/Zonos-v0.1-transformer",
-    "zai-org/glm-4-voice-9b",
-    "stepfun-ai/Step-Audio-2-mini",
-    "ResembleAI/chatterbox",
-    "FunAudioLLM/CosyVoice2-0.5B",
-    "dummy",
-]
+#: id -> capability flags the UI uses to show/hide input fields (reference
+#: examples/playground/app.py:141-216 ModelInfo table).
+MODELS = {
+    "Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice": dict(
+        supports_language=True, supports_speaker=True, supports_instruct=True),
+    "Qwen/Qwen3-TTS-12Hz-1.7B-Base": dict(
+        supports_audio_input=True, supports_language=True,
+        supports_ref_text=True, supports_instruct=True),
+    "Qwen/Qwen3-TTS-12Hz-1.7B-VoiceDesign": dict(
+        supports_language=True, supports_instruct=True),
+    "Qwen/Qwen3-TTS-12Hz-0.6B-CustomVoice": dict(
+        supports_language=True, supports_speaker=True),
+    "Qwen/Qwen3-TTS-12Hz-0.6B-Base": dict(
+        supports_audio_input=True, supports_language=True,
+        supports_ref_text=True),
+    "canopylabs/orpheus-3b-0.1-ft": dict(supports_audio_input=True),
+    "sesame/csm-1b": dict(),
+    "Zyphra/Zonos-v0.1-transformer": dict(),
+    "zai-org/glm-4-voice-9b": dict(supports_audio_input=True,
+                                   requires_audio=True),
+    "stepfun-ai/Step-Audio-2-mini": dict(supports_audio_input=True,
+                                         requires_audio=True),
+    "ResembleAI/chatterbox": dict(supports_audio_input=True,
+                                  requires_audio=True),
+    "FunAudioLLM/CosyVoice2-0.5B": dict(supports_audio_input=True),
+    "dummy": dict(),
+}
 
 manager = ServerManager()
 
@@ -48,7 +60,11 @@ async def index(request: web.Request) -> web.Response:
 
 
 async def models(request: web.Request) -> web.Response:
-    return web.json_response({"models": MODELS})
+    caps = ("supports_audio_input", "requires_audio", "supports_language",
+            "supports_speaker", "supports_ref_text", "supports_instruct")
+    return web.json_response({"models": [
+        {"id": mid, "name": mid, **{c: f.get(c, False) for c in caps}}
+        for mid, f in MODELS.items()]})
 
 
 async def devices(request: web.Request) -> web.Response:
