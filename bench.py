@@ -73,6 +73,11 @@ def _drain_audio_bytes(sched, only_rid=None):
 
 def main():
     global BATCH, CAPACITY_SECONDS
+    if os.environ.get("VOX_BENCH_LOG_COMPILES"):
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
+        jax.config.update("jax_explain_cache_misses", True)
     smoke = bool(os.environ.get("VOX_BENCH_SMOKE"))
     if smoke:  # CPU logic check: tiny model, short phases
         from vox_serve_tpu.models.dummy import DummyLM
@@ -236,6 +241,13 @@ def main():
     ttfas.sort()
     ttfa_p50 = ttfas[len(ttfas) // 2] if ttfas else float("nan")
     ttfa_worst = ttfas[-1] if ttfas else float("nan")
+
+    if os.environ.get("VOX_BENCH_PHASES") == "ttfa":
+        print(json.dumps({"metric": "ttfa_p50_ms", "value": round(ttfa_p50, 1),
+                          "unit": "ms", "vs_baseline": round(80.0 / ttfa_p50, 3)
+                          if ttfa_p50 else None,
+                          "ttfa_worst_ms": round(ttfa_worst, 1)}))
+        return
 
     # ---- concurrent capacity: audio-seconds produced per wall-second with
     # a full batch of live streams and realistic churn (finished streams are
