@@ -379,8 +379,50 @@ class ModelWorker:
         self._zero_cache_fn = None
         self._detok_fns: dict[int, Any] = {}
 
+        self._commit_persistent_state()
         if cfg.warmup:
             self.warmup()
+
+    def _commit_persistent_state(self) -> None:
+        """Pin every persistent device tree to an explicit device.
+
+        jit caches executables on each argument's sharding COMMITMENT, not
+        just its aval: a fresh ``jnp.zeros`` is uncommitted, while
+        ``device_put`` output is committed, and jit outputs inherit
+        commitment from the inputs. Buffers that start life uncommitted
+        flip to committed the first time a committed array (e.g. the
+        detokenizer's ``device_put`` token upload) enters the same step —
+        and every commitment combination compiles a separate executable.
+        Measured effect before this fix: the first cold stream after
+        warmup recompiled the whole chain, a 36 s TTFA outlier on the
+        TPU (artifacts/bench_progression_r3.md). Committing everything up
+        front makes warmup and serving signatures identical.
+
+        Leaves that are already committed (TP params/KV pools placed with
+        a NamedSharding) are left untouched — re-putting them to a single
+        device would silently unshard them.
+        """
+        def commit(tree, device):
+            if tree is None:
+                return None
+            return jax.tree.map(
+                lambda a: (jax.device_put(a, device)
+                           if isinstance(a, jax.Array) and not a.committed
+                           else a), tree)
+
+        dev = self.lm_device
+        self.model.params = commit(self.model.params, dev)
+        self.k_pages = commit(self.k_pages, dev)
+        self.v_pages = commit(self.v_pages, dev)
+        self.rep_cache = commit(self.rep_cache, dev)
+        self.feedback = commit(self.feedback, dev)
+        self.last_tokens = commit(self.last_tokens, dev)
+        self._base_key = commit(self._base_key, dev)
+        self.codec_cache = commit(self.codec_cache, self.detokenizer_device)
+        self.model.codec_params = commit(self.model.codec_params,
+                                         self.detokenizer_device)
+        self.watermark_params = commit(self.watermark_params,
+                                       self.detokenizer_device)
 
     #: cumulative host-side time per fine-grained phase segment
     #: (plan / upload / dispatch / resolve-get), name -> (total_s, calls).
