@@ -35,6 +35,13 @@ from vox_serve_tpu.scheduler.online import OnlineScheduler
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
 BATCH = int(os.environ.get("VOX_BENCH_BATCH", "144"))
+#: full-batch fused decode (k steps per dispatch round) is the measured
+#: production optimum (artifacts/bench_progression_r3.md: TTFA p50 109.6 ms
+#: vs 135.6 ms single-step, streams 119.8 vs 122.8 — both above the 100
+#: target, and only fused-full meets the <=120 ms TTFA goal) and matches
+#: the qwen3 serving profile (vox_serve_tpu/profiles.py). Opt out with
+#: VOX_BENCH_FUSED_FULL=0 for the single-step-decode A/B variant.
+FUSED_FULL = os.environ.get("VOX_BENCH_FUSED_FULL", "1") != "0"
 PROMPT = "A realistic sentence for the server to speak aloud."
 CAPACITY_SECONDS = 15.0
 TTFA_RUNS = 5
@@ -142,7 +149,7 @@ def main():
                 "VOX_BENCH_DETOK_CAP",
                 # full-batch fused decode multiplies steady-state window
                 # demand by k: ceil(144*5/10) = 72 -> 80-wide ceiling
-                "80" if os.environ.get("VOX_BENCH_FUSED_FULL") else "64")))),
+                "80" if FUSED_FULL else "64")))),
         # two in-flight detok batches: batch N's audio readback must not
         # block behind the (wide) fused decode executable before N+1 can
         # even be dispatched
@@ -158,8 +165,7 @@ def main():
         # time (~120 ms measured), so fusing k steps amortizes that fixed
         # cost over k frames per stream.
         fused_decode_steps=int(os.environ.get("VOX_BENCH_FUSED_K", "5")),
-        fused_decode_buckets=(
-            (1, BATCH) if os.environ.get("VOX_BENCH_FUSED_FULL") else (1,)),
+        fused_decode_buckets=((1, BATCH) if FUSED_FULL else (1,)),
     )
     worker = ModelWorker(model, wcfg)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)

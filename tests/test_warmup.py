@@ -29,3 +29,33 @@ def test_warmup_then_serve():
     worker.run_lm_decode([req])
     assert req.num_generated >= 2
     worker.free_kv_cache(req)
+
+
+def test_persistent_state_committed():
+    """Every persistent device buffer must be COMMITTED to a device at
+    construction: jit keys executables on sharding commitment, and a
+    buffer that flips uncommitted->committed mid-serving (e.g. via the
+    detokenizer's device_put token upload) recompiles the whole step —
+    a measured 36 s TTFA outlier on TPU (artifacts/bench_progression_r3.md).
+    """
+    import jax
+
+    model = DummyLM(max_tokens=12)
+    worker = ModelWorker(model, WorkerConfig(
+        max_batch_size=2, num_pages=64, page_size=8,
+        prefill_token_buckets=(32,), max_prefill_requests=2, warmup=False))
+    uncommitted = []
+
+    def check(name, tree):
+        jax.tree.map(
+            lambda a: uncommitted.append(name)
+            if isinstance(a, jax.Array) and not a.committed else None, tree)
+
+    check("params", worker.model.params)
+    check("k_pages", worker.k_pages)
+    check("v_pages", worker.v_pages)
+    check("feedback", worker.feedback)
+    check("last_tokens", worker.last_tokens)
+    check("base_key", worker._base_key)
+    check("codec_params", worker.model.codec_params)
+    assert not uncommitted, f"uncommitted persistent buffers: {uncommitted}"

@@ -400,7 +400,11 @@ class ModelWorker:
 
         Leaves that are already committed (TP params/KV pools placed with
         a NamedSharding) are left untouched — re-putting them to a single
-        device would silently unshard them.
+        device would silently unshard them. Under tensor parallelism the
+        LM-side buffers must be committed to the SAME device set as the
+        mesh-sharded params (replicated over ``self.mesh``): committing
+        them to ``lm_device`` alone makes jit reject the step with
+        "incompatible devices" (mesh device ids vs [0]).
         """
         def commit(tree, device):
             if tree is None:
@@ -411,6 +415,10 @@ class ModelWorker:
                            else a), tree)
 
         dev = self.lm_device
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dev = NamedSharding(self.mesh, P())
         self.model.params = commit(self.model.params, dev)
         self.k_pages = commit(self.k_pages, dev)
         self.v_pages = commit(self.v_pages, dev)
