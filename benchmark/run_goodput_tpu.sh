@@ -23,7 +23,9 @@ echo $! > /tmp/goodput_tpu_server.pid
 trap 'kill $(cat /tmp/goodput_tpu_server.pid) 2>/dev/null' EXIT
 
 # wait for warmup: /health turns healthy only once the scheduler is live
-for i in $(seq 1 120); do
+# (cold-cache warmup of the full flagship lattice can take ~15 min through
+# the tunneled backend; warm compilation cache brings it to a few minutes)
+for i in $(seq 1 240); do
     if curl -sf "http://127.0.0.1:$PORT/health" >/dev/null 2>&1; then
         break
     fi
