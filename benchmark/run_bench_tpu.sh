@@ -24,6 +24,8 @@ run_until_done() {
   done
 }
 
+# default = fused full-batch decode (VOX_BENCH_FUSED_FULL=1 since r3);
+# the A/B variant is the single-step decode baseline (explicit =0)
 run_until_done default
-run_until_done fusedfull VOX_BENCH_FUSED_FULL=1
+run_until_done singlestep VOX_BENCH_FUSED_FULL=0
 echo "ALL_BENCHES_DONE $(date)" > /tmp/bench_r3_done

@@ -15,8 +15,8 @@ from vox_serve_tpu.codecs.hifigan import HiFTConfig
 from vox_serve_tpu.encoders.perceiver import (
     PerceiverConfig, init_perceiver, perceiver_resample,
 )
-from vox_serve_tpu.encoders.s3_tokenizer import (
-    S3TokenizerConfig, fsq_quantize, init_s3_tokenizer, s3_tokenize,
+from vox_serve_tpu.encoders.s3_exact import (
+    S3V2Config, init_s3v2_params, s3v2_encode,
 )
 from vox_serve_tpu.models.backbone import BackboneConfig
 from vox_serve_tpu.models.chatterbox import COND_LEN, ChatterboxLM
@@ -60,23 +60,19 @@ def ref_wav(tmp_path):
     return p
 
 
-def test_fsq_quantize_range_and_determinism():
-    cfg = S3TokenizerConfig(fsq_dims=4, fsq_levels=3)
-    z = jax.random.normal(jax.random.key(0), (2, 7, 4)) * 3
-    ids = fsq_quantize(cfg, z)
-    assert ids.shape == (2, 7)
-    assert int(ids.min()) >= 0 and int(ids.max()) < 3 ** 4
-    assert np.array_equal(np.asarray(ids), np.asarray(fsq_quantize(cfg, z)))
-
-
-def test_s3_tokenizer_shapes():
-    cfg = S3TokenizerConfig(n_mels=20, hidden=32, layers=1, heads=4)
-    params = init_s3_tokenizer(cfg, jax.random.key(1))
+def test_s3v2_random_init_shapes_and_determinism():
+    """The dev fallback path: the SAME s3_exact implementation under
+    random-init params (the s3_tokenizer/s3_exact split is collapsed —
+    VERDICT r3 next-step #8)."""
+    cfg = S3V2Config(n_mels=20, n_state=32, heads=4, layers=1, rope_dim=8)
+    params = init_s3v2_params(jax.random.key(1), cfg)
     mel = jax.random.normal(jax.random.key(2), (2, 20, 24))
-    toks = s3_tokenize(params, cfg, mel)
-    assert toks.shape == (2, 12)  # conv stem downsamples x2
+    toks = s3v2_encode(params, cfg, mel)
+    assert toks.shape == (2, 6)  # two stride-2 convs -> T/4
     assert toks.dtype == jnp.int32
-    assert int(toks.max()) < cfg.vocab_size
+    assert int(toks.min()) >= 0 and int(toks.max()) < cfg.vocab_size
+    assert np.array_equal(np.asarray(toks),
+                          np.asarray(s3v2_encode(params, cfg, mel)))
 
 
 def test_perceiver_static_output_and_masking():

@@ -1,3 +1,2 @@
 from .mel import log_mel_spectrogram, MelConfig  # noqa: F401
-from .whisper import WhisperEncoderConfig, init_whisper_encoder, whisper_encode  # noqa: F401
 from .speaker import SpeakerEncoderConfig, init_speaker_encoder, speaker_embed  # noqa: F401

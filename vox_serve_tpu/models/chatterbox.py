@@ -30,7 +30,6 @@ from ..models.flow_common import CosyFlowDecodeMixin
 from ..codecs.hifigan import HiFTConfig, init_hift
 from ..encoders.mel import MelConfig, log_mel_spectrogram
 from ..encoders.perceiver import PerceiverConfig, init_perceiver, perceiver_resample
-from ..encoders.s3_tokenizer import S3TokenizerConfig, init_s3_tokenizer, s3_tokenize
 from ..encoders.speaker import SpeakerEncoderConfig, init_speaker_encoder, speaker_embed
 from ..utils import load_audio_mono
 from ..models.backbone import BackboneConfig, init_backbone_params
@@ -260,20 +259,13 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
     def _ref_speech_tokens(self, audio_path: str) -> np.ndarray:
         """Reference WAV -> S3 speech tokens (weight-exact v2 from
         s3gen.safetensors when available; dev fallback otherwise)."""
-        if self._s3v2 is not None:
-            from ..encoders.s3_exact import s3v2_encode
-            from ..encoders.whisper_exact import whisper_log_mel
+        from ..encoders.s3_exact import s3v2_encode
+        from ..encoders.whisper_exact import whisper_log_mel
 
-            wav16 = load_audio_mono(audio_path, 16000)
-            mel128 = whisper_log_mel(wav16, n_mels=128)
-            toks = s3v2_encode(self._s3v2[0], self._s3v2[1],
-                               jnp.asarray(mel128)[None])
-        else:
-            wav = load_audio_mono(audio_path, self.SAMPLE_RATE)
-            mel_cfg = MelConfig(sample_rate=self.SAMPLE_RATE,
-                                n_mels=self._spk_cfg.n_mels)
-            mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-            toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)
+        s3_params, s3_cfg = self._s3v2
+        wav16 = load_audio_mono(audio_path, 16000)
+        mel128 = whisper_log_mel(wav16, n_mels=s3_cfg.n_mels)
+        toks = s3v2_encode(s3_params, s3_cfg, jnp.asarray(mel128)[None])
         return np.asarray(toks, np.int64)[0] % SPEECH_VOCAB
 
     def _exact_ref_cond(self, audio_path: str, emo: float):
@@ -482,18 +474,16 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
         mel_cfg = MelConfig(sample_rate=self.SAMPLE_RATE,
                             n_mels=self._spk_cfg.n_mels)
         mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-        if self._s3v2 is not None:
-            # weight-exact S3 v2 from s3gen.safetensors (tokenizer.* keys,
-            # reference tokenizer/chatterbox.py:778)
-            from ..encoders.s3_exact import s3v2_encode
-            from ..encoders.whisper_exact import whisper_log_mel
+        # S3 v2 (weight-exact from s3gen.safetensors when present — the
+        # reference's ChatterboxDecoder embeds it under tokenizer.*,
+        # tokenizer/chatterbox.py:778 — random-init dev config otherwise)
+        from ..encoders.s3_exact import s3v2_encode
+        from ..encoders.whisper_exact import whisper_log_mel
 
-            wav16 = load_audio_mono(audio_path, 16000)
-            mel128 = whisper_log_mel(wav16, n_mels=128)
-            toks = s3v2_encode(self._s3v2[0], self._s3v2[1],
-                               jnp.asarray(mel128)[None])
-        else:
-            toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)  # (1, T')
+        s3_params, s3_cfg = self._s3v2
+        wav16 = load_audio_mono(audio_path, 16000)
+        mel128 = whisper_log_mel(wav16, n_mels=s3_cfg.n_mels)
+        toks = s3v2_encode(s3_params, s3_cfg, jnp.asarray(mel128)[None])
         toks = toks[:, : self._perc_cfg.max_prompt] % SPEECH_VOCAB
         spc_tbl = jnp.asarray(self.params["speech_embed"], jnp.float32)
         feats = spc_tbl[toks]  # (1, T', H)
@@ -501,36 +491,29 @@ class ChatterboxLM(CosyFlowDecodeMixin, BaseLM):
         return mel, feats, mask
 
     @functools.cached_property
-    def _s3_cfg(self):
-        return S3TokenizerConfig(n_mels=self._spk_cfg.n_mels, hidden=256,
-                                 layers=2, heads=4)
-
-    @functools.cached_property
-    def _s3_params(self):
-        return init_s3_tokenizer(self._s3_cfg, jax.random.key(23))
-
-    @functools.cached_property
     def _s3v2(self):
-        """Weight-exact S3 v2 from s3gen.safetensors (the reference's
-        ChatterboxDecoder embeds the tokenizer, so its weights ship under
-        tokenizer.*)."""
+        """S3 v2 params + config: weight-exact from s3gen.safetensors when
+        present (the reference's ChatterboxDecoder embeds the tokenizer, so
+        its weights ship under tokenizer.*); explicit random-init dev
+        fallback of the SAME implementation otherwise — one S3 source of
+        truth (encoders/s3_exact.py)."""
+        from ..encoders.s3_exact import (S3V2Config, init_s3v2_params,
+                                         load_s3v2_params)
         from ..weights import load_safetensors_file, resolve_model_dir
 
         model_dir = resolve_model_dir(self.model_name)
-        if model_dir is None or not (model_dir / "s3gen.safetensors").exists():
-            return None
-        try:
-            from ..encoders.s3_exact import S3V2Config, load_s3v2_params
+        if model_dir is not None and (model_dir / "s3gen.safetensors").exists():
+            try:
+                cfg = S3V2Config()
+                sd = load_safetensors_file(model_dir / "s3gen.safetensors")
+                return load_s3v2_params(sd, cfg, prefix="tokenizer."), cfg
+            except Exception as e:
+                from ..utils import get_logger
 
-            cfg = S3V2Config()
-            sd = load_safetensors_file(model_dir / "s3gen.safetensors")
-            return load_s3v2_params(sd, cfg, prefix="tokenizer."), cfg
-        except Exception as e:
-            from ..utils import get_logger
-
-            get_logger("chatterbox").warning(
-                "S3 v2 mapping failed (%s)", type(e).__name__)
-            return None
+                get_logger("chatterbox").warning(
+                    "S3 v2 mapping failed (%s)", type(e).__name__)
+        dev_cfg = S3V2Config(n_state=256, heads=4, layers=2)
+        return init_s3v2_params(jax.random.key(23), dev_cfg), dev_cfg
 
     def is_stop(self, token_ids: np.ndarray) -> bool:
         return int(token_ids[0]) == STOP_SPEECH

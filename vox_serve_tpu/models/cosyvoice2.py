@@ -27,7 +27,6 @@ from ..codecs.hifigan import HiFTConfig, init_hift
 from ..models.flow_common import CosyFlowDecodeMixin
 from ..models.backbone import BackboneConfig, init_backbone_params
 from ..encoders.mel import MelConfig, log_mel_spectrogram
-from ..encoders.s3_tokenizer import S3TokenizerConfig, init_s3_tokenizer, s3_tokenize
 from ..encoders.speaker import SpeakerEncoderConfig, init_speaker_encoder, speaker_embed
 from ..models.base import BaseLM, PreprocessOutput
 from ..utils import load_audio_mono
@@ -173,7 +172,7 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
             # voice cloning: S3-tokenize the reference audio into prompt
             # speech tokens + CAMPPlus-style x-vector for the flow decoder
             # (reference model/cosyvoice2.py:360-373 via ONNX Runtime; here a
-            # jitted JAX path, encoders/s3_tokenizer.py)
+            # jitted JAX path, encoders/s3_exact.py)
             try:
                 ref = dict(ref)
                 toks, spk = self._encode_reference(audio_path)
@@ -225,22 +224,19 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
         """Reference WAV -> (speech tokens (T',) int32 in [0, vocab),
         x-vector (spk_dim,) float32)."""
         wav = load_audio_mono(audio_path, 16000)
-        if self._s3v2 is not None:
-            # weight-exact S3 v2 (FSMN attention + FSQ; reference runs
-            # speech_tokenizer_v2.onnx, model/cosyvoice2.py:360-373)
-            from ..encoders.s3_exact import s3v2_encode
-            from ..encoders.whisper_exact import whisper_log_mel
+        # S3 v2 (FSMN attention + FSQ; reference runs
+        # speech_tokenizer_v2.onnx, model/cosyvoice2.py:360-373):
+        # weight-exact when assets are present, random-init otherwise —
+        # one implementation either way (encoders/s3_exact.py)
+        from ..encoders.s3_exact import s3v2_encode
+        from ..encoders.whisper_exact import whisper_log_mel
 
-            mel128 = whisper_log_mel(wav, n_mels=128)
-            toks = np.asarray(
-                s3v2_encode(self._s3v2[0], self._s3v2[1],
-                            jnp.asarray(mel128)[None])[0], np.int32)
-        else:
-            mel_cfg = MelConfig(sample_rate=16000,
-                                n_mels=self._s3_cfg.n_mels)
-            mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
-            toks = s3_tokenize(self._s3_params, self._s3_cfg, mel)[0]
-            toks = np.asarray(toks, np.int32) % SPEECH_TOKEN_SIZE
+        s3_params, s3_cfg = self._s3v2
+        mel128 = whisper_log_mel(wav, n_mels=s3_cfg.n_mels)
+        toks = np.asarray(
+            s3v2_encode(s3_params, s3_cfg,
+                        jnp.asarray(mel128)[None])[0], np.int32)
+        toks = toks % SPEECH_TOKEN_SIZE  # no-op at the exact 3^8 vocab
         if self._campplus is not None:
             # weight-exact CAMPPlus x-vector (reference runs campplus.onnx,
             # model/cosyvoice2.py:360-373); reuse the already-loaded wav
@@ -249,12 +245,9 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
             feat = kaldi_fbank(wav)
             spk = campplus_embed(self._campplus, jnp.asarray(feat)[None])[0]
         else:
-            # dev fallback x-vector. NOTE: `mel` exists only on the non-s3v2
-            # branch above; compute it here so an s3v2-without-campplus
-            # combination doesn't NameError (which preprocess's exception
-            # guard silently converted into the neutral default voice)
+            # dev fallback x-vector
             mel_cfg = MelConfig(sample_rate=16000,
-                                n_mels=self._s3_cfg.n_mels)
+                                n_mels=self._spk_cfg_.n_mels)
             mel = log_mel_spectrogram(jnp.asarray(wav)[None], mel_cfg)
             spk = speaker_embed(self._spk_params, self._spk_cfg_, mel)[0]
         return toks[:MAX_REF_TOKENS], np.asarray(spk, np.float32)
@@ -269,31 +262,22 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
                 np.asarray(self.params["speech_embed"], np.float32))
 
     @functools.cached_property
-    def _s3_cfg(self):
-        return S3TokenizerConfig(n_mels=80, hidden=256, layers=2, heads=4,
-                                 fsq_levels=3, fsq_dims=8)
-
-    @functools.cached_property
-    def _s3_params(self):
-        return init_s3_tokenizer(self._s3_cfg, jax.random.key(29))
-
-    @functools.cached_property
     def _s3v2(self):
-        """Weight-exact S3 v2 when tensors are extractable: ONNX
-        initializers from speech_tokenizer_v2.onnx (onnx_reader) or a
-        torch-format conversion in the model dir."""
+        """S3 v2 params + config: weight-exact when tensors are extractable
+        (ONNX initializers from speech_tokenizer_v2.onnx via onnx_reader, or
+        a torch-format conversion in the model dir); otherwise an explicit
+        random-init dev fallback of the SAME implementation at a small
+        config — one S3 source of truth (encoders/s3_exact.py)."""
+        from ..encoders.s3_exact import (S3V2Config, init_s3v2_params,
+                                         load_s3v2_params)
         from ..weights import resolve_model_dir
 
         model_dir = resolve_model_dir(self.model_name)
-        if model_dir is None:
-            return None
-        from ..encoders.s3_exact import S3V2Config, load_s3v2_params
-
         cfg = S3V2Config()
-        for loader, path in (
+        for loader, path in (() if model_dir is None else (
                 ("onnx", model_dir / "speech_tokenizer_v2.onnx"),
                 ("st", model_dir / "speech_tokenizer_v2.safetensors"),
-                ("pt", model_dir / "speech_tokenizer_v2.pt")):
+                ("pt", model_dir / "speech_tokenizer_v2.pt"))):
             if not path.exists():
                 continue
             try:
@@ -318,7 +302,8 @@ class CosyVoice2LM(CosyFlowDecodeMixin, BaseLM):
                 get_logger("cosyvoice2").warning(
                     "S3 v2 mapping from %s failed (%s)", path.name,
                     type(e).__name__)
-        return None
+        dev_cfg = S3V2Config(n_state=256, heads=4, layers=2)
+        return init_s3v2_params(jax.random.key(29), dev_cfg), dev_cfg
 
     @functools.cached_property
     def _spk_cfg_(self):
