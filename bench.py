@@ -43,7 +43,11 @@ BATCH = int(os.environ.get("VOX_BENCH_BATCH", "144"))
 #: VOX_BENCH_FUSED_FULL=0 for the single-step-decode A/B variant.
 FUSED_FULL = os.environ.get("VOX_BENCH_FUSED_FULL", "1") != "0"
 PROMPT = "A realistic sentence for the server to speak aloud."
-CAPACITY_SECONDS = 15.0
+CAPACITY_SECONDS = float(os.environ.get("VOX_BENCH_CAP_SECONDS", "8"))
+#: capacity windows per run: the metric is the MEDIAN over N windows with
+#: spread, not a single window (r3 showed 96.6 -> 122.8 stream swings on
+#: identical code from tunnel/tenancy variance; VERDICT r3 weak #1/#7)
+CAPACITY_WINDOWS = int(os.environ.get("VOX_BENCH_CAP_WINDOWS", "5"))
 TTFA_RUNS = 5
 
 
@@ -259,13 +263,23 @@ def main():
     # a full batch of live streams and realistic churn (finished streams are
     # replaced immediately) --------------------------------------------------
     cap_counter = [0]
+    enqueue_t: dict = {}   # rid bytes -> enqueue perf_counter
+    churn_ttfa: list = []  # churned-admission TTFA samples (ms)
 
     def top_up():
         alive = sum(1 for r in sched.active_requests if not r.done_all)
         for _ in range(BATCH - alive):
-            sched.enqueue_request(_mkreq(f"cap{cap_counter[0]}",
-                                         max_tokens=CAP_TOKENS))
+            req = _mkreq(f"cap{cap_counter[0]}", max_tokens=CAP_TOKENS)
+            enqueue_t[req.request_id.encode()] = time.perf_counter()
+            sched.enqueue_request(req)
             cap_counter[0] += 1
+
+    def note_first_audio(rids):
+        now = time.perf_counter()
+        for rid in rids:
+            t0 = enqueue_t.pop(rid, None)
+            if t0 is not None:
+                churn_ttfa.append((now - t0) * 1000.0)
 
     phase_t.clear()
     top_up()
@@ -294,30 +308,47 @@ def main():
     phase_t.clear()  # capacity phases only (fill admissions excluded)
     worker.phase_stats.clear()
     _drain_audio_bytes(sched)
-    bytes_total = 0
-    iters = 0
-    t0 = time.perf_counter()
-    # min-step floor: a stray first-use compile must not eat the window
-    while time.perf_counter() - t0 < CAPACITY_SECONDS or iters < 100:
-        sched._step()
-        top_up()
-        n, _ = _drain_audio_bytes(sched)
+    churn_ttfa.clear()  # fill-phase admissions are warm-fill, not churn
+
+    # N back-to-back measured windows over the same churned steady state;
+    # the reported capacity is the MEDIAN with (max-min)/median spread
+    window_streams = []
+    for w in range(CAPACITY_WINDOWS):
+        bytes_total = 0
+        iters = 0
+        t0 = time.perf_counter()
+        # min-step floor: a stray first-use compile must not eat the window
+        while time.perf_counter() - t0 < CAPACITY_SECONDS or iters < 60:
+            sched._step()
+            top_up()
+            n, rids = _drain_audio_bytes(sched)
+            note_first_audio(rids)
+            bytes_total += n
+            iters += 1
+        worker.sync()
+        n, rids = _drain_audio_bytes(sched)
+        note_first_audio(rids)
         bytes_total += n
-        iters += 1
-    worker.sync()
-    n, _ = _drain_audio_bytes(sched)
-    bytes_total += n
-    wall = time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        audio_s = bytes_total / (2.0 * model.sample_rate)
+        window_streams.append(audio_s / wall)
+        if debug:
+            print(f"window {w}: {audio_s / wall:.1f} streams "
+                  f"({iters} iters, {wall:.2f}s)")
     if debug:
-        print("capacity iters:", iters, "bytes:", bytes_total,
-              "wall:", round(wall, 2))
         print("phase times:", {k: (round(v[0], 2), v[1])
                                for k, v in phase_t.items()})
         print("worker segments:", {
             k: (round(v[0], 2), v[1])
             for k, v in sorted(worker.phase_stats.items())})
-    audio_s = bytes_total / (2.0 * model.sample_rate)
-    streams_rtf1 = audio_s / wall
+    window_streams.sort()
+    streams_rtf1 = window_streams[len(window_streams) // 2]
+    spread_pct = (100.0 * (window_streams[-1] - window_streams[0])
+                  / max(streams_rtf1, 1e-9))
+    churn_ttfa.sort()
+    churn_p50 = churn_ttfa[len(churn_ttfa) // 2] if churn_ttfa else None
+    churn_p95 = (churn_ttfa[int(len(churn_ttfa) * 0.95)]
+                 if churn_ttfa else None)
     for r in sched.active_requests:
         r.done_all = True
         r.done_lm_generation = True
@@ -347,9 +378,17 @@ def main():
         "value": round(streams_rtf1, 1),
         "unit": "streams",
         "vs_baseline": round(streams_rtf1 / 100.0, 3),
+        "runs": len(window_streams),
+        "windows_streams": [round(s, 1) for s in window_streams],
+        "spread_pct": round(spread_pct, 1),
         "ttfa_p50_ms": round(ttfa_p50, 1),
         "ttfa_worst_ms": round(ttfa_worst, 1),
         "ttfa_runs": len(ttfas),
+        "ttfa_churned_p50_ms": (round(churn_p50, 1)
+                                if churn_p50 is not None else None),
+        "ttfa_churned_p95_ms": (round(churn_p95, 1)
+                                if churn_p95 is not None else None),
+        "churned_admissions": len(churn_ttfa),
         "decode_frames_per_s": round(decode_fps, 1),
         "batch": BATCH,
     }))

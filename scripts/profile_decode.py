@@ -63,17 +63,23 @@ def build_worker():
     return ModelWorker(model, wcfg)
 
 
-def timed_decode(worker, label, seq_len=300):
+def timed_decode(worker, label, seq_len=300, full_width=False):
     """Compile + time the packed decode fn under the CURRENT model/worker
-    mutations. seq_len fills realistic block tables (attention reads KV)."""
+    mutations. seq_len fills realistic block tables (attention reads KV);
+    the block-table width is the serving lattice bucket covering seq_len
+    (full_width=True forces max_pages_per_seq — the pre-r4 behavior)."""
     model = worker.model
     C = model.n_codebooks
     cfg = worker.config
     B = BATCH
     worker._lm_fns.clear()
     fn = worker._get_lm_fn("decode", (B,))
-    packed_np = np.zeros((B, 2 * C + 6 + worker.max_pages_per_seq), np.int32)
     pages_per_seq = seq_len // cfg.page_size + 1
+    W = worker.max_pages_per_seq
+    if not full_width:
+        W = next((w for w in worker.table_width_buckets
+                  if pages_per_seq + 1 <= w), W)
+    packed_np = np.zeros((B, 2 * C + 6 + W), np.int32)
     for i in range(B):
         base = (i * pages_per_seq) % (cfg.num_pages - pages_per_seq - 1)
         packed_np[i, 2 * C + 1] = seq_len - 1          # positions
@@ -156,6 +162,8 @@ def main():
     results = {}
 
     results["full"] = timed_decode(worker, "full")
+    results["full_oldwidth"] = timed_decode(worker, "full_oldwidth",
+                                            full_width=True)
 
     # --- greedy: every sample() (cb0 + 15 depth heads) becomes argmax ----
     orig_scfg = model.sampling_config

@@ -29,6 +29,32 @@ def test_tokenize_phonemes_matches_reference(zmod):
     np.testing.assert_array_equal(ours, ref_ids[0].numpy())
 
 
+def test_phoneme_branch_via_fixture(zmod, monkeypatch):
+    """Exercise the PHONEME branch of phonemize() (espeak is absent in CI;
+    VERDICT r3 #9): a vendored text->IPA fixture stands in for the espeak
+    backend, and the resulting IPA stream must tokenize identically to the
+    reference conditioner's mapping with zero UNKs (raw-char fallback would
+    produce a different, UNK-bearing stream for these strings)."""
+    import json
+    import os
+
+    from vox_serve_tpu.models.zonos_conditioning import UNK_ID, phonemize
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "zonos_phonemes.json")
+    monkeypatch.setenv("VOX_PHONEME_FIXTURE", fixture)
+    with open(fixture) as f:
+        table = json.load(f)
+    assert table
+    for text, ipa in table.items():
+        out = phonemize(text)
+        assert out == ipa and out != text  # the phoneme branch ran
+        ours = tokenize_phonemes(out)
+        ref_ids, _ = zmod.ZonosUtils.tokenize_phonemes([out])
+        np.testing.assert_array_equal(ours, ref_ids[0].numpy())
+        assert UNK_ID not in ours[1:-1]
+
+
 def test_prefix_conditioner_parity(zmod, monkeypatch):
     H = 32
     cfg = zmod.PrefixConditionerConfig(

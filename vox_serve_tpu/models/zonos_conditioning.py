@@ -82,9 +82,24 @@ def tokenize_phonemes(phonemes: str) -> np.ndarray:
 
 
 def phonemize(text: str, language: str = "en-us") -> str:
-    """espeak via phonemizer when installed; otherwise pass the raw text
-    through (letters/punctuation are all in the symbol table, so plain text
-    degrades gracefully rather than failing)."""
+    """espeak via phonemizer when installed; a VOX_PHONEME_FIXTURE JSON map
+    (text -> espeak IPA string) drives the same phoneme branch offline;
+    otherwise pass the raw text through (letters/punctuation are all in the
+    symbol table, so plain text degrades gracefully rather than failing)."""
+    import os
+
+    fixture = os.environ.get("VOX_PHONEME_FIXTURE")
+    if fixture:
+        import json
+
+        try:
+            with open(fixture) as f:
+                table = json.load(f)
+        except OSError:
+            table = {}
+        hit = table.get(text) or table.get(_normalize_numbers(text))
+        if hit is not None:
+            return hit
     try:  # pragma: no cover - espeak not present in CI
         from phonemizer.backend import EspeakBackend
 

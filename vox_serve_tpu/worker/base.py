@@ -117,6 +117,19 @@ class WorkerConfig:
     #: the cost of more padding.
     decode_buckets_override: Optional[tuple[int, ...]] = None
 
+    #: block-table WIDTH lattice (pages per sequence) for decode attention.
+    #: The paged-attention kernels iterate the full static table width, so
+    #: a table sized for the worst case (prompt + full generation budget)
+    #: makes every decode step pay worst-case KV reads: measured 45.9 of the
+    #: 67 ms B=144 step in the r4 profile (attention seq-INDEPENDENT —
+    #: artifacts/decode_profile_r4.json) because 96-page tables read the
+    #: whole 5.25G pool footprint each step. Each step now picks the
+    #: smallest lattice width covering the live batch's longest sequence;
+    #: executables are compiled per (batch bucket, width) at warmup.
+    #: None -> geometric lattice from the first-chunk-safe floor up to
+    #: max_pages_per_seq; a 1-tuple of 0 disables (single full width).
+    table_width_buckets: Optional[tuple[int, ...]] = None
+
     #: serve the audio codec at this dtype ("bfloat16" halves codec HBM
     #: traffic — the reference runs its decoders at the model dtype, e.g.
     #: model/qwen3_tts.py:1061-1064). None keeps the codec's native dtype.
@@ -278,6 +291,32 @@ class ModelWorker:
         ) + 1
         chunk_pages = max(1, CHUNK_TOKENS // cfg.page_size)
         self.max_pages_per_seq = cdiv(width, chunk_pages) * chunk_pages
+
+        # block-table width lattice (see WorkerConfig.table_width_buckets):
+        # the floor must cover any first-chunk stream (longest prompt + the
+        # fused-k / ramp frames) so the cold-start chain always fits the
+        # smallest (single warmed) width
+        if cfg.table_width_buckets is not None:
+            widths = tuple(w for w in cfg.table_width_buckets if w > 0)
+            self.table_width_buckets = tuple(sorted(
+                set(min(cdiv(w, chunk_pages) * chunk_pages,
+                        self.max_pages_per_seq) for w in widths))) or (
+                self.max_pages_per_seq,)
+        else:
+            floor = cdiv(
+                cdiv(max(cfg.prefill_token_buckets)
+                     + 2 * max(model.detokenize_interval,
+                               cfg.fused_decode_steps) + 8,
+                     cfg.page_size) + 1,
+                chunk_pages) * chunk_pages
+            w, widths = floor, []
+            while w < self.max_pages_per_seq:
+                widths.append(w)
+                w *= 2
+            widths.append(self.max_pages_per_seq)
+            self.table_width_buckets = tuple(widths)
+        if self.table_width_buckets[-1] != self.max_pages_per_seq:
+            self.table_width_buckets += (self.max_pages_per_seq,)
 
         # slots
         self._free_slots = list(range(cfg.max_batch_size - 1, -1, -1))
@@ -572,21 +611,35 @@ class ModelWorker:
         fn = self._lm_fns.get(key)
         if fn is None:
             if phase == "decode_multi":
-                fn = self._build_lm_multi_fn(bucket[1])
+                fn = self._build_lm_multi_fn(bucket[0], bucket[1])
             elif phase == "decode_multi_detok":
-                fn = self._build_lm_multi_fn(bucket[1], with_detok=True)
+                fn = self._build_lm_multi_fn(bucket[0], bucket[1],
+                                             with_detok=True)
             elif phase == "cold_chain":
-                fn = self._build_cold_chain_fn(bucket[1])
+                fn = self._build_cold_chain_fn(bucket[0], bucket[1])
+            elif phase == "prefill":
+                fn = self._build_lm_prefill_fn(bucket[0], bucket[1])
             else:
-                fn = self._build_lm_fn(phase)
+                fn = self._build_lm_decode_fn()
             self._lm_fns[key] = fn
         return fn
 
-    def _build_lm_fn(self, phase: str):
-        if phase == "decode":
-            return self._build_lm_decode_fn()
-        return jax.jit(self._make_phase_body(phase),
-                       donate_argnums=(6, 7, 8, 9, 10))
+    def _build_lm_prefill_fn(self, T: int, B: int):
+        """Prefill step over ONE packed int32 upload (+ optional feat/msk
+        float planes) — see ``_unpack_prefill``."""
+        body = self._make_phase_body("prefill")
+        C = self.model.n_codebooks
+
+        def step(params, pack, feat, msk, k_pages, v_pages, rep_cache,
+                 feedback, last_tokens, base_key, counter):
+            tokens, pos, meta, slot_ids, last_idx = self._unpack_prefill(
+                pack, T, B, C)
+            return body(params, tokens, pos, feat, msk, meta,
+                        k_pages, v_pages, rep_cache, feedback, last_tokens,
+                        slot_ids, base_key, counter, last_idx,
+                        jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32))
+
+        return jax.jit(step, donate_argnums=(4, 5, 6, 7, 8))
 
     def _make_phase_body(self, phase: str):
         """Unjitted single-step body (prefill or generic phase) — jitted
@@ -696,22 +749,79 @@ class ModelWorker:
 
         return jax.jit(step, donate_argnums=(2, 3, 4, 5, 6))
 
-    def _build_lm_multi_fn(self, n_steps: int, with_detok: bool = False):
+    @staticmethod
+    def _multi_pack_views(pack: np.ndarray, K: int, B: int, C: int,
+                          maxP: int):
+        """Views into the single fused-decode upload buffer (host mirror of
+        ``_unpack_multi``)."""
+        o = 0
+        overrides = pack[o:o + K * B * C].reshape(K, B, C); o += K * B * C
+        override_mask = pack[o:o + K * B * C].reshape(K, B, C); o += K * B * C
+        positions = pack[o:o + K * B].reshape(K, B); o += K * B
+        page_ids = pack[o:o + K * B].reshape(K, B); o += K * B
+        offsets = pack[o:o + K * B].reshape(K, B); o += K * B
+        gen_idx0 = pack[o:o + B]; o += B
+        seq_lens0 = pack[o:o + B]; o += B
+        slot_ids = pack[o:o + B]; o += B
+        block_tables = pack[o:o + B * maxP].reshape(B, maxP); o += B * maxP
+        assert o == pack.shape[0]
+        return (overrides, override_mask, positions, page_ids, offsets,
+                gen_idx0, seq_lens0, slot_ids, block_tables)
+
+    @staticmethod
+    def _unpack_multi(pack, K: int, B: int, C: int):
+        """Traced unpack of the fused-decode upload: one transfer instead of
+        eleven (same RPC-amortization rationale as ``_unpack_prefill``).
+        The block-table width is derived from the pack length, so one
+        builder serves every width bucket (jit retraces per pack shape)."""
+        maxP = (pack.shape[0] - 2 * K * B * C - 3 * K * B - 3 * B) // B
+        o = 0
+        overrides = pack[o:o + K * B * C].reshape(K, B, C); o += K * B * C
+        override_mask = pack[o:o + K * B * C].reshape(K, B, C).astype(bool)
+        o += K * B * C
+        positions = pack[o:o + K * B].reshape(K, B); o += K * B
+        page_ids = pack[o:o + K * B].reshape(K, B); o += K * B
+        offsets = pack[o:o + K * B].reshape(K, B); o += K * B
+        gen_idx0 = jax.lax.dynamic_slice_in_dim(pack, o, B); o += B
+        seq_lens0 = jax.lax.dynamic_slice_in_dim(pack, o, B); o += B
+        slot_ids = jax.lax.dynamic_slice_in_dim(pack, o, B); o += B
+        block_tables = pack[o:o + B * maxP].reshape(B, maxP); o += B * maxP
+        meta0 = AttnMetadata(False, jnp.zeros((B,), jnp.int32),
+                             jnp.zeros((B,), jnp.int32),
+                             block_tables=block_tables, seq_lens=seq_lens0)
+        return (overrides, override_mask, positions, page_ids, offsets,
+                meta0, slot_ids, gen_idx0)
+
+    def _build_lm_multi_fn(self, B: int, n_steps: int,
+                           with_detok: bool = False):
         """Fused k-step decode: ``lax.scan`` over k single-step bodies inside
         one executable. The sampled-token feedback path is the scan carry
         (device-resident), so the whole chain runs with ONE host dispatch —
         the TTFA fix for cold streams whose first chunk otherwise costs
         first_chunk_frames separate dispatch rounds (VERDICT r2 weak #1).
 
-        Host-planned per-step inputs: page ids/offsets (k, B) for KV growth
-        (pages preallocated on the host before launch), positions (k, B),
-        and streamed-text overrides (k, B, C) — none depend on sampled
-        tokens, so they are computable up front. seq_lens advance on-device
-        as ``seq_lens0 + i``."""
-        step = self._make_multi_body(n_steps)
+        Host-planned per-step inputs (ONE packed int32 upload): page
+        ids/offsets (k, B) for KV growth (pages preallocated on the host
+        before launch), positions (k, B), and streamed-text overrides
+        (k, B, C) — none depend on sampled tokens, so they are computable up
+        front. seq_lens advance on-device as ``seq_lens0 + i``."""
+        body = self._make_multi_body(n_steps)
+        C = self.model.n_codebooks
+        K = n_steps
+
+        def step(params, pack, k_pages, v_pages, rep_cache, feedback,
+                 last_tokens, base_key, counter,
+                 codec_params=None, codec_cache=None):
+            (overrides, override_mask, positions, page_ids, offsets, meta0,
+             slot_ids, gen_idx0) = self._unpack_multi(pack, K, B, C)
+            return body(params, overrides, positions, meta0, page_ids,
+                        offsets, k_pages, v_pages, rep_cache, feedback,
+                        last_tokens, slot_ids, base_key, counter,
+                        override_mask, gen_idx0, codec_params, codec_cache)
+
         if with_detok:
-            return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10, 17))
-        return jax.jit(step, donate_argnums=(6, 7, 8, 9, 10))
+            return jax.jit(step, donate_argnums=(2, 3, 4, 5, 6, 10))
+        return jax.jit(step, donate_argnums=(2, 3, 4, 5, 6))
 
     def _make_multi_body(self, n_steps: int):
         """Unjitted fused k-step (+ optional chained detok) body — see
@@ -803,29 +913,37 @@ class ModelWorker:
 
         return step
 
-    def _build_cold_chain_fn(self, n_steps: int):
+    def _build_cold_chain_fn(self, T: int, n_steps: int):
         """Single-dispatch cold start: prefill + fused k-step decode +
-        first-chunk detokenize composed into ONE executable. The 2-dispatch
-        path (run_lm_prefill then decode_multi_detok) already keeps all
-        intermediate state device-resident; this removes the remaining
-        second host dispatch (each costs a full tunnel RPC, ~15-40 ms
-        through a remote backend). Returns the prefill sample concatenated
-        ahead of the k scan outputs, (k+1, B, C), plus the first-chunk PCM."""
+        first-chunk detokenize composed into ONE executable over TWO packed
+        int32 uploads (prefill pack + fused-decode pack; the unpacked chain
+        carried ~19 small transfers at ~5 ms of tunnel RPC each). The
+        2-dispatch path (run_lm_prefill then decode_multi_detok) already
+        keeps all intermediate state device-resident; this removes the
+        remaining second host dispatch. Returns the prefill sample
+        concatenated ahead of the k scan outputs, (k+1, B, C), plus the
+        first-chunk PCM."""
         prefill_body = self._make_phase_body("prefill")
         multi_body = self._make_multi_body(n_steps)
+        C = self.model.n_codebooks
+        Bp = self.config.max_prefill_requests
+        Bd = self._fused_bucket(1)
+        K = n_steps
 
-        def cold(params, tokens, pos, feat, msk, meta_p,
+        def cold(params, ppack, feat, msk, dpack,
                  k_pages, v_pages, rep_cache, feedback, last_tokens,
-                 slot_ids_p, base_key, counter, last_idx,
-                 overrides_k, positions_k, meta0, page_ids_k, offsets_k,
-                 slot_ids_d, override_mask_k, gen_idx0,
-                 codec_params, codec_cache):
+                 base_key, counter, codec_params, codec_cache):
+            tokens, pos, meta_p, slot_ids_p, last_idx = \
+                self._unpack_prefill(ppack, T, Bp, C)
             (s0, k_pages, v_pages, rep_cache, feedback, last_tokens) = \
                 prefill_body(params, tokens, pos, feat, msk, meta_p,
                              k_pages, v_pages, rep_cache, feedback,
                              last_tokens, slot_ids_p, base_key, counter,
                              last_idx, jnp.zeros((1,), bool),
                              jnp.zeros_like(slot_ids_p))
+            (overrides_k, override_mask_k, positions_k, page_ids_k,
+             offsets_k, meta0, slot_ids_d, gen_idx0) = \
+                self._unpack_multi(dpack, K, Bd, C)
             (sampled_k, k_pages, v_pages, rep_cache, feedback, last_tokens,
              audio, codec_cache) = multi_body(
                 params, overrides_k, positions_k, meta0, page_ids_k,
@@ -834,12 +952,11 @@ class ModelWorker:
                 override_mask_k, gen_idx0, codec_params, codec_cache)
             # prefill sample rows aligned to the fused batch (row order is
             # the same single request)
-            Bd = sampled_k.shape[1]
             sampled_all = jnp.concatenate([s0[None, :Bd], sampled_k], axis=0)
             return (sampled_all, k_pages, v_pages, rep_cache, feedback,
                     last_tokens, audio, codec_cache)
 
-        return jax.jit(cold, donate_argnums=(6, 7, 8, 9, 10, 24))
+        return jax.jit(cold, donate_argnums=(5, 6, 7, 8, 9, 13))
 
     def _get_detok_fn(self, bucket):
         fn = self._detok_fns.get(bucket)
@@ -987,9 +1104,46 @@ class ModelWorker:
             admitted.append(req)
         return admitted
 
+    @staticmethod
+    def _prefill_pack_views(pack: np.ndarray, T: int, B: int, C: int):
+        """Views into the single prefill upload buffer (host mirror of
+        ``_unpack_prefill``): tokens (T,C), pos/seg/page_ids/offsets (T,),
+        slot_ids/last_idx (B,)."""
+        o = 0
+        tokens = pack[o:o + T * C].reshape(T, C); o += T * C
+        pos = pack[o:o + T]; o += T
+        seg = pack[o:o + T]; o += T
+        page_ids = pack[o:o + T]; o += T
+        offsets = pack[o:o + T]; o += T
+        slot_ids = pack[o:o + B]; o += B
+        last_idx = pack[o:o + B]; o += B
+        assert o == pack.shape[0]
+        return tokens, pos, seg, page_ids, offsets, slot_ids, last_idx
+
+    @staticmethod
+    def _unpack_prefill(pack, T: int, B: int, C: int):
+        """Traced unpack of the single prefill upload (see
+        ``_prefill_pack_views``). Packing every int32 planning array into
+        ONE transfer matters through a tunneled backend: each small upload
+        costs ~5 ms of RPC, and the unpacked prefill path carried seven
+        (r3 measured the same effect on decode: 117 -> ~70 ms/call)."""
+        o = 0
+        tokens = pack[o:o + T * C].reshape(T, C); o += T * C
+        pos = jax.lax.dynamic_slice_in_dim(pack, o, T); o += T
+        seg = jax.lax.dynamic_slice_in_dim(pack, o, T); o += T
+        page_ids = jax.lax.dynamic_slice_in_dim(pack, o, T); o += T
+        offsets = jax.lax.dynamic_slice_in_dim(pack, o, T); o += T
+        slot_ids = jax.lax.dynamic_slice_in_dim(pack, o, B); o += B
+        last_idx = jax.lax.dynamic_slice_in_dim(pack, o, B); o += B
+        meta = AttnMetadata(True, page_ids, offsets, segment_ids=seg,
+                            q_positions=pos)
+        return tokens, pos, meta, slot_ids, last_idx
+
     def _prefill_host_arrays(self, requests: list[Request]) -> dict:
         """Pack the admitted requests into the padded prefill bucket's host
-        arrays (tokens, segment ids, positions, KV page targets, ...)."""
+        arrays. All int32 planning arrays live in ONE flat ``pack`` buffer
+        (uploaded as a single transfer); feat/msk ride separately (float /
+        bool dtypes, and absent for most families)."""
         model = self.model
         C = model.n_codebooks
         cfg = self.config
@@ -999,12 +1153,12 @@ class ModelWorker:
         B = cfg.max_prefill_requests
         assert len(requests) <= B
 
-        tokens = np.zeros((T, C), np.int32)
-        seg = np.full((T,), -1, np.int32)
-        pos = np.zeros((T,), np.int32)
-        page_ids = np.zeros((T,), np.int32)
-        offsets = np.arange(T, dtype=np.int32) % page_size
-        last_idx = np.zeros((B,), np.int32)
+        pack = np.zeros((T * (C + 4) + 2 * B,), np.int32)
+        (tokens, pos, seg, page_ids, offsets, slot_ids,
+         last_idx) = self._prefill_pack_views(pack, T, B, C)
+        seg[:] = -1
+        offsets[:] = np.arange(T, dtype=np.int32) % page_size
+        slot_ids[:] = cfg.max_batch_size
         feat = None
         if model.needs_input_features:
             F = requests[0].input_features.shape[-1]
@@ -1015,7 +1169,6 @@ class ModelWorker:
             msk = np.zeros((T, M), requests[0].input_masks.dtype)
 
         cursor = 0
-        slot_ids = np.full((B,), cfg.max_batch_size, np.int32)
         for i, req in enumerate(requests):
             L = req.input_length
             pages = req.kv_pages
@@ -1033,21 +1186,12 @@ class ModelWorker:
             slot_ids[i] = req.slot
             cursor += L
 
-        meta = AttnMetadata(
-            True,
-            jnp.asarray(page_ids), jnp.asarray(offsets),
-            segment_ids=jnp.asarray(seg), q_positions=jnp.asarray(pos),
-        )
-        return {"T": T, "B": B, "tokens": tokens, "pos": pos, "feat": feat,
-                "msk": msk, "meta": meta, "slot_ids": slot_ids,
-                "last_idx": last_idx}
+        return {"T": T, "B": B, "pack": pack, "feat": feat, "msk": msk}
 
     def _dispatch_prefill(self, requests: list[Request], arr: dict) -> None:
         model = self.model
         T, B = arr["T"], arr["B"]
-        feat, msk, meta = arr["feat"], arr["msk"], arr["meta"]
-        tokens, pos = arr["tokens"], arr["pos"]
-        slot_ids, last_idx = arr["slot_ids"], arr["last_idx"]
+        feat, msk = arr["feat"], arr["msk"]
         fn = self._get_lm_fn("prefill", (T, B))
         self._step_counter += 1
         ctx = self._trace(f"lm_prefill_t{T}_b{len(requests)}")
@@ -1055,13 +1199,12 @@ class ModelWorker:
             ctx.__enter__()
             (sampled, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
              self.last_tokens) = fn(
-                model.params, jnp.asarray(tokens), jnp.asarray(pos),
+                model.params, jnp.asarray(arr["pack"]),
                 None if feat is None else jnp.asarray(feat),
                 None if msk is None else jnp.asarray(msk),
-                meta, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-                self.last_tokens, jnp.asarray(slot_ids), self._base_key,
-                jnp.int32(self._step_counter), jnp.asarray(last_idx),
-                jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32),
+                self.k_pages, self.v_pages, self.rep_cache, self.feedback,
+                self.last_tokens, self._base_key,
+                jnp.int32(self._step_counter),
             )
         finally:
             ctx.__exit__(None, None, None)
@@ -1085,6 +1228,20 @@ class ModelWorker:
                 return b
         raise ValueError(f"batch {n} exceeds max_batch_size")
 
+    def _table_width(self, requests: list[Request], k: int = 1) -> int:
+        """Smallest lattice block-table width covering every request's pages
+        after k more tokens (attention cost scales with the STATIC table
+        width — see WorkerConfig.table_width_buckets)."""
+        need = 1
+        page_size = self.config.page_size
+        for r in requests:
+            need = max(need, len(r.kv_pages),
+                       cdiv(r.kv_token_len + k, page_size))
+        for w in self.table_width_buckets:
+            if need <= w:
+                return w
+        return self.max_pages_per_seq
+
     def _detok_bucket(self, n: int) -> int:
         for b in self.config.detok_buckets:
             if n <= b:
@@ -1103,8 +1260,9 @@ class ModelWorker:
 
         t0 = time.perf_counter()
         # single packed upload (see _build_lm_decode_fn): views into one
-        # (B, 2C+6+maxP) int32 buffer
-        packed = np.zeros((B, 2 * C + 6 + self.max_pages_per_seq), np.int32)
+        # (B, 2C+6+W) int32 buffer, W = bucketed block-table width
+        W = self._table_width(requests)
+        packed = np.zeros((B, 2 * C + 6 + W), np.int32)
         overrides = packed[:, 0:C]
         override_mask = packed[:, C:2 * C]  # int32 0/1; cast in-trace
         gen_idx = packed[:, 2 * C + 0]
@@ -1273,28 +1431,35 @@ class ModelWorker:
         K = n_steps
         B = self._fused_bucket(len(requests))
         assert B is not None
-        arr, hard_stopped = self._plan_decode_multi(requests, K, B)
+        # first-chunk minis always fit (and so always reuse) the smallest
+        # warmed width: a pre-first-chunk stream holds at most the prefill
+        # bucket + ramp tokens, which the lattice floor covers by
+        # construction — no per-width chain executables to warm
+        width = self.table_width_buckets[0] if first_chunk else None
+        arr, hard_stopped = self._plan_decode_multi(requests, K, B,
+                                                    width=width)
         self._dispatch_decode_multi(requests, K, B, arr, hard_stopped,
                                     first_chunk)
 
-    def _plan_decode_multi(self, requests: list[Request], K: int,
-                           B: int) -> tuple[dict, set[int]]:
+    def _plan_decode_multi(self, requests: list[Request], K: int, B: int,
+                           width: int | None = None) -> tuple[dict, set[int]]:
         """Host planning for a fused k-step decode: preallocate KV pages for
-        all K tokens per request and build the (K, B) per-step metadata."""
+        all K tokens per request and build the (K, B) per-step metadata —
+        all of it views into ONE packed int32 upload buffer whose
+        block-table width is the smallest covering lattice bucket."""
         model = self.model
         C = model.n_codebooks
         cfg = self.config
         page_size = cfg.page_size
+        maxP = width or self._table_width(requests, K)
 
-        overrides = np.zeros((K, B, C), np.int32)
-        override_mask = np.zeros((K, B, C), bool)
-        gen_idx0 = np.zeros((B,), np.int32)
-        positions = np.zeros((K, B), np.int32)
-        page_ids = np.zeros((K, B), np.int32)
-        offsets = np.zeros((K, B), np.int32)
-        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
-        seq_lens0 = np.ones((B,), np.int32)
-        slot_ids = np.full((B,), cfg.max_batch_size, np.int32)
+        pack = np.zeros((2 * K * B * C + 3 * K * B + B * (3 + maxP),),
+                        np.int32)
+        (overrides, override_mask, positions, page_ids, offsets, gen_idx0,
+         seq_lens0, slot_ids, block_tables) = self._multi_pack_views(
+            pack, K, B, C, maxP)
+        seq_lens0[:] = 1
+        slot_ids[:] = cfg.max_batch_size
 
         hard_stopped: set[int] = set()
         for i, req in enumerate(requests):
@@ -1339,16 +1504,7 @@ class ModelWorker:
             slot_ids[i] = req.slot
             req.extras["inflight"] = inflight + K
 
-        meta0 = AttnMetadata(
-            False,
-            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-            block_tables=jnp.asarray(block_tables),
-            seq_lens=jnp.asarray(seq_lens0),
-        )
-        return ({"overrides": overrides, "override_mask": override_mask,
-                 "gen_idx0": gen_idx0, "positions": positions,
-                 "page_ids": page_ids, "offsets": offsets, "meta0": meta0,
-                 "slot_ids": slot_ids}, hard_stopped)
+        return {"pack": pack}, hard_stopped
 
     def _dispatch_decode_multi(self, requests: list[Request], K: int, B: int,
                                arr: dict, hard_stopped: set[int],
@@ -1357,13 +1513,9 @@ class ModelWorker:
         counter = self._step_counter + 1
         self._step_counter += K  # one RNG fold per scanned step
         args = (
-            model.params, jnp.asarray(arr["overrides"]),
-            jnp.asarray(arr["positions"]), arr["meta0"],
-            jnp.asarray(arr["page_ids"]), jnp.asarray(arr["offsets"]),
+            model.params, jnp.asarray(arr["pack"]),
             self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-            self.last_tokens, jnp.asarray(arr["slot_ids"]), self._base_key,
-            jnp.int32(counter), jnp.asarray(arr["override_mask"]),
-            jnp.asarray(arr["gen_idx0"]),
+            self.last_tokens, self._base_key, jnp.int32(counter),
         )
         if first_chunk:
             fn = self._get_lm_fn("decode_multi_detok", (B, K))
@@ -1442,7 +1594,8 @@ class ModelWorker:
         # the k decode steps account for the in-flight prefill token
         req.done_lm_prefill = True
         req.extras["inflight"] = req.extras.get("inflight", 0) + 1
-        darr, hard = self._plan_decode_multi([req], K, B)
+        darr, hard = self._plan_decode_multi(
+            [req], K, B, width=self.table_width_buckets[0])
         if hard:
             # fused KV prealloc deferred — undo and take the normal path
             req.done_lm_prefill = False
@@ -1458,18 +1611,13 @@ class ModelWorker:
             ctx.__enter__()
             (sampled_all, self.k_pages, self.v_pages, self.rep_cache,
              self.feedback, self.last_tokens, audio, self.codec_cache) = fn(
-                model.params, jnp.asarray(parr["tokens"]),
-                jnp.asarray(parr["pos"]),
+                model.params, jnp.asarray(parr["pack"]),
                 None if parr["feat"] is None else jnp.asarray(parr["feat"]),
                 None if parr["msk"] is None else jnp.asarray(parr["msk"]),
-                parr["meta"], self.k_pages, self.v_pages, self.rep_cache,
-                self.feedback, self.last_tokens, jnp.asarray(parr["slot_ids"]),
+                jnp.asarray(darr["pack"]),
+                self.k_pages, self.v_pages, self.rep_cache,
+                self.feedback, self.last_tokens,
                 self._base_key, jnp.int32(counter),
-                jnp.asarray(parr["last_idx"]),
-                jnp.asarray(darr["overrides"]), jnp.asarray(darr["positions"]),
-                darr["meta0"], jnp.asarray(darr["page_ids"]),
-                jnp.asarray(darr["offsets"]), jnp.asarray(darr["slot_ids"]),
-                jnp.asarray(darr["override_mask"]), jnp.asarray(darr["gen_idx0"]),
                 model.codec_params, self.codec_cache)
         finally:
             ctx.__exit__(None, None, None)
@@ -1880,15 +2028,27 @@ class ModelWorker:
             jax.block_until_ready(out)
             return (time.monotonic() - t) / 5 * 1e3
 
+        def prefill_warm_pack(T: int, B: int) -> np.ndarray:
+            pack = np.zeros((T * (C + 4) + 2 * B,), np.int32)
+            (_, _, seg, _, offsets, slot_ids, _) = self._prefill_pack_views(
+                pack, T, B, C)
+            seg[:] = -1
+            offsets[:] = np.arange(T, dtype=np.int32) % cfg.page_size
+            slot_ids[:] = cfg.max_batch_size
+            return pack
+
+        def multi_warm_pack(K: int, B: int, W: int) -> np.ndarray:
+            pack = np.zeros(
+                (2 * K * B * C + 3 * K * B + B * (3 + W),), np.int32)
+            (_, _, _, _, _, _, seq_lens0, slot_ids, _) = \
+                self._multi_pack_views(pack, K, B, C, W)
+            seq_lens0[:] = 1
+            slot_ids[:] = cfg.max_batch_size
+            return pack
+
         # prefill buckets: all-padding ragged batch
         for T in sorted(cfg.prefill_token_buckets):
             B = cfg.max_prefill_requests
-            meta = AttnMetadata(
-                True, jnp.zeros((T,), jnp.int32),
-                jnp.arange(T, dtype=jnp.int32) % cfg.page_size,
-                segment_ids=jnp.full((T,), -1, jnp.int32),
-                q_positions=jnp.zeros((T,), jnp.int32),
-            )
             feat = msk = None
             if model.needs_input_features:
                 feat = jnp.zeros((T, model.backbone_config.hidden_size),
@@ -1896,16 +2056,13 @@ class ModelWorker:
             if model.needs_input_masks:
                 msk = jnp.zeros((T, C), bool)
             fn = self._get_lm_fn("prefill", (T, B))
+            ppack = jnp.asarray(prefill_warm_pack(T, B))
 
-            def call_prefill(fn=fn, T=T, B=B, feat=feat, msk=msk, meta=meta):
-                out = fn(model.params, jnp.zeros((T, C), jnp.int32),
-                         jnp.zeros((T,), jnp.int32), feat, msk, meta,
+            def call_prefill(fn=fn, ppack=ppack, feat=feat, msk=msk):
+                out = fn(model.params, ppack, feat, msk,
                          self.k_pages, self.v_pages, self.rep_cache,
                          self.feedback, self.last_tokens,
-                         jnp.full((B,), cfg.max_batch_size, jnp.int32),
-                         self._base_key, jnp.int32(0),
-                         jnp.zeros((B,), jnp.int32),
-                         jnp.zeros((1,), bool), jnp.zeros((B,), jnp.int32))
+                         self._base_key, jnp.int32(0))
                 (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
                  self.last_tokens) = out
                 return self.last_tokens
@@ -1915,61 +2072,53 @@ class ModelWorker:
             self.logger.info(
                 "warmup: prefill bucket T=%d compiled (%.2f ms/step)", T, ms)
 
-        # decode buckets
+        # decode buckets x block-table widths (a width reached during
+        # serving that wasn't warmed = a runtime compile mid-stream, the
+        # r3 36 s TTFA outlier class of bug)
         for B in cfg.decode_buckets:
-            fn = self._get_lm_fn("decode", (B,))
-            packed_np = np.zeros((B, 2 * C + 6 + self.max_pages_per_seq),
-                                 np.int32)
-            packed_np[:, 2 * C + 4] = 1  # seq_lens
-            packed_np[:, 2 * C + 5] = cfg.max_batch_size  # padded slots
+            for W in self.table_width_buckets:
+                fn = self._get_lm_fn("decode", (B,))
+                packed_np = np.zeros((B, 2 * C + 6 + W), np.int32)
+                packed_np[:, 2 * C + 4] = 1  # seq_lens
+                packed_np[:, 2 * C + 5] = cfg.max_batch_size  # padded slots
 
-            def call_decode(fn=fn, B=B, packed_np=packed_np):
-                out = fn(model.params, jnp.asarray(packed_np),
-                         self.k_pages, self.v_pages, self.rep_cache,
-                         self.feedback, self.last_tokens,
-                         self._base_key, jnp.int32(0))
-                (_, self.k_pages, self.v_pages, self.rep_cache, self.feedback,
-                 self.last_tokens) = out
-                return self.last_tokens
-
-            out = call_decode()
-            ms = probe(call_decode, out)
-            self.logger.info(
-                "warmup: decode bucket B=%d compiled (%.2f ms/step)", B, ms)
-
-        # fused multi-step decode buckets
-        K = cfg.fused_decode_steps
-        if K >= 2:
-            for B in cfg.fused_decode_buckets:
-                meta0 = AttnMetadata(
-                    False, jnp.zeros((B,), jnp.int32),
-                    jnp.zeros((B,), jnp.int32),
-                    block_tables=jnp.zeros((B, self.max_pages_per_seq),
-                                           jnp.int32),
-                    seq_lens=jnp.ones((B,), jnp.int32),
-                )
-                fn = self._get_lm_fn("decode_multi", (B, K))
-
-                def call_multi(fn=fn, B=B, meta0=meta0):
-                    out = fn(model.params, jnp.zeros((K, B, C), jnp.int32),
-                             jnp.zeros((K, B), jnp.int32), meta0,
-                             jnp.zeros((K, B), jnp.int32),
-                             jnp.zeros((K, B), jnp.int32),
+                def call_decode(fn=fn, B=B, packed_np=packed_np):
+                    out = fn(model.params, jnp.asarray(packed_np),
                              self.k_pages, self.v_pages, self.rep_cache,
                              self.feedback, self.last_tokens,
-                             jnp.full((B,), cfg.max_batch_size, jnp.int32),
-                             self._base_key, jnp.int32(0),
-                             jnp.zeros((K, B, C), bool),
-                             jnp.zeros((B,), jnp.int32))
+                             self._base_key, jnp.int32(0))
                     (_, self.k_pages, self.v_pages, self.rep_cache,
                      self.feedback, self.last_tokens) = out
                     return self.last_tokens
 
-                out = call_multi()
-                ms = probe(call_multi, out)
+                out = call_decode()
+                ms = probe(call_decode, out)
                 self.logger.info(
-                    "warmup: fused decode bucket B=%d k=%d compiled "
-                    "(%.2f ms/call)", B, K, ms)
+                    "warmup: decode bucket B=%d W=%d compiled "
+                    "(%.2f ms/step)", B, W, ms)
+
+        # fused multi-step decode buckets x widths
+        K = cfg.fused_decode_steps
+        if K >= 2:
+            for B in cfg.fused_decode_buckets:
+                for W in self.table_width_buckets:
+                    fn = self._get_lm_fn("decode_multi", (B, K))
+                    dpack = jnp.asarray(multi_warm_pack(K, B, W))
+
+                    def call_multi(fn=fn, dpack=dpack):
+                        out = fn(model.params, dpack,
+                                 self.k_pages, self.v_pages, self.rep_cache,
+                                 self.feedback, self.last_tokens,
+                                 self._base_key, jnp.int32(0))
+                        (_, self.k_pages, self.v_pages, self.rep_cache,
+                         self.feedback, self.last_tokens) = out
+                        return self.last_tokens
+
+                    out = call_multi()
+                    ms = probe(call_multi, out)
+                    self.logger.info(
+                        "warmup: fused decode bucket B=%d k=%d W=%d compiled "
+                        "(%.2f ms/call)", B, K, W, ms)
 
         # chained cold-start executable (fused decode + first-chunk detok).
         # Only the bucket serving batch 1: run_cold_start handles single
@@ -1979,27 +2128,15 @@ class ModelWorker:
         if (K >= 2 and KC >= 2 and model.supports_chained_detok
                 and self.detokenizer_device is self.lm_device):
             for B in cfg.fused_decode_buckets[:1]:
-                meta0 = AttnMetadata(
-                    False, jnp.zeros((B,), jnp.int32),
-                    jnp.zeros((B,), jnp.int32),
-                    block_tables=jnp.zeros((B, self.max_pages_per_seq),
-                                           jnp.int32),
-                    seq_lens=jnp.ones((B,), jnp.int32),
-                )
                 fn = self._get_lm_fn("decode_multi_detok", (B, KC))
+                dpack = jnp.asarray(multi_warm_pack(
+                    KC, B, self.table_width_buckets[0]))
 
-                def call_cold(fn=fn, B=B, meta0=meta0):
-                    out = fn(model.params,
-                             jnp.zeros((KC, B, C), jnp.int32),
-                             jnp.zeros((KC, B), jnp.int32), meta0,
-                             jnp.zeros((KC, B), jnp.int32),
-                             jnp.zeros((KC, B), jnp.int32),
+                def call_cold(fn=fn, dpack=dpack):
+                    out = fn(model.params, dpack,
                              self.k_pages, self.v_pages, self.rep_cache,
                              self.feedback, self.last_tokens,
-                             jnp.full((B,), cfg.max_batch_size, jnp.int32),
                              self._base_key, jnp.int32(0),
-                             jnp.zeros((KC, B, C), bool),
-                             jnp.zeros((B,), jnp.int32),
                              model.codec_params, self.codec_cache)
                     (_, self.k_pages, self.v_pages, self.rep_cache,
                      self.feedback, self.last_tokens, audio,
@@ -2018,43 +2155,23 @@ class ModelWorker:
             Bd = cfg.fused_decode_buckets[0]
             for T in sorted(cfg.prefill_token_buckets)[:1]:
                 Bp = cfg.max_prefill_requests
-                meta_p = AttnMetadata(
-                    True, jnp.zeros((T,), jnp.int32),
-                    jnp.arange(T, dtype=jnp.int32) % cfg.page_size,
-                    segment_ids=jnp.full((T,), -1, jnp.int32),
-                    q_positions=jnp.zeros((T,), jnp.int32),
-                )
                 feat = msk = None
                 if model.needs_input_features:
                     feat = jnp.zeros((T, model.backbone_config.hidden_size),
                                      jnp.float32)
                 if model.needs_input_masks:
                     msk = jnp.zeros((T, C), bool)
-                meta0 = AttnMetadata(
-                    False, jnp.zeros((Bd,), jnp.int32),
-                    jnp.zeros((Bd,), jnp.int32),
-                    block_tables=jnp.zeros((Bd, self.max_pages_per_seq),
-                                           jnp.int32),
-                    seq_lens=jnp.ones((Bd,), jnp.int32),
-                )
                 fn = self._get_lm_fn("cold_chain", (T, KC))
+                ppack = jnp.asarray(prefill_warm_pack(T, Bp))
+                dpack = jnp.asarray(multi_warm_pack(
+                    KC, Bd, self.table_width_buckets[0]))
 
-                def call_chain(fn=fn, T=T, Bp=Bp, Bd=Bd, feat=feat, msk=msk,
-                               meta_p=meta_p, meta0=meta0):
-                    out = fn(model.params, jnp.zeros((T, C), jnp.int32),
-                             jnp.zeros((T,), jnp.int32), feat, msk, meta_p,
+                def call_chain(fn=fn, ppack=ppack, dpack=dpack,
+                               feat=feat, msk=msk):
+                    out = fn(model.params, ppack, feat, msk, dpack,
                              self.k_pages, self.v_pages, self.rep_cache,
                              self.feedback, self.last_tokens,
-                             jnp.full((Bp,), cfg.max_batch_size, jnp.int32),
                              self._base_key, jnp.int32(0),
-                             jnp.zeros((Bp,), jnp.int32),
-                             jnp.zeros((KC, Bd, C), jnp.int32),
-                             jnp.zeros((KC, Bd), jnp.int32), meta0,
-                             jnp.zeros((KC, Bd), jnp.int32),
-                             jnp.zeros((KC, Bd), jnp.int32),
-                             jnp.full((Bd,), cfg.max_batch_size, jnp.int32),
-                             jnp.zeros((KC, Bd, C), bool),
-                             jnp.zeros((Bd,), jnp.int32),
                              model.codec_params, self.codec_cache)
                     (_, self.k_pages, self.v_pages, self.rep_cache,
                      self.feedback, self.last_tokens, audio,
