@@ -131,7 +131,7 @@ def main():
         # stays as the small bucket so a single cold stream's chain prefill
         # isn't padded to 256 (TTFA).
         prefill_token_buckets=tuple(int(x) for x in os.environ.get(
-            "VOX_BENCH_PREFILL_BUCKETS", "128,256").split(",")),
+            "VOX_BENCH_PREFILL_BUCKETS", "64,128,256").split(",")),
         max_prefill_requests=int(
             os.environ.get("VOX_BENCH_PREFILL_REQS", "5")),
         # warmup compiles the full (small) lattice up front — first-use
@@ -158,9 +158,11 @@ def main():
         # block behind the (wide) fused decode executable before N+1 can
         # even be dispatched
         detok_pipeline_depth=2,
-        # TTFA: first audio after 5 frames through the mini executable
-        # instead of a full 10-frame window
-        first_chunk_frames=5,
+        # TTFA: first audio after this many frames through the mini
+        # executable instead of a full 10-frame window (3 frames = 240 ms
+        # of audio, still >> chunk cadence; cuts ~2 frames x ~9 ms off the
+        # cold chain executable)
+        first_chunk_frames=int(os.environ.get("VOX_BENCH_FIRST_CHUNK", "3")),
         # fused cold-stream decode: the 5 frames of the first chunk run as
         # ONE scanned executable instead of 5 dispatch rounds.
         # VOX_BENCH_FUSED_FULL=1 additionally fuses the FULL decode batch
@@ -235,6 +237,23 @@ def main():
         worker.free_kv_cache(r)
     worker.sync()
 
+    # ---- tunnel RPC floor: dispatch + readback of a trivial executable.
+    # TTFA through the tunneled backend pays 2-3 of these per cold stream;
+    # reporting the floor separates the hardware-level latency from the
+    # harness transport (artifacts/bench_progression_r4.md).
+    import jax
+
+    _tiny = jax.jit(lambda x: x + 1)
+    _x = jnp.zeros((8,), jnp.int32)
+    jax.block_until_ready(_tiny(_x))
+    rpc_samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.device_get(_tiny(_x))
+        rpc_samples.append((time.perf_counter() - t0) * 1000.0)
+    rpc_samples.sort()
+    rpc_floor_ms = rpc_samples[len(rpc_samples) // 2]
+
     # ---- TTFA (cold stream on a warm server) ------------------------------
     phase_t.clear()
     ttfas = []
@@ -256,7 +275,8 @@ def main():
         print(json.dumps({"metric": "ttfa_p50_ms", "value": round(ttfa_p50, 1),
                           "unit": "ms", "vs_baseline": round(80.0 / ttfa_p50, 3)
                           if ttfa_p50 else None,
-                          "ttfa_worst_ms": round(ttfa_worst, 1)}))
+                          "ttfa_worst_ms": round(ttfa_worst, 1),
+                          "rpc_floor_ms": round(rpc_floor_ms, 1)}))
         return
 
     # ---- concurrent capacity: audio-seconds produced per wall-second with
@@ -389,6 +409,7 @@ def main():
         "ttfa_churned_p95_ms": (round(churn_p95, 1)
                                 if churn_p95 is not None else None),
         "churned_admissions": len(churn_ttfa),
+        "rpc_floor_ms": round(rpc_floor_ms, 1),
         "decode_frames_per_s": round(decode_fps, 1),
         "batch": BATCH,
     }))

@@ -70,9 +70,91 @@ MID_CODEC = Qwen3CodecConfig(
 )
 
 
+TINY_BACKBONE = BackboneConfig(
+    vocab_size=3072, hidden_size=64, num_layers=2, num_heads=4,
+    num_kv_heads=2, head_dim=16, intermediate_size=128, qk_norm=True,
+    rope_theta=1e6, dtype=jnp.float32,
+)
+TINY_DEPTH = DepthConfig(
+    hidden_size=32, num_layers=1, num_heads=2, num_kv_heads=2, head_dim=16,
+    intermediate_size=64, max_seq=17, qk_norm=True, dtype=jnp.float32,
+)
+TINY_CODEC = Qwen3CodecConfig(
+    codebook_dim=32, codebook_size=2048, latent_dim=32, decoder_dim=64,
+    hidden_size=32, intermediate_size=64, head_dim=16, num_heads=2,
+    num_kv_heads=2, num_layers=1, num_quantizers=16, sliding_window=24,
+    upsample_rates=(4, 3), upsampling_ratios=(2, 2), vq_dim=16,
+)
+
+_TINY = False
+
+
 def _model():
+    if _TINY:
+        return Qwen3TTSLM(dtype=jnp.float32, debug_backbone=TINY_BACKBONE,
+                          debug_depth=TINY_DEPTH, debug_codec=TINY_CODEC)
     return Qwen3TTSLM(dtype=jnp.float32, debug_backbone=MID_BACKBONE,
                       debug_depth=MID_DEPTH, debug_codec=MID_CODEC)
+
+
+#: wall-clock busy intervals of injected "device time": (tag, start, end)
+_INTERVALS: list[tuple] = []
+
+
+def _inject_costs(worker, lm_ms: float, detok_ms: float,
+                  prefill_ms: float) -> None:
+    """Wrap the worker's dispatch methods with sleeps that model the TPU
+    per-phase device costs (measured r4: decode B=144 35 ms/step,
+    detokenize B=80x10 109 ms — scaled to the virtual batch). The sleep
+    runs AFTER the real (tiny, CPU) dispatch returns, outside the worker's
+    dispatch lock — exactly like async device execution on a real chip:
+    the host thread that issued the work 'owns' the device for that span.
+    On the 2-loop disaggregation scheduler the LM and detok sleeps run on
+    different executor threads (= different chips) and may overlap; on the
+    single-device online scheduler they serialize in the one step loop."""
+    import functools
+
+    def wrap(name, cost_ms):
+        orig = getattr(worker, name)
+
+        @functools.wraps(orig)
+        def wrapper(*a, **k):
+            out = orig(*a, **k)
+            t0 = time.perf_counter()
+            time.sleep(cost_ms / 1e3)
+            _INTERVALS.append((name, t0, time.perf_counter()))
+            return out
+
+        setattr(worker, name, wrapper)
+
+    wrap("run_lm_decode", lm_ms)
+    wrap("run_lm_decode_multi", lm_ms)
+    wrap("run_lm_prefill", prefill_ms)
+    wrap("run_detokenize", detok_ms)
+
+
+def _overlap_stats() -> dict:
+    """Wall time where an LM-phase interval and a detok-phase interval were
+    simultaneously 'on device' (the quantity disaggregation exists to
+    create), plus per-phase busy totals."""
+    lm = sorted((s, e) for n, s, e in _INTERVALS if n != "run_detokenize")
+    dt = sorted((s, e) for n, s, e in _INTERVALS if n == "run_detokenize")
+    overlap = 0.0
+    i = j = 0
+    while i < len(lm) and j < len(dt):
+        s = max(lm[i][0], dt[j][0])
+        e = min(lm[i][1], dt[j][1])
+        if e > s:
+            overlap += e - s
+        if lm[i][1] < dt[j][1]:
+            i += 1
+        else:
+            j += 1
+    return {
+        "lm_busy_s": round(sum(e - s for s, e in lm), 3),
+        "detok_busy_s": round(sum(e - s for s, e in dt), 3),
+        "lm_detok_overlap_s": round(overlap, 3),
+    }
 
 
 def _wcfg(batch, detok_dev=None):
@@ -101,23 +183,32 @@ def _drain(sched):
     return n
 
 
-def _warm(sched, worker, max_tokens):
-    """Compile every executable the measured run will hit."""
-    for r in _mkreqs(2, max_tokens):
+def _warm(sched, worker, max_tokens, streams=2):
+    """Compile every executable the measured run will hit — the FULL
+    concurrent batch (bucket/width shapes compile per batch size; a 2-stream
+    warm left the 8-stream decode/detok shapes compiling inside the measured
+    window, ~30 s of CPU compile wall that drowned the injected costs)."""
+    reqs = _mkreqs(streams, max_tokens)
+    for r in reqs:
         r.request_id = "w" + r.request_id
         sched.enqueue_request(r)
-        while not r.done_all:
-            sched._step()
+    t0 = time.perf_counter()
+    while not all(r.done_all for r in reqs) and time.perf_counter() - t0 < 600:
+        sched._step()
+        _drain(sched)
     _drain(sched)
     worker.sync()
 
 
-def run_online(streams, max_tokens):
+def run_online(streams, max_tokens, inject=None):
     model = _model()
     worker = ModelWorker(model, _wcfg(streams))
     sched = OnlineScheduler(model_worker=worker, max_batch_size=streams,
                             connect=False)
-    _warm(sched, worker, max_tokens)
+    _warm(sched, worker, max_tokens, streams=streams)
+    if inject:
+        _INTERVALS.clear()
+        _inject_costs(worker, *inject)
     reqs = _mkreqs(streams, max_tokens)
     for r in reqs:
         sched.enqueue_request(r)
@@ -132,7 +223,7 @@ def run_online(streams, max_tokens):
     return nbytes / (2.0 * model.sample_rate), wall
 
 
-def run_disagg(streams, max_tokens):
+def run_disagg(streams, max_tokens, inject=None):
     if len(jax.devices()) < 2:
         raise SystemExit("need >= 2 (virtual) devices")
     model = _model()
@@ -141,8 +232,12 @@ def run_disagg(streams, max_tokens):
                                     max_batch_size=streams, connect=False)
     # warmup through the plain step path (same executables; the disagg loops
     # call the same worker methods)
-    _warm(sched, worker, max_tokens)
+    _warm(sched, worker, max_tokens, streams=streams)
+    if inject:
+        _INTERVALS.clear()
+        _inject_costs(worker, *inject)
     reqs = _mkreqs(streams, max_tokens)
+    queue_trace = []
 
     async def main():
         sched._detok_queue = asyncio.Queue()
@@ -155,6 +250,8 @@ def run_disagg(streams, max_tokens):
         nbytes = 0
         while not all(r.done_all for r in reqs):
             await asyncio.sleep(0.002)
+            queue_trace.append((round(time.perf_counter() - t0, 3),
+                                sched._detok_queue.qsize()))
             async with sched._lock:
                 nbytes += _drain(sched)
         # done_all is set on the detok executor thread BEFORE the detok
@@ -180,32 +277,85 @@ def run_disagg(streams, max_tokens):
         return nbytes, time.perf_counter() - t0
 
     nbytes, wall = asyncio.run(main())
-    return nbytes / (2.0 * model.sample_rate), wall
+    return nbytes / (2.0 * model.sample_rate), wall, queue_trace
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--max-tokens", type=int, default=60)
+    ap.add_argument("--inject", default=None,
+                    help="lm_ms,detok_ms,prefill_ms — wrap the worker's "
+                         "dispatch methods with sleeps modelling measured "
+                         "TPU per-phase device costs (see _inject_costs); "
+                         "the virtual run then demonstrates whether the "
+                         "disaggregation loops actually OVERLAP those costs")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model so the injected costs dominate wall "
+                         "time (the mid model's real CPU compute otherwise "
+                         "drowns them)")
+    ap.add_argument("--variant", choices=["online", "disagg"], default=None,
+                    help="internal: run ONE variant in this process and "
+                         "print its partial JSON. Each variant needs a "
+                         "fresh process: a second live worker in the same "
+                         "process contaminated the second variant's timing "
+                         "(disagg wall 1.2 s alone vs 9.7 s after the "
+                         "online run)")
     args = ap.parse_args()
+    global _TINY
+    _TINY = args.tiny
+    inject = (tuple(float(x) for x in args.inject.split(","))
+              if args.inject else None)
 
-    audio_a, wall_a = run_online(args.streams, args.max_tokens)
-    audio_b, wall_b = run_disagg(args.streams, args.max_tokens)
+    if args.variant == "online":
+        audio, wall = run_online(args.streams, args.max_tokens,
+                                 inject=inject)
+        queue_trace = None
+    elif args.variant == "disagg":
+        audio, wall, queue_trace = run_disagg(args.streams, args.max_tokens,
+                                              inject=inject)
+    if args.variant:
+        part = {
+            "audio_s": round(audio, 3), "wall_s": round(wall, 3),
+            "audio_per_wall": round(audio / wall, 3),
+            "phase_busy": _overlap_stats() if inject else None,
+        }
+        if queue_trace is not None:
+            part["detok_queue_depth_trace"] = queue_trace[::25][:60]
+        print(json.dumps(part))
+        return
+
+    # orchestrate: one fresh subprocess per variant
+    import subprocess
+
+    base = [sys.executable, __file__, "--streams", str(args.streams),
+            "--max-tokens", str(args.max_tokens)]
+    if args.tiny:
+        base.append("--tiny")
+    if args.inject:
+        base += ["--inject", args.inject]
+    parts = {}
+    for variant in ("online", "disagg"):
+        proc = subprocess.run(base + ["--variant", variant],
+                              capture_output=True, text=True, timeout=900)
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            raise SystemExit(f"{variant} variant failed:\n{proc.stderr[-2000:]}")
+        parts[variant] = json.loads(lines[-1])
+    a, b = parts["online"], parts["disagg"]
     out = {
         "config": {"streams": args.streams, "max_tokens": args.max_tokens,
-                   "devices": len(jax.devices()),
-                   "platform": jax.devices()[0].platform},
-        "online_single_device": {
-            "audio_s": round(audio_a, 3), "wall_s": round(wall_a, 3),
-            "audio_per_wall": round(audio_a / wall_a, 3)},
-        "disaggregated_2dev": {
-            "audio_s": round(audio_b, 3), "wall_s": round(wall_b, 3),
-            "audio_per_wall": round(audio_b / wall_b, 3)},
-        "overlap_win": round((audio_b / wall_b) / (audio_a / wall_a), 3),
+                   "injected_costs_ms": inject, "tiny": args.tiny},
+        "online_single_device": a,
+        "disaggregated_2dev": b,
+        "overlap_win": round(b["audio_per_wall"] / a["audio_per_wall"], 3),
     }
     path = Path(__file__).resolve().parent.parent / "artifacts"
     path.mkdir(exist_ok=True)
-    (path / "disagg_virtual_r3.json").write_text(json.dumps(out, indent=1))
+    name = ("disagg_virtual_injected_r4.json" if inject
+            else "disagg_virtual_r3.json")
+    (path / name).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 

@@ -19,12 +19,15 @@ def test_qwen3_profile_matches_bench_optimum():
     assert a.max_num_pages == 3072
     assert a.page_size == 16
     assert a.codec_dtype == "bfloat16"
-    assert a.first_chunk_frames == 5
+    assert a.first_chunk_frames == 3
     assert a.fused_decode_steps == 5
     assert a.fused_decode_buckets == "1,144"
     assert a.detok_pipeline_depth == 2
     assert a.decode_buckets == "1,144"
     assert a.detok_buckets == "16,80"
+    assert a.prefill_buckets == "64,128,256"
+    assert a.max_prefill_requests == 5
+    assert a.kv_reserve_fraction == 0.05
     assert a.enable_pallas
 
 

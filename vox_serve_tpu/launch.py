@@ -79,6 +79,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detok-buckets", default=None,
                    help="comma list overriding the detokenize-batch "
                         "lattice (last may be below max-batch-size)")
+    p.add_argument("--prefill-buckets", default=None,
+                   help="comma list of prefill token buckets (a small "
+                        "first bucket keeps the single-stream cold chain "
+                        "short; larger ones pack churn admissions)")
+    p.add_argument("--max-prefill-requests", type=int, default=None,
+                   help="max requests packed into one prefill dispatch")
+    p.add_argument("--kv-reserve-fraction", type=float, default=None,
+                   help="fraction of the worst-case generation budget "
+                        "reserved at admission (1.0 = never defer; <1 "
+                        "overcommits for concurrency)")
+    p.add_argument("--table-width-buckets", default=None,
+                   help="comma list of block-table width buckets (pages); "
+                        "attention cost tracks the static width, so steps "
+                        "run at the smallest bucket covering the batch")
     p.add_argument("--socket-suffix", default="")
     p.add_argument("--log-level", default="info")
     p.add_argument("--timeout-seconds", type=float, default=600.0)
@@ -147,6 +161,10 @@ def main(argv=None) -> None:
         "codec_dtype": args.codec_dtype,
         "decode_buckets": args.decode_buckets,
         "detok_buckets": args.detok_buckets,
+        "prefill_buckets": args.prefill_buckets,
+        "max_prefill_requests": args.max_prefill_requests,
+        "kv_reserve_fraction": args.kv_reserve_fraction,
+        "table_width_buckets": args.table_width_buckets,
         "log_level": args.log_level,
     }
     server = APIServer(

@@ -27,22 +27,27 @@ DEFAULT_PROFILE: dict[str, Any] = {
     "codec_dtype": None,
     "decode_buckets": None,
     "detok_buckets": None,
+    "prefill_buckets": None,
+    "max_prefill_requests": None,
+    "kv_reserve_fraction": None,
+    "table_width_buckets": None,
     "enable_pallas": False,
 }
 
 #: substring of the resolved model name -> tuned profile
 SERVING_PROFILES: dict[str, dict[str, Any]] = {
-    # Measured optimum, Qwen3-TTS-1.7B on one v5e chip (104.9 concurrent
-    # RTF>=1 streams at the r2 knee; r3 kernel fix + fused cold-stream
-    # decode): batch 144, 3072 x 16-token pages, bf16 codec, two decode
-    # buckets, (16, 64) detok lattice, 5-frame first chunk through the
-    # fused decode executable.
+    # Measured optimum, Qwen3-TTS-1.7B on one v5e chip (round 4: 162.3
+    # median churned RTF>=1 streams, decode 4245 frames/s, idle TTFA p50
+    # 78 ms — artifacts/bench_progression_r4.md): batch 144, 3072 x
+    # 16-token pages, bf16 codec, bucketed block-table widths, 3-frame
+    # first chunk through the single-dispatch cold chain with a 64-token
+    # small prefill bucket, full-batch fused k=5 decode.
     "qwen3": {
         "max_batch_size": 144,
         "max_num_pages": 3072,
         "page_size": 16,
         "pipeline_depth": 2,
-        "first_chunk_frames": 5,
+        "first_chunk_frames": 3,
         # full-batch fused decode: k=5 steps per dispatch round amortizes
         # the fixed per-round dispatch/queue cost; detok lattice and the
         # burst-smoothing cap scale with k (16,80 covers ceil(144*5/10))
@@ -52,6 +57,9 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         "codec_dtype": "bfloat16",
         "decode_buckets": "1,144",
         "detok_buckets": "16,80",
+        "prefill_buckets": "64,128,256",
+        "max_prefill_requests": 5,
+        "kv_reserve_fraction": 0.05,
         "enable_pallas": True,
     },
     # CPU-runnable dev model: small everything, quick warmup

@@ -66,6 +66,13 @@ def _run_scheduler_daemon(args) -> None:
         codec_dtype=args.codec_dtype,
         decode_buckets_override=_parse_buckets(args.decode_buckets),
         detok_buckets_override=_parse_buckets(args.detok_buckets),
+        **({"prefill_token_buckets": _parse_buckets(args.prefill_buckets)}
+           if args.prefill_buckets else {}),
+        **({"max_prefill_requests": args.max_prefill_requests}
+           if args.max_prefill_requests is not None else {}),
+        **({"kv_reserve_fraction": args.kv_reserve_fraction}
+           if args.kv_reserve_fraction is not None else {}),
+        table_width_buckets=_parse_buckets(args.table_width_buckets),
     )
     worker = ModelWorker(model, wcfg, rank=args.rank)
     scheduler = load_scheduler(
@@ -129,6 +136,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list overriding the detokenize-batch lattice "
                         "(last entry may be below max-batch-size: wider "
                         "batches split)")
+    p.add_argument("--prefill-buckets", default=None,
+                   help="comma list of prefill token buckets")
+    p.add_argument("--max-prefill-requests", type=int, default=None)
+    p.add_argument("--kv-reserve-fraction", type=float, default=None)
+    p.add_argument("--table-width-buckets", default=None,
+                   help="comma list of block-table width buckets (pages)")
     p.add_argument("--log-level", default="info")
     return p
 
