@@ -34,7 +34,13 @@ from vox_serve_tpu.sampling import SamplingConfig
 from vox_serve_tpu.scheduler.online import OnlineScheduler
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
-BATCH = int(os.environ.get("VOX_BENCH_BATCH", "144"))
+#: model family under test. The driver metric is the qwen3 flagship;
+#: VOX_BENCH_MODEL=csm benches CSM-1B (depth-33 model + Mimi codec +
+#: silentcipher watermark — the most-machinery family, VERDICT r3 #6)
+#: with its tuned profile defaults.
+BENCH_MODEL = os.environ.get("VOX_BENCH_MODEL", "qwen3")
+_DEFAULT_BATCH = {"qwen3": "144", "csm": "64"}.get(BENCH_MODEL, "144")
+BATCH = int(os.environ.get("VOX_BENCH_BATCH", _DEFAULT_BATCH))
 #: full-batch fused decode (k steps per dispatch round) is the measured
 #: production optimum (artifacts/bench_progression_r3.md: TTFA p50 109.6 ms
 #: vs 135.6 ms single-step, streams 119.8 vs 122.8 — both above the 100
@@ -96,10 +102,15 @@ def main():
         BATCH = int(os.environ.get("VOX_BENCH_BATCH", "4"))
         CAPACITY_SECONDS = 2.0
         model = DummyLM(max_tokens=64)
+    elif BENCH_MODEL == "csm":
+        from vox_serve_tpu.models.csm import CSMLM
+
+        model = CSMLM(dtype=jnp.bfloat16)
     else:
         interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
         model = Qwen3TTSLM(dtype=jnp.bfloat16,
                            detokenize_interval=interval)
+    if not smoke:
         if os.environ.get("VOX_BENCH_CODEC_BF16", "1") != "0":
             # the reference serves its codec at the model dtype (bf16,
             # model/qwen3_tts.py:1061-1064); halves codec HBM traffic.
@@ -393,8 +404,12 @@ def main():
     worker.sync()
     decode_fps = BATCH * steps / (time.perf_counter() - t0)
 
+    metric_name = {
+        "qwen3": "concurrent_rtf1_streams_qwen3tts_1p7b",
+        "csm": "concurrent_rtf1_streams_csm_1b",
+    }.get(BENCH_MODEL, f"concurrent_rtf1_streams_{BENCH_MODEL}")
     print(json.dumps({
-        "metric": "concurrent_rtf1_streams_qwen3tts_1p7b",
+        "metric": metric_name,
         "value": round(streams_rtf1, 1),
         "unit": "streams",
         "vs_baseline": round(streams_rtf1 / 100.0, 3),

@@ -6,18 +6,25 @@
 # (first launch compiles the full executable lattice, ~3 min; subsequent
 # launches hit JAX_COMPILATION_CACHE_DIR and start in ~40 s), then drives
 # the HTTP goodput client at the given arrival rates and writes the result
-# JSON to artifacts/goodput_tpu_r3.json.
+# JSON to artifacts/goodput_tpu_r4.json.
 #
 # Usage: benchmark/run_goodput_tpu.sh [rate ...]   (default: 1.0 2.0)
 set -u
 cd "$(dirname "$0")/.."
 PORT=${PORT:-8791}
 RATES=${*:-"1.0 2.0"}
-OUT=${OUT:-artifacts/goodput_tpu_r3.json}
+OUT=${OUT:-artifacts/goodput_tpu_r4.json}
+# Generation cap: random-weight models never sample a stop token, so every
+# request runs to max_tokens. 250 frames = 20 s of audio, the long end of
+# real TTS sentences; the model default (2048 = 164 s per request) would
+# blow through the KV pool with a handful of streams and measure admission
+# starvation instead of serving latency.
+MAX_TOKENS=${MAX_TOKENS:-250}
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache_tpu}
 
-echo "[goodput] launching server on :$PORT (qwen3-tts profile)"
+echo "[goodput] launching server on :$PORT (qwen3-tts profile, max_tokens $MAX_TOKENS)"
 python -m vox_serve_tpu.launch --model Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice \
+    --max-tokens "$MAX_TOKENS" \
     --port "$PORT" > /tmp/goodput_tpu_server.log 2>&1 &
 echo $! > /tmp/goodput_tpu_server.pid
 trap 'kill $(cat /tmp/goodput_tpu_server.pid) 2>/dev/null' EXIT

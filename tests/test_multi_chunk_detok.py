@@ -103,3 +103,33 @@ def test_partial_final_window_in_combined_batch():
     expect = int(interval * DummyLM.SAMPLES_PER_TOKEN * (2 - 0.5) / interval)
     assert len(pcm2) == expect
     assert req.done_all
+
+
+def test_detok_frame_budget_caps_wide_long_combos():
+    """B*len frame budget: long catch-up windows never use the wide buckets
+    (whose activation temps OOM at warmup on a loaded chip); the issue path
+    splits across the widest in-budget bucket instead."""
+    worker = _worker(detok_buckets_override=(2, 4), detok_frame_budget=8)
+    interval = worker.detokenize_interval  # 4
+    # at L=interval: 2*4=8 within budget, 4*4=16 over -> cap 2
+    assert worker._detok_cap(interval) == 2
+    # the smallest bucket is always allowed, even over budget
+    assert worker._detok_cap(4 * interval) == 2
+    assert worker._detok_bucket(3, interval) == 2  # capped, caller splits
+    with_budget_off = _worker(detok_buckets_override=(2, 4),
+                              detok_frame_budget=0)
+    assert with_budget_off._detok_cap(4 * interval) == 4
+
+    # 3 single-window requests at the capped length split into 2 batches
+    reqs = []
+    for i in range(3):
+        r = _req_with_audio(worker, f"b{i}", interval)
+        r.next_audio_decode_idx = [0]
+        reqs.append(r)
+    worker.run_detokenize(reqs)
+    worker.flush_detokenize()
+    frames, calls = worker.phase_stats["detok.windows"]
+    assert calls == 2 and frames == 3
+    for r in reqs:
+        pcm = _drain_pcm(r)
+        assert len(pcm) == interval * DummyLM.SAMPLES_PER_TOKEN * 2

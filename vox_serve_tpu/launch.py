@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detok-buckets", default=None,
                    help="comma list overriding the detokenize-batch "
                         "lattice (last may be below max-batch-size)")
+    p.add_argument("--detok-frame-budget", type=int, default=None,
+                   help="cap on batch*length frames per detokenize "
+                        "executable (codec activation temps scale with "
+                        "total frames; 0 disables)")
     p.add_argument("--prefill-buckets", default=None,
                    help="comma list of prefill token buckets (a small "
                         "first bucket keeps the single-stream cold chain "
@@ -161,6 +165,7 @@ def main(argv=None) -> None:
         "codec_dtype": args.codec_dtype,
         "decode_buckets": args.decode_buckets,
         "detok_buckets": args.detok_buckets,
+        "detok_frame_budget": args.detok_frame_budget,
         "prefill_buckets": args.prefill_buckets,
         "max_prefill_requests": args.max_prefill_requests,
         "kv_reserve_fraction": args.kv_reserve_fraction,

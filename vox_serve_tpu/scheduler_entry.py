@@ -66,6 +66,8 @@ def _run_scheduler_daemon(args) -> None:
         codec_dtype=args.codec_dtype,
         decode_buckets_override=_parse_buckets(args.decode_buckets),
         detok_buckets_override=_parse_buckets(args.detok_buckets),
+        **({"detok_frame_budget": args.detok_frame_budget}
+           if args.detok_frame_budget is not None else {}),
         **({"prefill_token_buckets": _parse_buckets(args.prefill_buckets)}
            if args.prefill_buckets else {}),
         **({"max_prefill_requests": args.max_prefill_requests}
@@ -136,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list overriding the detokenize-batch lattice "
                         "(last entry may be below max-batch-size: wider "
                         "batches split)")
+    p.add_argument("--detok-frame-budget", type=int, default=None,
+                   help="cap on batch*length frames per detokenize "
+                        "executable (0 disables)")
     p.add_argument("--prefill-buckets", default=None,
                    help="comma list of prefill token buckets")
     p.add_argument("--max-prefill-requests", type=int, default=None)

@@ -141,6 +141,15 @@ class WorkerConfig:
     #: decode lattice.
     detok_buckets_override: Optional[tuple[int, ...]] = None
 
+    #: ceiling on B*len frames per detokenize executable. The codec's conv
+    #: activation temps scale with total frames; wide-batch x multi-chunk
+    #: catch-up combos (e.g. B=80 x len=40 = 3200 frames for the Qwen3
+    #: codec) exhaust HBM at warmup on a loaded chip. Combos above the
+    #: budget are never compiled; the issue path splits the batch across
+    #: the widest in-budget bucket instead. The smallest bucket is always
+    #: allowed so every window length stays serveable. 0 disables.
+    detok_frame_budget: int = 1024
+
     #: fused multi-step decode: scan this many decode steps inside ONE
     #: executable (token feedback, KV growth and sampling all stay
     #: on-device), collapsing the cold-stream dispatch chain
@@ -1242,11 +1251,25 @@ class ModelWorker:
                 return w
         return self.max_pages_per_seq
 
-    def _detok_bucket(self, n: int) -> int:
+    def _detok_cap(self, length: int) -> int:
+        """Widest detok bucket whose B*length stays inside the frame budget
+        (the smallest bucket is always allowed)."""
+        buckets = self.config.detok_buckets
+        budget = self.config.detok_frame_budget
+        if not budget:
+            return buckets[-1]
+        cap = buckets[0]
+        for b in buckets:
+            if b * length <= budget:
+                cap = b
+        return cap
+
+    def _detok_bucket(self, n: int, length: int) -> int:
+        cap = self._detok_cap(length)
         for b in self.config.detok_buckets:
-            if n <= b:
+            if n <= b and b <= cap:
                 return b
-        return self.config.detok_buckets[-1]  # callers chunk to the ceiling
+        return cap  # callers chunk to the ceiling
 
     @_locked
     def run_lm_decode(self, requests: list[Request]) -> None:
@@ -1817,7 +1840,7 @@ class ModelWorker:
         the largest detok bucket split into ceiling-sized chunks."""
         model = self.model
         C = model.n_codebooks
-        cap = self.config.detok_buckets[-1]
+        cap = self._detok_cap(length)
         if len(windows) > cap:
             resolved = []
             for s in range(0, len(windows), cap):
@@ -1828,7 +1851,7 @@ class ModelWorker:
         n = len(windows)
         tot, cnt = self.phase_stats.get("detok.windows", (0.0, 0))
         self.phase_stats["detok.windows"] = (tot + n, cnt + 1)
-        B = self._detok_bucket(n)
+        B = self._detok_bucket(n, length)
         token_ids = np.zeros((B, length, C), np.int32)
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
         for i, w in enumerate(windows):
@@ -1880,7 +1903,7 @@ class ModelWorker:
         model = self.model
         C = model.n_codebooks
         requests = requests[: self.config.max_batch_size]
-        cap = self.config.detok_buckets[-1]
+        cap = self._detok_cap(length)
         if len(requests) > cap:
             resolved = []
             for s in range(0, len(requests), cap):
@@ -1888,7 +1911,7 @@ class ModelWorker:
                                                     length)
             return resolved
         n = len(requests)
-        B = self._detok_bucket(n)
+        B = self._detok_bucket(n, length)
         token_ids = np.zeros((B, length, C), np.int32)
         slot_ids = np.full((B,), self.config.max_batch_size, np.int32)
         mapping = []
@@ -2197,7 +2220,10 @@ class ModelWorker:
             lengths.append(L)
             L *= 2
         for L in lengths:
+            cap = self._detok_cap(L)
             for B in cfg.detok_buckets:
+                if B > cap:
+                    continue
                 key = B if L == interval else (B, L)
                 fn = self._get_detok_fn(key)
                 toks = jax.device_put(np.zeros((B, L, C), np.int32),
