@@ -5,11 +5,17 @@ the 103 ms detokenize call (c192 @ T6400: 31.9, c96 @ T19200: 42.8) at
 ~9-17% MXU utilization. This times equivalent formulations of the same
 dilated causal conv1d on the TPU:
 
-  nch      — current: lax.conv_general_dilated, ("NCH","OIH","NCH")
-  nhc      — feature-minor conv: ("NHC","HIO","NHC") (TPU-native layout)
-  shifted  — sum of k shifted (T, Cin) @ (Cin, Cout) matmuls
-  nhc_pad  — nhc with channels zero-padded to 128 multiples (exact: zero
-             channels stay zero through conv+bias0)
+  nch       — current: lax.conv_general_dilated, ("NCH","OIH","NCH")
+  nhc       — feature-minor conv: ("NHC","HIO","NHC") (TPU-native layout)
+  nhc_pad   — nhc with channels zero-padded to 128 multiples
+  shifted   — sum of k shifted (B*T, Cin) @ (Cin, Cout) matmuls (NHC)
+  resunit   — the REAL residual-unit stack (snake+conv(d)+snake+conv1) in
+              both layouts
+  copy      — x+1 chain: HBM r/w roofline for the tensor size
+
+Timing defeats the tunnel's result cache by CHAINING: y = f(y) STEPS times
+(serial dependency, distinct values each step), one trailing
+block_until_ready. Weights are scaled for ~unit gain so bf16 stays finite.
 
 Run: python scripts/exp_conv_forms.py
 """
@@ -25,79 +31,137 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-STEPS = 20
+STEPS = 16
 
 
-def timeit(label, fn, *args):
+def time_chain(label, fn, x, flops=None):
     fn = jax.jit(fn)
-    jax.block_until_ready(fn(*args))
-    jax.block_until_ready(fn(*args))
+    y = fn(x)
+    jax.block_until_ready(y)  # compile
+    y = x
     t0 = time.monotonic()
-    out = None
     for _ in range(STEPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        y = fn(y)
+    jax.block_until_ready(y)
     ms = (time.monotonic() - t0) / STEPS * 1e3
-    print(f"{label:>28}: {ms:8.2f} ms", flush=True)
+    extra = ""
+    if flops:
+        extra = f"  ({flops / ms / 1e9:7.1f} TFLOP/s)"
+    print(f"{label:>24}: {ms:8.2f} ms{extra}", flush=True)
     return ms
 
 
 def run_case(B, C, T, k=7, dil=1):
     print(f"--- B={B} C={C} T={T} k={k} dil={dil}")
     key = jax.random.key(0)
-    x = jax.random.normal(key, (B, C, T), jnp.bfloat16)
-    w = jax.random.normal(key, (C, C, k), jnp.bfloat16) * 0.05
+    scale = 1.0 / np.sqrt(k * C)  # ~unit gain for the chain
+    x_nch = jax.random.normal(key, (B, C, T), jnp.bfloat16)
+    x_nhc = jnp.swapaxes(x_nch, 1, 2)
+    w_oik = (jax.random.normal(key, (C, C, k), jnp.bfloat16) * scale)
+    w_kio = jnp.transpose(w_oik, (2, 1, 0))  # (k, in, out) for NHC
     pad = (k - 1) * dil
+    flops = 2.0 * B * C * C * k * T  # MAC*2
 
-    def nch(x, w):
+    def nch(x):
         return jax.lax.conv_general_dilated(
-            jnp.pad(x, ((0, 0), (0, 0), (pad, 0))), w, (1,), ((0, 0),),
-            rhs_dilation=(dil,), dimension_numbers=("NCH", "OIH", "NCH"))
+            x, w_oik, window_strides=(1,), padding=((pad, 0),),
+            rhs_dilation=(dil,), dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
 
-    r_nch = timeit("nch (current)", nch, x, w)
-
-    xh = x.transpose(0, 2, 1)  # (B, T, C)
-    wh = w.transpose(2, 1, 0)  # (k, Cin, Cout)
-
-    def nhc(xh, wh):
+    def nhc(x):
         return jax.lax.conv_general_dilated(
-            jnp.pad(xh, ((0, 0), (pad, 0), (0, 0))), wh, (1,), ((0, 0),),
-            rhs_dilation=(dil,), dimension_numbers=("NHC", "HIO", "NHC"))
+            x, w_kio, window_strides=(1,), padding=((pad, 0),),
+            rhs_dilation=(dil,), dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
 
-    timeit("nhc", nhc, xh, wh)
-
-    def shifted(xh, wh):
-        xp = jnp.pad(xh, ((0, 0), (pad, 0), (0, 0)))
+    def shifted(x):  # (B, T, C): sum_k shift(x, k*dil) @ w[k]
+        xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
         out = jnp.zeros((B, T, C), jnp.float32)
-        for j in range(k):
-            seg = jax.lax.dynamic_slice_in_dim(xp, j * dil, T, axis=1)
-            out = out + seg @ wh[j].astype(jnp.float32)
-        return out.astype(jnp.bfloat16)
+        for kk in range(k):
+            seg = jax.lax.dynamic_slice_in_dim(xp, kk * dil, T, axis=1)
+            out = out + seg @ w_kio[kk]
+        return out.astype(x.dtype)
 
-    timeit("shifted matmuls", shifted, xh, wh)
+    time_chain("copy roofline", lambda x: x + 1, x_nch)
+    time_chain("nch (current)", nch, x_nch, flops)
+    time_chain("nhc", nhc, x_nhc, flops)
+    time_chain("shifted matmuls", shifted, x_nhc, flops)
 
-    Cp = ((C + 127) // 128) * 128
-    xp_ = jnp.pad(xh, ((0, 0), (0, 0), (0, Cp - C)))
-    wp_ = jnp.pad(wh, ((0, 0), (0, Cp - C), (0, Cp - C)))
+    if C % 128:
+        Cp = ((C + 127) // 128) * 128
+        xp_nhc = jnp.pad(x_nhc, ((0, 0), (0, 0), (0, Cp - C)))
+        wp = jnp.zeros((k, Cp, Cp), jnp.bfloat16).at[:, :C, :C].set(w_kio)
 
-    def nhc_pad(xp_, wp_):
-        return jax.lax.conv_general_dilated(
-            jnp.pad(xp_, ((0, 0), (pad, 0), (0, 0))), wp_, (1,), ((0, 0),),
-            rhs_dilation=(dil,), dimension_numbers=("NHC", "HIO", "NHC"))
+        def nhc_pad(x):
+            return jax.lax.conv_general_dilated(
+                x, wp, window_strides=(1,), padding=((pad, 0),),
+                rhs_dilation=(dil,), dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32).astype(x.dtype)
 
-    timeit(f"nhc padded C={Cp}", nhc_pad, xp_, wp_)
-
-    flops = B * T * k * C * C * 2
-    print(f"    ({flops / 1e9:.1f} GFLOP; nch = "
-          f"{flops / (r_nch / 1e3) / 1e12:.1f} TFLOP/s)")
+        time_chain(f"nhc padded C={Cp}", nhc_pad, xp_nhc,
+                   2.0 * B * Cp * Cp * k * T)
 
 
-def main():
-    run_case(80, 96, 19200)
-    run_case(80, 96, 19200, dil=9)
-    run_case(80, 192, 6400)
-    run_case(80, 768, 320)
+def run_resunit(B, C, T, k=7):
+    """The real _residual_unit stack: snake+conv(k7,d1)+snake+conv(k1),
+    NCH (current) vs NHC layout."""
+    print(f"--- resunit B={B} C={C} T={T}")
+    key = jax.random.key(1)
+    scale = 1.0 / np.sqrt(k * C)
+    w1 = jax.random.normal(key, (C, C, k), jnp.bfloat16) * scale
+    w2 = jax.random.normal(key, (C, C, 1), jnp.bfloat16) / np.sqrt(C)
+    alpha = jnp.zeros((C,), jnp.float32)
+    beta = jnp.zeros((C,), jnp.float32)
+    x_nch = jax.random.normal(key, (B, C, T), jnp.bfloat16)
+    flops = 2.0 * B * C * C * (k + 1) * T
+
+    def snake_nch(x, a, b):
+        af = jnp.exp(a)[None, :, None]
+        bf = jnp.exp(b)[None, :, None]
+        return x + (1.0 / (bf + 1e-9)) * jnp.square(jnp.sin(x * af))
+
+    def ru_nch(x):
+        y = snake_nch(x, alpha, beta)
+        y = jax.lax.conv_general_dilated(
+            y, w1, window_strides=(1,), padding=(((k - 1), 0),),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        y = snake_nch(y, alpha, beta)
+        y = jax.lax.conv_general_dilated(
+            y, w2, window_strides=(1,), padding=((0, 0),),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        return x + y
+
+    w1_kio = jnp.transpose(w1, (2, 1, 0))
+    w2_io = w2[:, :, 0].T  # (in, out)
+
+    def snake_nhc(x, a, b):
+        af = jnp.exp(a)[None, None, :]
+        bf = jnp.exp(b)[None, None, :]
+        return x + (1.0 / (bf + 1e-9)) * jnp.square(jnp.sin(x * af))
+
+    def ru_nhc(x):
+        y = snake_nhc(x, alpha, beta)
+        y = jax.lax.conv_general_dilated(
+            y, w1_kio, window_strides=(1,), padding=(((k - 1), 0),),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        y = snake_nhc(y, alpha, beta)
+        y = (y @ w2_io).astype(x.dtype)
+        return x + y
+
+    time_chain("resunit nch", ru_nch, x_nch, flops)
+    time_chain("resunit nhc", ru_nhc, jnp.swapaxes(x_nch, 1, 2), flops)
 
 
 if __name__ == "__main__":
-    main()
+    # the two hot blocks from artifacts/detok_profile_r4.json
+    run_case(80, 96, 19200, k=7, dil=1)
+    run_case(80, 96, 19200, k=7, dil=9)
+    run_case(80, 192, 6400, k=7, dil=1)
+    # the wide early block for contrast (fast today)
+    run_case(80, 768, 320, k=7, dil=1)
+    run_resunit(80, 96, 19200)
+    run_resunit(80, 192, 6400)
+    print("rc=0")

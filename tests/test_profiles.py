@@ -21,9 +21,9 @@ def test_qwen3_profile_matches_bench_optimum():
     assert a.codec_dtype == "bfloat16"
     assert a.first_chunk_frames == 3
     assert a.fused_decode_steps == 5
-    assert a.fused_decode_buckets == "1,144"
+    assert a.fused_decode_buckets == "1,32,96,144"
     assert a.detok_pipeline_depth == 2
-    assert a.decode_buckets == "1,144"
+    assert a.decode_buckets == "1,32,96,144"
     assert a.detok_buckets == "16,80"
     assert a.prefill_buckets == "64,128,256"
     assert a.max_prefill_requests == 5
@@ -85,8 +85,8 @@ def test_equal_explicit_batch_keeps_tuned_lattices():
     tuned bucket lattices (dropping them silently disabled full-batch
     fused decode)."""
     a = _resolved(["--model", "qwen3-tts", "--max-batch-size", "144"])
-    assert a.decode_buckets == "1,144"
-    assert a.fused_decode_buckets == "1,144"
+    assert a.decode_buckets == "1,32,96,144"
+    assert a.fused_decode_buckets == "1,32,96,144"
     assert a.detok_buckets == "16,80"
 
 

@@ -52,10 +52,15 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         # the fixed per-round dispatch/queue cost; detok lattice and the
         # burst-smoothing cap scale with k (16,80 covers ceil(144*5/10))
         "fused_decode_steps": 5,
-        "fused_decode_buckets": "1,144",
+        # intermediate buckets: at light load (e.g. goodput rate 1.0 ~ 20
+        # live streams) padding every fused round to B=144 priced rounds at
+        # 167 ms and queued admissions behind them — HTTP TTFA p50 ~1.0 s
+        # (artifacts/goodput_tpu_r4.json, first run). B=32/96 rounds cost
+        # ~3x less, cutting both admission wait and viability pressure.
+        "fused_decode_buckets": "1,32,96,144",
         "detok_pipeline_depth": 2,
         "codec_dtype": "bfloat16",
-        "decode_buckets": "1,144",
+        "decode_buckets": "1,32,96,144",
         "detok_buckets": "16,80",
         "prefill_buckets": "64,128,256",
         "max_prefill_requests": 5,
