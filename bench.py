@@ -36,11 +36,16 @@ from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
 #: model family under test. The driver metric is the qwen3 flagship;
 #: VOX_BENCH_MODEL=csm benches CSM-1B (depth-33 model + Mimi codec +
-#: silentcipher watermark — the most-machinery family, VERDICT r3 #6)
-#: with its tuned profile defaults.
+#: silentcipher watermark — the most-machinery family, VERDICT r3 #6);
+#: VOX_BENCH_MODEL=orpheus benches Orpheus-3B (largest backbone, SNAC
+#: codec, 7-token frame regroup). Each mode feeds its profiles.py entry.
 BENCH_MODEL = os.environ.get("VOX_BENCH_MODEL", "qwen3")
-_DEFAULT_BATCH = {"qwen3": "144", "csm": "64"}.get(BENCH_MODEL, "144")
+_DEFAULT_BATCH = {"qwen3": "144", "csm": "64",
+                  "orpheus": "64"}.get(BENCH_MODEL, "144")
 BATCH = int(os.environ.get("VOX_BENCH_BATCH", _DEFAULT_BATCH))
+#: KV pool: orpheus's 3B backbone (6.3 GB bf16 params, 112 KB/token KV)
+#: leaves less HBM for pages than the 1-2B families
+_DEFAULT_PAGES = {"orpheus": "2048"}.get(BENCH_MODEL, "3072")
 #: full-batch fused decode (k steps per dispatch round) is the measured
 #: production optimum (artifacts/bench_progression_r3.md: TTFA p50 109.6 ms
 #: vs 135.6 ms single-step, streams 119.8 vs 122.8 — both above the 100
@@ -106,6 +111,10 @@ def main():
         from vox_serve_tpu.models.csm import CSMLM
 
         model = CSMLM(dtype=jnp.bfloat16)
+    elif BENCH_MODEL == "orpheus":
+        from vox_serve_tpu.models.orpheus import OrpheusLM
+
+        model = OrpheusLM(dtype=jnp.bfloat16)
     else:
         interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
         model = Qwen3TTSLM(dtype=jnp.bfloat16,
@@ -132,7 +141,7 @@ def main():
     # detokenize temps (runtime ResourceExhausted)
     wcfg = WorkerConfig(
         max_batch_size=BATCH,
-        num_pages=int(os.environ.get("VOX_BENCH_PAGES", "3072")),
+        num_pages=int(os.environ.get("VOX_BENCH_PAGES", _DEFAULT_PAGES)),
         page_size=int(os.environ.get("VOX_BENCH_PAGE_SIZE", "16")),
         # churn: capacity-stream completions arrive ~BATCH*k/CAP_TOKENS
         # per step; admissions must keep up or the batch drains. The dev

@@ -54,7 +54,7 @@ def time_chain(label, fn, x, flops=None):
 def run_case(B, C, T, k=7, dil=1):
     print(f"--- B={B} C={C} T={T} k={k} dil={dil}")
     key = jax.random.key(0)
-    scale = 1.0 / np.sqrt(k * C)  # ~unit gain for the chain
+    scale = float(1.0 / np.sqrt(k * C))  # ~unit gain for the chain
     x_nch = jax.random.normal(key, (B, C, T), jnp.bfloat16)
     x_nhc = jnp.swapaxes(x_nch, 1, 2)
     w_oik = (jax.random.normal(key, (C, C, k), jnp.bfloat16) * scale)
@@ -107,9 +107,9 @@ def run_resunit(B, C, T, k=7):
     NCH (current) vs NHC layout."""
     print(f"--- resunit B={B} C={C} T={T}")
     key = jax.random.key(1)
-    scale = 1.0 / np.sqrt(k * C)
+    scale = float(1.0 / np.sqrt(k * C))
     w1 = jax.random.normal(key, (C, C, k), jnp.bfloat16) * scale
-    w2 = jax.random.normal(key, (C, C, 1), jnp.bfloat16) / np.sqrt(C)
+    w2 = jax.random.normal(key, (C, C, 1), jnp.bfloat16) / float(np.sqrt(C))
     alpha = jnp.zeros((C,), jnp.float32)
     beta = jnp.zeros((C,), jnp.float32)
     x_nch = jax.random.normal(key, (B, C, T), jnp.bfloat16)

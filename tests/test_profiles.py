@@ -66,6 +66,20 @@ def test_explicit_batch_yields_consistent_worker_config():
     assert cfg.detok_buckets[-1] <= 16
 
 
+def test_csm_profile_matches_bench():
+    """artifacts/csm_bench_r4.json: 34.7 median RTF>=1 streams at this
+    configuration on one v5e chip."""
+    a = _resolved(["--model", "csm-1b"])
+    assert a.max_batch_size == 64
+    assert a.max_num_pages == 3072
+    assert a.codec_dtype == "bfloat16"
+    assert a.fused_decode_steps == 5
+    assert a.fused_decode_buckets == "1,64"
+    assert a.decode_buckets == "1,64"
+    assert a.detok_buckets == "16,64"
+    assert a.enable_pallas
+
+
 def test_unprofiled_model_gets_generic_defaults():
     a = _resolved(["--model", "orpheus"])
     assert a.max_batch_size == 8

@@ -67,6 +67,30 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         "kv_reserve_fraction": 0.05,
         "enable_pallas": True,
     },
+    # Measured on one v5e chip (artifacts/csm_bench_r4.json: 34.7 median
+    # RTF>=1 streams, spread 9.8%, decode 564 frames/s, idle TTFA p50
+    # 553 ms): CSM-1B's decode step is ~114 ms at B=64 — dominated by the
+    # 31-iteration depth-decoder scan re-reading depth weights per
+    # codebook — so capacity is depth-bound, not KV- or detok-bound.
+    # Mimi's 12.5 Hz frame rate means each stream needs only 12.5
+    # frames/s; batch 64 with fused k=5 holds RTF>=1 for ~35 streams.
+    "csm": {
+        "max_batch_size": 64,
+        "max_num_pages": 3072,
+        "page_size": 16,
+        "pipeline_depth": 2,
+        "first_chunk_frames": 3,
+        "fused_decode_steps": 5,
+        "fused_decode_buckets": "1,64",
+        "detok_pipeline_depth": 2,
+        "codec_dtype": "bfloat16",
+        "decode_buckets": "1,64",
+        "detok_buckets": "16,64",
+        "prefill_buckets": "64,128,256",
+        "max_prefill_requests": 5,
+        "kv_reserve_fraction": 0.05,
+        "enable_pallas": True,
+    },
     # CPU-runnable dev model: small everything, quick warmup
     "dummy": {
         "max_batch_size": 8,
