@@ -118,7 +118,8 @@ def run_resunit(B, C, T, k=7):
     def snake_nch(x, a, b):
         af = jnp.exp(a)[None, :, None]
         bf = jnp.exp(b)[None, :, None]
-        return x + (1.0 / (bf + 1e-9)) * jnp.square(jnp.sin(x * af))
+        y = x + (1.0 / (bf + 1e-9)) * jnp.square(jnp.sin(x * af))
+        return y.astype(x.dtype)
 
     def ru_nch(x):
         y = snake_nch(x, alpha, beta)
@@ -139,7 +140,8 @@ def run_resunit(B, C, T, k=7):
     def snake_nhc(x, a, b):
         af = jnp.exp(a)[None, None, :]
         bf = jnp.exp(b)[None, None, :]
-        return x + (1.0 / (bf + 1e-9)) * jnp.square(jnp.sin(x * af))
+        y = x + (1.0 / (bf + 1e-9)) * jnp.square(jnp.sin(x * af))
+        return y.astype(x.dtype)
 
     def ru_nhc(x):
         y = snake_nhc(x, alpha, beta)

@@ -25,6 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.norms import layer_norm, rms_norm
+from ..ops.pallas_resunit import (
+    default_interpret, fused_resunit_stack, use_fused_resunit,
+)
 from ..ops.rope import rope_frequencies
 from .layers import (
     conv1d, conv_transpose1d, init_conv1d, init_conv_transpose1d,
@@ -549,11 +552,19 @@ def _pipeline(params: dict, cfg: Qwen3CodecConfig, codes: jax.Array,
         wav, t_cache = _causal_transconv(
             b["trans"], wav, rate, 2 * rate,
             None if bc is None else bc["trans"])
-        res_caches = []
-        for j, dil in enumerate((1, 3, 9)):
-            wav, rcache = _residual_unit(
-                b["res"][j], wav, dil, None if bc is None else bc["res"][j])
-            res_caches.append(rcache)
+        if use_fused_resunit() and wav.shape[-1] > 54:
+            # fused Pallas stack: all 3 units in VMEM (ops/pallas_resunit.py)
+            wav, res_caches = fused_resunit_stack(
+                wav, b["res"],
+                None if bc is None else [bc["res"][j] for j in range(3)],
+                interpret=default_interpret())
+        else:
+            res_caches = []
+            for j, dil in enumerate((1, 3, 9)):
+                wav, rcache = _residual_unit(
+                    b["res"][j], wav, dil,
+                    None if bc is None else bc["res"][j])
+                res_caches.append(rcache)
         new_blocks.append({"trans": t_cache, "res": res_caches})
     wav = _snake_beta(wav, dec["alpha_out"], dec["beta_out"])
     wav, head_cache = _causal_conv(
