@@ -68,8 +68,12 @@ TTFA_RUNS = 5
 #: pool mid-window and sit deferred, silently capping the measured
 #: capacity at the surviving fraction (r3: 68/144 streams producing).
 #: Completed streams are replaced immediately (top_up churn), which is
-#: also the realistic serving pattern.
-CAP_TOKENS = int(os.environ.get("VOX_BENCH_CAP_TOKENS", "300"))
+#: also the realistic serving pattern. Orpheus: 7 tokens per 85 ms SNAC
+#: frame means 300 tokens is only ~3.7 s of audio — churn/admission
+#: overhead would dominate each stream's life; 450 tokens (~5.5 s) keeps
+#: per-stream KV at 2048x16*0.95/64 ~ 486 tokens incl. prompt.
+_DEFAULT_CAP_TOKENS = {"orpheus": "450"}.get(BENCH_MODEL, "300")
+CAP_TOKENS = int(os.environ.get("VOX_BENCH_CAP_TOKENS", _DEFAULT_CAP_TOKENS))
 
 
 def _mkreq(i, max_tokens=1200):

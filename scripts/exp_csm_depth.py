@@ -63,16 +63,51 @@ def main():
     cb0 = jnp.zeros((B,), jnp.int32)
 
     # ---- depth_full: served path. carry = hidden (feed output token sum
-    # back into hidden so each step computes fresh values)
-    def full(hidden):
+    # back into hidden so each step computes fresh values). params passed
+    # as an ARGUMENT — closing over them bakes 3 GB into the MLIR and the
+    # remote compile rejects the upload (HTTP 413).
+    def full(hidden, params):
         toks, _ = model.depth_step(params, hidden, cb0, rng)
         return hidden + jnp.sum(toks, axis=1, keepdims=True).astype(
             hidden.dtype) * 1e-6
 
-    t_full = time_chain("depth_full", full, hidden0)
+    t_full = time_chain("depth_full", full, hidden0, params)
 
-    # ---- depth_nosamp: argmax instead of sample()
-    def nosamp(hidden):
+    # ---- depth_nosamp: argmax instead of sample() (same prepared layers
+    # as the served path — isolates pure sampling cost)
+    def nosamp(hidden, d):
+        from vox_serve_tpu.models.backbone import linear
+        from vox_serve_tpu.models.depth import prepare_depth_layers
+
+        db = prepare_depth_layers(d["backbone"])
+        c0e = jnp.take(d["embeds"], jnp.clip(cb0, 0, AUDIO_VOCAB - 1), axis=0)
+        x0 = jnp.stack([hidden.astype(model.dtype), c0e], axis=1)
+        x0p = linear(d["proj"], x0.reshape(B * 2, -1)).reshape(B, 2, -1)
+        kc, vc = init_depth_kv(dcfg, B)
+        h, kc, vc = depth_forward(db, dcfg, x0p, 0, kc, vc)
+
+        def body(carry, i):
+            h, kc, vc = carry
+            head_w = jnp.take(d["heads"], i - 1, axis=0)
+            logits = h.astype(jnp.float32) @ head_w.astype(jnp.float32)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ci = jnp.take(d["embeds"],
+                          jnp.clip(tok, 0, AUDIO_VOCAB - 1) + i * AUDIO_VOCAB,
+                          axis=0)
+            x = linear(d["proj"], ci)[:, None, :]
+            h, kc, vc = depth_forward(db, dcfg, x, i + 1, kc, vc)
+            return (h, kc, vc), tok
+
+        (_, _, _), toks = jax.lax.scan(
+            body, (h, kc, vc), jnp.arange(1, N_AUDIO_CB, dtype=jnp.int32))
+        return hidden + jnp.sum(toks).astype(hidden.dtype) * 1e-6
+
+    time_chain("depth_nosamp", nosamp, hidden0, d)
+
+    # ---- depth_inbody_concat: the PRE-refactor served path — raw params
+    # straight into depth_forward inside the scan body, so the w_qkv/w_gu
+    # concats trace into the loop (what prepare_depth_layers removes)
+    def inbody(hidden, d):
         from vox_serve_tpu.models.backbone import linear
 
         c0e = jnp.take(d["embeds"], jnp.clip(cb0, 0, AUDIO_VOCAB - 1), axis=0)
@@ -97,7 +132,7 @@ def main():
             body, (h, kc, vc), jnp.arange(1, N_AUDIO_CB, dtype=jnp.int32))
         return hidden + jnp.sum(toks).astype(hidden.dtype) * 1e-6
 
-    time_chain("depth_nosamp", nosamp, hidden0)
+    time_chain("depth_inbody", inbody, hidden0, d)
 
     # ---- mlp_only: weight-streaming floor for the scan's matmul volume
     lw = d["backbone"]["layers"]
@@ -127,27 +162,9 @@ def main():
                jax.random.normal(jax.random.key(2), (B, dcfg.hidden_size),
                                  jnp.bfloat16), w_qkv, w_gu, w_down, w_o)
 
-    # ---- prefused: pass pre-concatenated weights so the scan body has no
-    # concat; isolates concat-per-iteration cost
-    pre = dict(d["backbone"])
-    pre_layers = dict(pre["layers"])
-    pre_layers["w_qkv"] = w_qkv
-    pre_layers["w_gu"] = w_gu
-
-    import vox_serve_tpu.models.depth as depth_mod
-
-    orig_concat = jnp.concatenate
-
-    def noop_concat_build(params_):
-        # depth_forward rebuilds w_qkv/w_gu via jnp.concatenate; monkey-level
-        # experiment: call depth_forward with params whose attn/mlp weights
-        # are zero-width so the concat is trivial, and inject the fused mats.
-        return params_
-
-    # simpler: time full again with a variant depth_forward that skips the
-    # concats by reusing depth_mod internals is invasive — instead measure
-    # the concat cost directly:
-    def concat_cost(h, w_gu):
+    # ---- concat_31x: the isolated cost of re-running the w_qkv/w_gu
+    # concats inside a 31-iteration scan (what the refactor removed)
+    def concat_cost(h, lw):
         def body(h, _):
             wq = jnp.concatenate([lw["attn"]["q"]["w"], lw["attn"]["k"]["w"],
                                   lw["attn"]["v"]["w"]], axis=2)
@@ -161,7 +178,7 @@ def main():
 
     time_chain("concat_31x", concat_cost,
                jax.random.normal(jax.random.key(3), (B, dcfg.hidden_size),
-                                 jnp.bfloat16), w_gu)
+                                 jnp.bfloat16), lw)
 
     print(f"(B={B}, steps={STEPS}; full={t_full:.1f} ms)")
     print("rc=0")

@@ -33,16 +33,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from vox_serve_tpu.models.base import BaseLM
-from vox_serve_tpu.models.qwen3_tts import Qwen3TTSLM
 from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 
-BATCH = int(os.environ.get("VOX_PROF_BATCH", "144"))
-DETOK_B = int(os.environ.get("VOX_PROF_DETOK_B", "80"))
+#: VOX_PROF_MODEL=csm profiles the CSM-1B step (depth-33, Mimi) at its
+#: serving batch; default is the Qwen3 flagship
+PROF_MODEL = os.environ.get("VOX_PROF_MODEL", "qwen3")
+BATCH = int(os.environ.get("VOX_PROF_BATCH",
+                           {"csm": "64"}.get(PROF_MODEL, "144")))
+DETOK_B = int(os.environ.get("VOX_PROF_DETOK_B",
+                             {"csm": "64"}.get(PROF_MODEL, "80")))
 STEPS = int(os.environ.get("VOX_PROF_STEPS", "20"))
 
 
+def build_model():
+    if PROF_MODEL == "csm":
+        from vox_serve_tpu.models.csm import CSMLM
+
+        return CSMLM(dtype=jnp.bfloat16)
+    from vox_serve_tpu.models.qwen3_tts import Qwen3TTSLM
+
+    return Qwen3TTSLM(dtype=jnp.bfloat16)
+
+
 def build_worker():
-    model = Qwen3TTSLM(dtype=jnp.bfloat16)
+    model = build_model()
 
     def _bf16(t):
         return jax.tree.map(
@@ -227,9 +241,12 @@ def main():
     os.environ.pop("VOX_DEPTH_UNROLL", None)
 
     # --- detokenize --------------------------------------------------------
-    results["detok_80x10"] = timed_detok(worker, "detok_80x10", DETOK_B, 10)
-    results["detok_16x10"] = timed_detok(worker, "detok_16x10", 16, 10)
-    results["detok_16x5"] = timed_detok(worker, "detok_16x5", 16, 5)
+    L = model.detokenize_interval
+    results[f"detok_{DETOK_B}x{L}"] = timed_detok(
+        worker, f"detok_{DETOK_B}x{L}", DETOK_B, L)
+    results[f"detok_16x{L}"] = timed_detok(worker, f"detok_16x{L}", 16, L)
+    results[f"detok_16x{L // 2}"] = timed_detok(
+        worker, f"detok_16x{L // 2}", 16, L // 2)
 
     full, nodepth = results["full"], results["nodepth"]
     summary = {
@@ -248,9 +265,11 @@ def main():
             "linear_embed_rest": round(results["bb_noattn_nowrite"], 2),
         },
     }
+    summary["model"] = PROF_MODEL
     print(json.dumps(summary, indent=2))
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/decode_profile_r4.json", "w") as f:
+    suffix = "" if PROF_MODEL == "qwen3" else f"_{PROF_MODEL}"
+    with open(f"artifacts/decode_profile{suffix}_r4.json", "w") as f:
         json.dump(summary, f, indent=2)
 
 

@@ -25,7 +25,10 @@ import numpy as np
 from ..codecs.mimi import MimiConfig, init_mimi, mimi_decode_chunk, mimi_init_cache
 from ..models.backbone import BackboneConfig, init_backbone_params, linear, _init_linear
 from ..models.base import BaseLMWithDepth, PreprocessOutput
-from ..models.depth import DepthConfig, depth_forward, init_depth_kv, init_depth_params
+from ..models.depth import (
+    DepthConfig, depth_forward, init_depth_kv, init_depth_params,
+    prepare_depth_layers,
+)
 from ..sampling import SamplingConfig, sample
 from ..weights import load_text_tokenizer
 
@@ -353,7 +356,10 @@ class CSMLM(BaseLMWithDepth):
         x0 = jnp.stack([hidden.astype(self.dtype), c0_embed], axis=1)
         x0p = linear(d["proj"], x0.reshape(B * 2, -1)).reshape(B, 2, -1)
         kc, vc = init_depth_kv(dcfg, B)
-        h, kc, vc = depth_forward(d["backbone"], dcfg, x0p, 0, kc, vc)
+        # fuse q|k|v and gate|up once, OUTSIDE the 31-iteration codebook
+        # scan (inside the body XLA re-concatenated ~220 MB per iteration)
+        db = prepare_depth_layers(d["backbone"])
+        h, kc, vc = depth_forward(db, dcfg, x0p, 0, kc, vc)
         scfg = self.sampling_config
 
         def body(carry, i):
@@ -366,7 +372,7 @@ class CSMLM(BaseLMWithDepth):
                           jnp.clip(tok, 0, AUDIO_VOCAB - 1) + i * AUDIO_VOCAB,
                           axis=0)
             x = linear(d["proj"], ci)[:, None, :]
-            h, kc, vc = depth_forward(d["backbone"], dcfg, x, i + 1, kc, vc)
+            h, kc, vc = depth_forward(db, dcfg, x, i + 1, kc, vc)
             return (h, kc, vc), tok
 
         (_, _, _), toks = jax.lax.scan(

@@ -85,6 +85,28 @@ def init_depth_kv(cfg: DepthConfig, batch: int) -> tuple[jax.Array, jax.Array]:
     return (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
 
 
+def prepare_depth_layers(params: dict) -> dict:
+    """Concatenate the fused q|k|v and gate|up projection weights ONCE.
+
+    ``depth_forward`` is called inside the per-codebook ``lax.scan`` body
+    (models/csm.py:359-370, models/qwen3_tts.py:593-604); building the
+    fused mats there puts a ~2x-weight-size concat INSIDE the scan body,
+    and XLA's loop-invariant code motion does not reliably hoist
+    multi-hundred-MB materializations out of the loop (CSM-1B: 31
+    iterations x 106M params re-concatenated per decode step). Call this
+    once before the scan and pass the result as ``params``.
+    """
+    if "w_qkv" in params["layers"]:
+        return params
+    layers = dict(params["layers"])
+    layers["w_qkv"] = jnp.concatenate(
+        [layers["attn"]["q"]["w"], layers["attn"]["k"]["w"],
+         layers["attn"]["v"]["w"]], axis=2)
+    layers["w_gu"] = jnp.concatenate(
+        [layers["mlp"]["gate"]["w"], layers["mlp"]["up"]["w"]], axis=2)
+    return {"layers": layers, "final_norm": params["final_norm"]}
+
+
 def depth_forward(
     params: dict,
     cfg: DepthConfig,
@@ -164,14 +186,10 @@ def depth_forward(
         return (h, kc, vc), None
 
     L = cfg.num_layers
-    layers = dict(params["layers"])
-    # hoist the fused-projection concats out of the scan (one-time, and XLA
-    # CSEs them across the 15 codebook iterations)
-    layers["w_qkv"] = jnp.concatenate(
-        [layers["attn"]["q"]["w"], layers["attn"]["k"]["w"],
-         layers["attn"]["v"]["w"]], axis=2)
-    layers["w_gu"] = jnp.concatenate(
-        [layers["mlp"]["gate"]["w"], layers["mlp"]["up"]["w"]], axis=2)
+    # fused-projection concats: prefer the caller's one-time
+    # prepare_depth_layers (hoisted out of the codebook scan); fall back to
+    # building them here for direct callers
+    layers = prepare_depth_layers(params)["layers"]
     (x, k_cache, v_cache), _ = jax.lax.scan(
         layer_fn, (x, k_cache, v_cache),
         (layers, jnp.arange(L, dtype=jnp.int32)),

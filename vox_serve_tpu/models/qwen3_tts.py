@@ -38,6 +38,7 @@ from ..models.backbone import BackboneConfig, init_backbone_params, linear, _ini
 from ..models.base import BaseLMWithDepth, PreprocessOutput
 from ..models.depth import (
     DepthConfig, depth_forward, init_depth_kv, init_depth_params,
+    prepare_depth_layers,
 )
 from ..sampling import SamplingConfig, sample
 from ..weights import load_text_tokenizer
@@ -586,7 +587,9 @@ class Qwen3TTSLM(BaseLMWithDepth):
         x0 = jnp.stack([hidden.astype(self.dtype), cb0_embed], axis=1)
         x0p = linear(d["proj"], x0.reshape(B * 2, H)).reshape(B, 2, -1)
         kc, vc = init_depth_kv(dcfg, B)
-        h, kc, vc = depth_forward(d["backbone"], dcfg, x0p, 0, kc, vc)
+        # fuse q|k|v and gate|up once, OUTSIDE the codebook scan
+        db = prepare_depth_layers(d["backbone"])
+        h, kc, vc = depth_forward(db, dcfg, x0p, 0, kc, vc)
 
         scfg = self.sampling_config
 
@@ -600,7 +603,7 @@ class Qwen3TTSLM(BaseLMWithDepth):
             ci = jnp.take(emb_table, tok, axis=0)             # (B, H)
             feedback = feedback + ci
             x = linear(d["proj"], ci)[:, None, :]
-            h, kc, vc = depth_forward(d["backbone"], dcfg, x, i + 1, kc, vc)
+            h, kc, vc = depth_forward(db, dcfg, x, i + 1, kc, vc)
             return (h, kc, vc, feedback), tok
 
         feedback0 = jnp.zeros((B, H), self.dtype)

@@ -91,6 +91,31 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         "kv_reserve_fraction": 0.05,
         "enable_pallas": True,
     },
+    # Measured on one v5e chip (artifacts/orpheus_bench_r4.json: 12.9
+    # median RTF>=1 streams, spread 7.5%, idle TTFA p50 155 ms, decode
+    # 1317 frames/s at B=64): Orpheus-3B is backbone-weight-stream-bound
+    # (7.07G bf16 params; fused k=5 B=64 round = 231-266 ms) — batch 64
+    # with 2048 pages fits the 3B KV (112 KB/token) beside the params.
+    # SNAC detokenize is cheap (13.4 ms at B=16); capacity scales with
+    # how long streams live (churn admission costs ~2.7 s at saturation),
+    # so serve long-form utterances where possible.
+    "orpheus": {
+        "max_batch_size": 64,
+        "max_num_pages": 2048,
+        "page_size": 16,
+        "pipeline_depth": 2,
+        "first_chunk_frames": 3,
+        "fused_decode_steps": 5,
+        "fused_decode_buckets": "1,64",
+        "detok_pipeline_depth": 2,
+        "codec_dtype": "bfloat16",
+        "decode_buckets": "1,64",
+        "detok_buckets": "16,64",
+        "prefill_buckets": "64,128,256",
+        "max_prefill_requests": 5,
+        "kv_reserve_fraction": 0.05,
+        "enable_pallas": True,
+    },
     # CPU-runnable dev model: small everything, quick warmup
     "dummy": {
         "max_batch_size": 8,
