@@ -38,10 +38,13 @@ from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 #: VOX_BENCH_MODEL=csm benches CSM-1B (depth-33 model + Mimi codec +
 #: silentcipher watermark — the most-machinery family, VERDICT r3 #6);
 #: VOX_BENCH_MODEL=orpheus benches Orpheus-3B (largest backbone, SNAC
-#: codec, 7-token frame regroup). Each mode feeds its profiles.py entry.
+#: codec, 7-token frame regroup); VOX_BENCH_MODEL=cosyvoice2 benches
+#: CosyVoice2-0.5B (small LM + the heaviest decoder: conformer flow CFM +
+#: HiFT — the disaggregation-case family). Each mode feeds its
+#: profiles.py entry.
 BENCH_MODEL = os.environ.get("VOX_BENCH_MODEL", "qwen3")
-_DEFAULT_BATCH = {"qwen3": "144", "csm": "64",
-                  "orpheus": "64"}.get(BENCH_MODEL, "144")
+_DEFAULT_BATCH = {"qwen3": "144", "csm": "64", "orpheus": "64",
+                  "cosyvoice2": "32"}.get(BENCH_MODEL, "144")
 BATCH = int(os.environ.get("VOX_BENCH_BATCH", _DEFAULT_BATCH))
 #: KV pool: orpheus's 3B backbone (6.3 GB bf16 params, 112 KB/token KV)
 #: leaves less HBM for pages than the 1-2B families
@@ -119,6 +122,10 @@ def main():
         from vox_serve_tpu.models.orpheus import OrpheusLM
 
         model = OrpheusLM(dtype=jnp.bfloat16)
+    elif BENCH_MODEL == "cosyvoice2":
+        from vox_serve_tpu.models.cosyvoice2 import CosyVoice2LM
+
+        model = CosyVoice2LM(dtype=jnp.bfloat16)
     else:
         interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
         model = Qwen3TTSLM(dtype=jnp.bfloat16,

@@ -175,12 +175,14 @@ def test_rope_llama31_scaling_changes_low_freqs():
     assert np.all(np.asarray(scaled[-8:]) < np.asarray(base[-8:]))
 
 
-def test_combined_pool_matches_legacy_decode():
-    """Combined token-major pool (L, P, page, 2KH, D) must produce decode
+@pytest.mark.parametrize("D", [128, 64])
+def test_combined_pool_matches_legacy_decode(D):
+    """Combined token-major pool (L, P, page, 2KH, Ds) must produce decode
     attention identical to the legacy (L, KH, P, page, D) pair (gather paths
     on CPU; on TPU the combined path runs the stock ragged kernel, covered by
-    the on-TPU parity drive in artifacts/)."""
-    L, P, page, KH, H, D = 2, 8, 4, 2, 4, 128
+    the on-TPU parity drive in artifacts/). D=64 exercises the zero-padded
+    128-lane store_dim (CSM/Chatterbox/CosyVoice2 head dims)."""
+    L, P, page, KH, H = 2, 8, 4, 2, 4
     B = 3
     cfg_legacy = KVCacheConfig(num_layers=L, num_pages=P, page_size=page,
                                num_kv_heads=KH, head_dim=D,
@@ -191,7 +193,8 @@ def test_combined_pool_matches_legacy_decode():
     kp, vp = alloc_kv_pages(cfg_legacy)
     pool, none = alloc_kv_pages(cfg_comb)
     assert none is None
-    assert pool.shape == (L, P, page, 2 * KH, D)
+    assert pool.shape == (L, P, page, 2 * KH, cfg_comb.store_dim)
+    assert cfg_comb.store_dim == 128
 
     # write 3 requests x several tokens through BOTH layouts, layer by layer
     rng = np.random.default_rng(0)

@@ -80,8 +80,20 @@ def test_csm_profile_matches_bench():
     assert a.enable_pallas
 
 
+def test_orpheus_profile_applied():
+    """artifacts/orpheus_bench_r4.json: 12.9 median RTF>=1 streams at this
+    configuration on one v5e chip."""
+    a = _resolved(["--model", "orpheus-3b"])
+    assert a.max_batch_size == 64
+    assert a.max_num_pages == 2048
+    assert a.codec_dtype == "bfloat16"
+    assert a.fused_decode_steps == 5
+    assert a.decode_buckets == "1,64"
+    assert a.enable_pallas
+
+
 def test_unprofiled_model_gets_generic_defaults():
-    a = _resolved(["--model", "orpheus"])
+    a = _resolved(["--model", "zonos"])
     assert a.max_batch_size == 8
     assert a.max_num_pages == 2048
     assert a.fused_decode_steps == 0

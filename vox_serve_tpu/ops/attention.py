@@ -118,14 +118,19 @@ def write_kv_prefill(
     default layout, so the scatter lowers in place.
 
     Combined layout (v_pages is None): k_pages IS the single
-    (L, P, page, 2KH, D) pool; K/V interleave on the combined-head axis
+    (L, P, page, 2KH, Ds) pool; K/V interleave on the combined-head axis
     (K even, V odd — the ragged kernel's convention) so each token's write
-    is ONE contiguous (2KH, D) row, matching the pool's minor dims.
+    is ONE contiguous (2KH, Ds) row, matching the pool's minor dims.
+    Sub-128 head dims zero-pad to the pool's 128-lane store_dim
+    (kv_cache.py:KVCacheConfig.store_dim).
     """
     dtype = k_pages.dtype
     if v_pages is None:
         T, KH, D = k.shape
         kv = jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D)  # k0,v0,k1,v1
+        Ds = k_pages.shape[-1]
+        if Ds != D:
+            kv = jnp.pad(kv, ((0, 0), (0, 0), (0, Ds - D)))
         pool = k_pages.at[layer, meta.kv_page_ids, meta.kv_page_offsets].set(
             kv.astype(dtype), mode="drop")
         return pool, None
@@ -189,17 +194,19 @@ def ragged_prefill_attention(
 
 
 def _combined_decode_gather(q, pool, layer, meta, scale):
-    """Pure-JAX oracle/CPU path for the combined (L, P, page, 2KH, D) pool."""
+    """Pure-JAX oracle/CPU path for the combined (L, P, page, 2KH, Ds)
+    pool; Ds >= D (zero-padded store lanes are sliced off)."""
     B, H, D = q.shape
     KH = pool.shape[3] // 2
     page_size = pool.shape[2]
+    Ds = pool.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
 
-    pages = jnp.take(pool[layer], meta.block_tables, axis=0)  # (B,maxP,page,2KH,D)
+    pages = jnp.take(pool[layer], meta.block_tables, axis=0)  # (B,maxP,page,2KH,Ds)
     S = pages.shape[1] * page_size
-    kv = pages.reshape(B, S, 2 * KH, D)
-    k = kv[:, :, 0::2, :]
-    v = kv[:, :, 1::2, :]
+    kv = pages.reshape(B, S, 2 * KH, Ds)
+    k = kv[:, :, 0::2, :D]
+    v = kv[:, :, 1::2, :D]
     k = _repeat_kv(k, H // KH)
     v = _repeat_kv(v, H // KH)
 
@@ -245,19 +252,25 @@ def paged_attention_decode(
 
         B, H, D = q.shape
         L, P = pool.shape[0], pool.shape[1]
+        Ds = pool.shape[-1]
         scale = scale if scale is not None else 1.0 / math.sqrt(D)
         flat = pool.reshape((L * P,) + pool.shape[2:])
         tables = meta.block_tables + jnp.int32(layer) * P
         cu_q_lens = jnp.arange(B + 1, dtype=jnp.int32)
         num_seqs = jnp.array([B], jnp.int32)
+        # sub-128 head dims: q rides zero-padded 128 lanes like the pool
+        # (store_dim); pad lanes are exact no-ops through the attention
+        if Ds != D:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, Ds - D)))
         # the kernel's block-size heuristic targets vmem_limit_bytes; the
         # 16 MB default overflows by ~24 KB at (B=144, 28 layers, KH=8)
         # inside the fused-decode scan (scoped-vmem OOM at compile). v5e
         # has 128 MB VMEM/core; 64 MB is the vLLM-TPU operating point.
         vmem_mb = int(os.environ.get("VOX_RAGGED_VMEM_MB", "64"))
-        return ragged_paged_attention(
+        out = ragged_paged_attention(
             q, flat, meta.seq_lens, tables, cu_q_lens, num_seqs,
             sm_scale=float(scale), vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        return out[..., :D] if Ds != D else out
 
     if use_pallas:
         from .pallas_attention import pallas_paged_attention_decode

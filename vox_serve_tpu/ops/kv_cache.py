@@ -38,6 +38,21 @@ class KVCacheConfig:
     def max_tokens_pooled(self) -> int:
         return self.num_pages * self.page_size
 
+    @property
+    def store_dim(self) -> int:
+        """Lane width of stored K/V rows. Combined pools zero-pad sub-128
+        head dims up to the 128-lane tile: the ragged kernel then moves one
+        (page, 2KH, 128) DMA per page for ALL heads' K+V, vs the fold
+        kernel's per-(head, page) 2 KB DMAs — measured 0.38 vs 1.34 ms/layer
+        in a 16-layer loop at CSM's decode shape (B=64, KH=8, D=64,
+        scripts/exp_attn_inloop.py), and 94.5 -> ~10 ms of the real 116 ms
+        step. Costs 2x pool bytes at D=64; the pad lanes are zeros, which is
+        exact (zero q/k lanes add nothing to scores, zero v lanes are
+        sliced off)."""
+        if self.combined and self.head_dim < 128:
+            return 128
+        return self.head_dim
+
     def pages_for(self, num_tokens: int) -> int:
         return cdiv(num_tokens, self.page_size)
 
@@ -45,9 +60,10 @@ class KVCacheConfig:
 def combined_kv_supported(head_dim: int, num_kv_heads: int,
                           dtype=jnp.bfloat16) -> bool:
     """Whether (head_dim, KH) can use the combined token-major pool layout
-    consumed by the ragged paged-attention kernel: lane dim = head_dim = 128
-    and the combined 2*KH head axis XLA-fully-tileable at the KV dtype."""
-    if head_dim != 128:
+    consumed by the ragged paged-attention kernel: lane dim = head_dim up
+    to 128 (sub-128 dims are zero-padded to the 128-lane store_dim) and
+    the combined 2*KH head axis XLA-fully-tileable at the KV dtype."""
+    if head_dim > 128:
         return False
     packing = {1: 4, 2: 2, 4: 1}.get(jnp.dtype(dtype).itemsize, 1)
     x = 2 * num_kv_heads
@@ -87,7 +103,7 @@ def alloc_kv_pages(cfg: KVCacheConfig, sharding=None):
 
     if cfg.combined:
         shape = (cfg.num_layers, cfg.num_pages, cfg.page_size,
-                 2 * cfg.num_kv_heads, cfg.head_dim)
+                 2 * cfg.num_kv_heads, cfg.store_dim)
         return _zeros(shape), None
     shape = (cfg.num_layers, cfg.num_kv_heads, cfg.num_pages, cfg.page_size,
              cfg.head_dim)

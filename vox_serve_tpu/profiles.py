@@ -67,13 +67,15 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         "kv_reserve_fraction": 0.05,
         "enable_pallas": True,
     },
-    # Measured on one v5e chip (artifacts/csm_bench_r4.json: 34.7 median
-    # RTF>=1 streams, spread 9.8%, decode 564 frames/s, idle TTFA p50
-    # 553 ms): CSM-1B's decode step is ~114 ms at B=64 — dominated by the
-    # 31-iteration depth-decoder scan re-reading depth weights per
-    # codebook — so capacity is depth-bound, not KV- or detok-bound.
-    # Mimi's 12.5 Hz frame rate means each stream needs only 12.5
-    # frames/s; batch 64 with fused k=5 holds RTF>=1 for ~35 streams.
+    # Measured on one v5e chip (artifacts/csm_bench_r4.json: 144.3 median
+    # RTF>=1 streams, decode 2925 frames/s, idle TTFA p50 145 ms): the
+    # padded-to-128 combined KV layout cut the B=64 decode step from
+    # 116 -> 22.6 ms (attention 94.5 -> 4.7 ms; the old per-(head,page)
+    # fold kernel was DMA-latency-bound at D=64). The remaining step is
+    # depth-scan-bound (13.2 ms of 22.6, at its weight-streaming floor,
+    # artifacts/csm_depth_r4.md). Mimi's 12.5 Hz frame rate means each
+    # stream needs only 12.5 frames/s, so B=64 holds RTF>=1 for ~144
+    # churned streams.
     "csm": {
         "max_batch_size": 64,
         "max_num_pages": 3072,
