@@ -40,11 +40,15 @@ from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 #: VOX_BENCH_MODEL=orpheus benches Orpheus-3B (largest backbone, SNAC
 #: codec, 7-token frame regroup); VOX_BENCH_MODEL=cosyvoice2 benches
 #: CosyVoice2-0.5B (small LM + the heaviest decoder: conformer flow CFM +
-#: HiFT — the disaggregation-case family). Each mode feeds its
-#: profiles.py entry.
+#: HiFT — the disaggregation-case family); VOX_BENCH_MODEL=chatterbox
+#: benches Chatterbox (1B t3 backbone, same flow+HiFT decoder stack, perth
+#: watermark, D=64 heads); VOX_BENCH_MODEL=zonos benches Zonos-v0.1
+#: (9-codebook delay pattern, 86 Hz DAC frames — the highest frame-rate
+#: family). Each mode feeds its profiles.py entry.
 BENCH_MODEL = os.environ.get("VOX_BENCH_MODEL", "qwen3")
 _DEFAULT_BATCH = {"qwen3": "144", "csm": "64", "orpheus": "64",
-                  "cosyvoice2": "32"}.get(BENCH_MODEL, "144")
+                  "cosyvoice2": "32", "chatterbox": "32",
+                  "zonos": "32"}.get(BENCH_MODEL, "144")
 BATCH = int(os.environ.get("VOX_BENCH_BATCH", _DEFAULT_BATCH))
 #: KV pool: orpheus's 3B backbone (6.3 GB bf16 params, 112 KB/token KV)
 #: leaves less HBM for pages than the 1-2B families
@@ -75,7 +79,10 @@ TTFA_RUNS = 5
 #: frame means 300 tokens is only ~3.7 s of audio — churn/admission
 #: overhead would dominate each stream's life; 450 tokens (~5.5 s) keeps
 #: per-stream KV at 2048x16*0.95/64 ~ 486 tokens incl. prompt.
-_DEFAULT_CAP_TOKENS = {"orpheus": "450"}.get(BENCH_MODEL, "300")
+#: Zonos: 86 Hz DAC frames mean 300 tokens is ~3.5 s of audio; 600 (~7 s)
+#: keeps admission churn from dominating each stream's life.
+_DEFAULT_CAP_TOKENS = {"orpheus": "450",
+                       "zonos": "600"}.get(BENCH_MODEL, "300")
 CAP_TOKENS = int(os.environ.get("VOX_BENCH_CAP_TOKENS", _DEFAULT_CAP_TOKENS))
 
 
@@ -126,6 +133,14 @@ def main():
         from vox_serve_tpu.models.cosyvoice2 import CosyVoice2LM
 
         model = CosyVoice2LM(dtype=jnp.bfloat16)
+    elif BENCH_MODEL == "chatterbox":
+        from vox_serve_tpu.models.chatterbox import ChatterboxLM
+
+        model = ChatterboxLM(dtype=jnp.bfloat16)
+    elif BENCH_MODEL == "zonos":
+        from vox_serve_tpu.models.zonos import ZonosLM
+
+        model = ZonosLM(dtype=jnp.bfloat16)
     else:
         interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
         model = Qwen3TTSLM(dtype=jnp.bfloat16,

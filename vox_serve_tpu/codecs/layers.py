@@ -106,6 +106,66 @@ def conv_transpose1d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0,
     return out.astype(x.dtype)
 
 
+def conv1d_nhc(p: dict, x: jax.Array, stride: int = 1, padding=0,
+               dilation: int = 1, groups: int = 1) -> jax.Array:
+    """Channels-last conv: x (B, T, C_in) -> (B, T', C_out).
+
+    Same params dict as ``conv1d`` (torch (out, in/groups, k) weights —
+    transposed to HIO at trace time, folded by XLA). On TPU the
+    channels-last form measured ~1.15-1.2x faster than NCH on the codec
+    decoders' narrow-channel blocks (artifacts/conv_forms_r4.md): C lands
+    on the 128-wide lane dimension instead of the sublane-tiled axis.
+    """
+    x = x.astype(p["w"].dtype)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].transpose(2, 1, 0),                      # (k, in/g, out)
+        window_strides=(stride,),
+        padding=(padding,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        out = out + p["b"][None, None, :]
+    return out.astype(x.dtype)
+
+
+def conv_transpose1d_nhc(p: dict, x: jax.Array, stride: int = 1,
+                         padding: int = 0, output_padding: int = 0,
+                         groups: int = 1, dilation: int = 1) -> jax.Array:
+    """Channels-last ConvTranspose1d: x (B, T, C_in) -> (B, T', C_out).
+    Same params/semantics as ``conv_transpose1d`` (torch layout)."""
+    w = p["w"]  # (in, out/groups, k)
+    x = x.astype(w.dtype)
+    in_ch, out_pg, k = w.shape
+    if groups == 1:
+        w_conv = jnp.flip(w, axis=-1).transpose(2, 0, 1)   # (k, in, out)
+    else:
+        w_g = w.reshape(groups, in_ch // groups, out_pg, k)
+        w_g = jnp.flip(w_g, axis=-1)                       # (g, in/g, out/g, k)
+        w_conv = w_g.transpose(3, 1, 0, 2).reshape(
+            k, in_ch // groups, groups * out_pg)           # (k, in/g, out)
+    eff_k = dilation * (k - 1) + 1
+    pad_l = eff_k - 1 - padding
+    pad_r = eff_k - 1 - padding + output_padding
+    out = jax.lax.conv_general_dilated(
+        x, w_conv,
+        window_strides=(1,),
+        padding=((pad_l, pad_r),),
+        lhs_dilation=(stride,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        out = out + p["b"][None, None, :]
+    return out.astype(x.dtype)
+
+
 def snake(x: jax.Array, alpha: jax.Array) -> jax.Array:
     """Snake activation x + sin^2(ax)/a (reference snac.py:247-253).
     alpha: (1, C, 1) or (C,)."""

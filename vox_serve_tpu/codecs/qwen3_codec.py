@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,8 @@ from ..ops.pallas_resunit import (
 )
 from ..ops.rope import rope_frequencies
 from .layers import (
-    conv1d, conv_transpose1d, init_conv1d, init_conv_transpose1d,
+    conv1d, conv1d_nhc, conv_transpose1d, conv_transpose1d_nhc,
+    init_conv1d, init_conv_transpose1d,
 )
 from ..models.backbone import _init_linear, linear
 
@@ -390,6 +392,85 @@ def _residual_unit(p, x, dilation, cache):
     return res + y, new_cache
 
 
+# ---- channels-last (NHC) decoder section ----------------------------------
+# The waveform decoder's narrow-channel blocks run ~1.15-1.2x faster with C
+# on the TPU's 128-lane minor axis (artifacts/conv_forms_r4.md). Activations
+# are (B, T, C) between dec conv0 and the head; streaming caches KEEP the
+# (B, C, pad) layout of the NCH path (identical pytrees either way — the
+# worker's slot gather/scatter and on-the-wire state are layout-agnostic,
+# and the pads are <=54 samples so the transposes are free).
+
+
+def use_codec_nhc() -> bool:
+    """Gate: VOX_CODEC_NHC=0 opts out (A/B vs the NCH path)."""
+    return os.environ.get("VOX_CODEC_NHC", "1") != "0"
+
+
+def _snake_beta_nhc(x, alpha, beta):
+    a = jnp.exp(alpha)[None, None, :]
+    b = jnp.exp(beta)[None, None, :]
+    return x + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(x * a))
+
+
+def _causal_conv_nhc(p, x, pad, cache, dilation=1, groups=1):
+    if cache is None:
+        xin = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+        new_cache = None
+    else:
+        xin = jnp.concatenate([cache.transpose(0, 2, 1), x], axis=1)
+        new_cache = (xin[:, -pad:].transpose(0, 2, 1) if pad > 0 else cache)
+    y = conv1d_nhc(p, xin, padding=0, dilation=dilation, groups=groups)
+    return y, new_cache
+
+
+def _causal_transconv_nhc(p, x, stride, kernel, cache):
+    """NHC twin of _causal_transconv (same trim semantics)."""
+    if cache is None:
+        y = conv_transpose1d_nhc(p, x, stride=stride)
+        trim = kernel - stride
+        if trim > 0:
+            y = y[:, trim:y.shape[1] - trim]
+        return y, None
+    xin = jnp.concatenate([cache.transpose(0, 2, 1), x], axis=1)
+    y = conv_transpose1d_nhc(p, xin, stride=stride)
+    T = x.shape[1]
+    y = y[:, stride:stride + T * stride]
+    return y, x[:, -1:].transpose(0, 2, 1)
+
+
+def _residual_unit_nhc(p, x, dilation, cache):
+    res = x
+    y = _snake_beta_nhc(x, p["alpha1"], p["beta1"])
+    y, new_cache = _causal_conv_nhc(p["conv1"], y, 6 * dilation, cache,
+                                    dilation=dilation)
+    y = _snake_beta_nhc(y, p["alpha2"], p["beta2"])
+    y = conv1d_nhc(p["conv2"], y)
+    return res + y, new_cache
+
+
+def _decoder_blocks_nhc(dec, cfg, wav, cache):
+    """dec conv0 output (B, C, T) -> final waveform (B, 1, T_samples),
+    running every block in channels-last layout."""
+    h = wav.transpose(0, 2, 1)                             # (B, T, C)
+    new_blocks = []
+    for i, (b, rate) in enumerate(zip(dec["blocks"], cfg.upsample_rates)):
+        bc = None if cache is None else cache["dec_blocks"][i]
+        h = _snake_beta_nhc(h, b["alpha"], b["beta"])
+        h, t_cache = _causal_transconv_nhc(
+            b["trans"], h, rate, 2 * rate,
+            None if bc is None else bc["trans"])
+        res_caches = []
+        for j, dil in enumerate((1, 3, 9)):
+            h, rcache = _residual_unit_nhc(
+                b["res"][j], h, dil, None if bc is None else bc["res"][j])
+            res_caches.append(rcache)
+        new_blocks.append({"trans": t_cache, "res": res_caches})
+    h = _snake_beta_nhc(h, dec["alpha_out"], dec["beta_out"])
+    h, head_cache = _causal_conv_nhc(
+        dec["head"], h, 6, None if cache is None else cache["head"])
+    return h.transpose(0, 2, 1), new_blocks, head_cache
+
+
 # ---------------------------------------------------------------------------
 # RVQ decode
 # ---------------------------------------------------------------------------
@@ -545,30 +626,36 @@ def _pipeline(params: dict, cfg: Qwen3CodecConfig, codes: jax.Array,
     dec = params["decoder"]
     wav, c0_cache = _causal_conv(
         dec["conv0"], hidden, 6, None if cache is None else cache["dec_conv0"])
-    new_blocks = []
-    for i, (b, rate) in enumerate(zip(dec["blocks"], cfg.upsample_rates)):
-        bc = None if cache is None else cache["dec_blocks"][i]
-        wav = _snake_beta(wav, b["alpha"], b["beta"])
-        wav, t_cache = _causal_transconv(
-            b["trans"], wav, rate, 2 * rate,
-            None if bc is None else bc["trans"])
-        if use_fused_resunit() and wav.shape[-1] > 54:
-            # fused Pallas stack: all 3 units in VMEM (ops/pallas_resunit.py)
-            wav, res_caches = fused_resunit_stack(
-                wav, b["res"],
-                None if bc is None else [bc["res"][j] for j in range(3)],
-                interpret=default_interpret())
-        else:
-            res_caches = []
-            for j, dil in enumerate((1, 3, 9)):
-                wav, rcache = _residual_unit(
-                    b["res"][j], wav, dil,
-                    None if bc is None else bc["res"][j])
-                res_caches.append(rcache)
-        new_blocks.append({"trans": t_cache, "res": res_caches})
-    wav = _snake_beta(wav, dec["alpha_out"], dec["beta_out"])
-    wav, head_cache = _causal_conv(
-        dec["head"], wav, 6, None if cache is None else cache["head"])
+    if use_codec_nhc() and not use_fused_resunit():
+        # channels-last decoder section (default; ~1.2x on the narrow
+        # blocks — see _decoder_blocks_nhc)
+        wav, new_blocks, head_cache = _decoder_blocks_nhc(dec, cfg, wav, cache)
+    else:
+        new_blocks = []
+        for i, (b, rate) in enumerate(zip(dec["blocks"], cfg.upsample_rates)):
+            bc = None if cache is None else cache["dec_blocks"][i]
+            wav = _snake_beta(wav, b["alpha"], b["beta"])
+            wav, t_cache = _causal_transconv(
+                b["trans"], wav, rate, 2 * rate,
+                None if bc is None else bc["trans"])
+            if use_fused_resunit() and wav.shape[-1] > 54:
+                # fused Pallas stack (opt-in experiment; measured LOSING —
+                # ops/pallas_resunit.py docstring)
+                wav, res_caches = fused_resunit_stack(
+                    wav, b["res"],
+                    None if bc is None else [bc["res"][j] for j in range(3)],
+                    interpret=default_interpret())
+            else:
+                res_caches = []
+                for j, dil in enumerate((1, 3, 9)):
+                    wav, rcache = _residual_unit(
+                        b["res"][j], wav, dil,
+                        None if bc is None else bc["res"][j])
+                    res_caches.append(rcache)
+            new_blocks.append({"trans": t_cache, "res": res_caches})
+        wav = _snake_beta(wav, dec["alpha_out"], dec["beta_out"])
+        wav, head_cache = _causal_conv(
+            dec["head"], wav, 6, None if cache is None else cache["head"])
     wav = jnp.clip(wav, -1.0, 1.0)
 
     new_cache = None

@@ -93,6 +93,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of the worst-case generation budget "
                         "reserved at admission (1.0 = never defer; <1 "
                         "overcommits for concurrency)")
+    p.add_argument("--kv-quant", default=None,
+                   choices=["none", "f8_e4m3", "int8"],
+                   help="quantized KV pool storage (halves KV HBM and "
+                        "decode attention DMA bytes; f8_e4m3 needs no "
+                        "calibration, int8 uses --kv-k-amax/--kv-v-amax)")
+    p.add_argument("--kv-k-amax", type=float, default=None,
+                   help="int8 KV: expected |K| absmax (scale = amax/127)")
+    p.add_argument("--kv-v-amax", type=float, default=None,
+                   help="int8 KV: expected |V| absmax (scale = amax/127)")
     p.add_argument("--table-width-buckets", default=None,
                    help="comma list of block-table width buckets (pages); "
                         "attention cost tracks the static width, so steps "

@@ -151,6 +151,7 @@ def backbone_forward(
     k_pages: jax.Array,
     v_pages: jax.Array,
     use_pallas: bool = False,
+    kv_scales: tuple[float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Run the decoder stack.
 
@@ -158,6 +159,8 @@ def backbone_forward(
        model wrapper's job — some families sum 17 codebooks, splice audio
        features, or add conditioning prefixes).
     positions: (T,) int32 absolute positions.
+    kv_scales: static dequant multipliers when the page pool is quantized
+       (ops/kv_cache.py KVCacheConfig.kv_scales); None = full precision.
     Returns (hidden (T, H), k_pages, v_pages).
     """
     hd = cfg.resolved_head_dim
@@ -208,7 +211,8 @@ def backbone_forward(
                 q, k = apply_rope(q, k, positions, inv_freq,
                                   rope_dim=cfg.rope_dim)
 
-        kp, vp = write_kv_prefill(kp, vp, layer_idx, k, v, meta)
+        kp, vp = write_kv_prefill(kp, vp, layer_idx, k, v, meta,
+                                  kv_scales=kv_scales)
         if meta.is_prefill:
             # Pallas flash prefill for large buckets (no (H, T, T) score
             # materialization, causal + ragged block skipping; sub-128 head
@@ -231,7 +235,7 @@ def backbone_forward(
             # ANY-space operand.
             attn_out = paged_attention_decode(
                 q, kp, vp, layer_idx, meta, scale=cfg.attn_scale,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, kv_scales=kv_scales,
             )
 
         h = h + linear(lp["attn"]["o"], attn_out.reshape(T, H * hd))

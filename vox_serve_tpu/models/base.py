@@ -123,6 +123,10 @@ class BaseLM(abc.ABC):
     supports_input_streaming: bool = False
     #: set by the worker: route decode attention through the Pallas kernel
     use_pallas_attention: bool = False
+    #: set by the worker when the KV pool is quantized (int8/f8): static
+    #: (k_scale, v_scale) dequant multipliers threaded into the backbone
+    #: (ops/kv_cache.py KVCacheConfig.kv_scales)
+    kv_quant_scales: tuple[float, float] | None = None
     #: dim of per-slot feedback features produced each step (0 = none).
     feedback_dim: int = 0
     #: logits cover only codebook 0 (depth models sample the rest)
@@ -233,6 +237,7 @@ class BaseLM(abc.ABC):
         h, k_pages, v_pages = backbone_forward(
             params["backbone"], self.backbone_config, x, positions, meta,
             k_pages, v_pages, use_pallas=self.use_pallas_attention,
+            kv_scales=self.kv_quant_scales,
         )
         if last_token_idx is not None:
             h = jnp.take(h, last_token_idx, axis=0)  # (B, hidden)

@@ -97,6 +97,23 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _quantize_kv(k: jax.Array, v: jax.Array, pool_dtype,
+                 kv_scales: Optional[tuple[float, float]]):
+    """Quantize fresh K/V rows for a quantized pool (kv_cache.py quant):
+    f8_e4m3 clips to the format's +-448 range and casts; int8 stores
+    round(x / scale) clipped to +-127. No-op for full-precision pools."""
+    if pool_dtype == jnp.int8:
+        ks, vs = kv_scales
+        k = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127)
+        v = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -127, 127)
+        return k.astype(jnp.int8), v.astype(jnp.int8)
+    if pool_dtype == jnp.float8_e4m3fn:
+        k = jnp.clip(k.astype(jnp.float32), -448.0, 448.0)
+        v = jnp.clip(v.astype(jnp.float32), -448.0, 448.0)
+        return k.astype(pool_dtype), v.astype(pool_dtype)
+    return k, v
+
+
 def write_kv_prefill(
     k_pages: jax.Array,
     v_pages: Optional[jax.Array],
@@ -104,6 +121,7 @@ def write_kv_prefill(
     k: jax.Array,
     v: jax.Array,
     meta: AttnMetadata,
+    kv_scales: Optional[tuple[float, float]] = None,
 ) -> tuple[jax.Array, Optional[jax.Array]]:
     """Scatter T new K/V rows into the page pool at a given layer.
     k, v: (T, KH, D). Padded tokens target scratch page 0.
@@ -127,6 +145,7 @@ def write_kv_prefill(
     dtype = k_pages.dtype
     if v_pages is None:
         T, KH, D = k.shape
+        k, v = _quantize_kv(k, v, dtype, kv_scales)
         kv = jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D)  # k0,v0,k1,v1
         Ds = k_pages.shape[-1]
         if Ds != D:
@@ -193,9 +212,10 @@ def ragged_prefill_attention(
 # ---------------------------------------------------------------------------
 
 
-def _combined_decode_gather(q, pool, layer, meta, scale):
+def _combined_decode_gather(q, pool, layer, meta, scale, kv_scales=None):
     """Pure-JAX oracle/CPU path for the combined (L, P, page, 2KH, Ds)
-    pool; Ds >= D (zero-padded store lanes are sliced off)."""
+    pool; Ds >= D (zero-padded store lanes are sliced off). Quantized
+    pools (int8/f8) dequantize here with the static kv_scales."""
     B, H, D = q.shape
     KH = pool.shape[3] // 2
     page_size = pool.shape[2]
@@ -207,6 +227,9 @@ def _combined_decode_gather(q, pool, layer, meta, scale):
     kv = pages.reshape(B, S, 2 * KH, Ds)
     k = kv[:, :, 0::2, :D]
     v = kv[:, :, 1::2, :D]
+    if kv_scales is not None:
+        k = k.astype(jnp.float32) * kv_scales[0]
+        v = v.astype(jnp.float32) * kv_scales[1]
     k = _repeat_kv(k, H // KH)
     v = _repeat_kv(v, H // KH)
 
@@ -228,9 +251,15 @@ def paged_attention_decode(
     meta: AttnMetadata,
     scale: float | None = None,
     use_pallas: bool = False,
+    kv_scales: Optional[tuple[float, float]] = None,
 ) -> jax.Array:
     """q: (B, H, D); returns (B, H, D). seq_lens already includes the current
     token, whose K/V must be written *before* calling this.
+
+    kv_scales: (k_scale, v_scale) static dequant multipliers for a
+    quantized combined pool (kv_cache.py KVCacheConfig.kv_scales) — the
+    ragged kernel dequantizes in-kernel, so quantization halves both pool
+    bytes and attention DMA traffic. None for full-precision pools.
 
     Legacy pair pools (L, KH, P, page, D) — head-major (kv_cache.py): gather
     path below, or the in-repo fold-capable Pallas kernel.
@@ -245,7 +274,8 @@ def paged_attention_decode(
     if v_pages is None:
         pool = k_pages
         if not use_pallas:
-            return _combined_decode_gather(q, pool, layer, meta, scale)
+            return _combined_decode_gather(q, pool, layer, meta, scale,
+                                           kv_scales=kv_scales)
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention,
         )
@@ -267,9 +297,16 @@ def paged_attention_decode(
         # inside the fused-decode scan (scoped-vmem OOM at compile). v5e
         # has 128 MB VMEM/core; 64 MB is the vLLM-TPU operating point.
         vmem_mb = int(os.environ.get("VOX_RAGGED_VMEM_MB", "64"))
+        quant_kw = {}
+        if kv_scales is not None:
+            # in-kernel dequant: k/v pages load at 1 byte/elem and convert
+            # to f32 in VMEM (kernel.py k_scale/v_scale path)
+            quant_kw = {"k_scale": float(kv_scales[0]),
+                        "v_scale": float(kv_scales[1])}
         out = ragged_paged_attention(
             q, flat, meta.seq_lens, tables, cu_q_lens, num_seqs,
-            sm_scale=float(scale), vmem_limit_bytes=vmem_mb * 1024 * 1024)
+            sm_scale=float(scale), vmem_limit_bytes=vmem_mb * 1024 * 1024,
+            **quant_kw)
         return out[..., :D] if Ds != D else out
 
     if use_pallas:

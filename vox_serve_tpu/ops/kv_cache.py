@@ -33,6 +33,46 @@ class KVCacheConfig:
     dtype: jnp.dtype = jnp.bfloat16
     #: combined token-major layout (see alloc_kv_pages)
     combined: bool = False
+    #: quantized pool storage: "none" (store at `dtype`), "f8_e4m3"
+    #: (scale-free float8 — clip to +-448 and cast; no calibration needed),
+    #: or "int8" (symmetric, static per-tensor amax via k_amax/v_amax).
+    #: Halves pool HBM bytes AND decode attention DMA traffic vs bf16.
+    #: Dequantization happens inside the ragged decode kernel (the stock
+    #: kernel's k_scale/v_scale path); combined layout only. The current
+    #: step's fresh K/V stay full-precision through prefill attention —
+    #: only the POOL is quantized (vLLM fp8-KV semantics).
+    quant: str = "none"
+    #: int8 calibration: values are stored as round(x / (amax/127)),
+    #: clipped to +-127. Defaults cover RMSNorm'd + RoPE'd K and V of the
+    #: served families with >=4x headroom; override per model/checkpoint
+    #: (scripts/calibrate_kv_scales.py prints measured absmax).
+    k_amax: float = 16.0
+    v_amax: float = 16.0
+
+    def __post_init__(self):
+        if self.quant not in ("none", "f8_e4m3", "int8"):
+            raise ValueError(f"unknown kv quant mode {self.quant!r}")
+        if self.quant != "none" and not self.combined:
+            raise ValueError("quantized KV requires the combined layout")
+
+    @property
+    def pool_dtype(self):
+        """Storage dtype of the page pool (quantized or `dtype`)."""
+        if self.quant == "f8_e4m3":
+            return jnp.float8_e4m3fn
+        if self.quant == "int8":
+            return jnp.int8
+        return self.dtype
+
+    @property
+    def kv_scales(self):
+        """(k_scale, v_scale) dequant multipliers for the decode kernel /
+        gather path, or None when the pool is unquantized."""
+        if self.quant == "f8_e4m3":
+            return (1.0, 1.0)
+        if self.quant == "int8":
+            return (self.k_amax / 127.0, self.v_amax / 127.0)
+        return None
 
     @property
     def max_tokens_pooled(self) -> int:
@@ -92,13 +132,15 @@ def alloc_kv_pages(cfg: KVCacheConfig, sharding=None):
       returned value is None (callers thread (pool, None) where the legacy
       pair went).
     """
+    pool_dtype = cfg.pool_dtype
+
     def _zeros(shape):
         if sharding is None:
-            return jnp.zeros(shape, dtype=cfg.dtype)
+            return jnp.zeros(shape, dtype=pool_dtype)
         # allocate each shard in place: an eager jnp.zeros would stage the
         # WHOLE mesh-aggregate pool on one device before resharding, OOMing
         # a TP deployment whose pool only fits the combined HBM
-        return jax.jit(lambda: jnp.zeros(shape, dtype=cfg.dtype),
+        return jax.jit(lambda: jnp.zeros(shape, dtype=pool_dtype),
                        out_shardings=sharding)()
 
     if cfg.combined:

@@ -111,6 +111,15 @@ class WorkerConfig:
     #: the request's decode step until a completion frees pages.
     kv_reserve_fraction: float = 1.0
 
+    #: quantized KV pool storage: "none", "f8_e4m3" (scale-free float8),
+    #: or "int8" (static amax via kv_k_amax/kv_v_amax). Halves pool HBM —
+    #: 2x pooled tokens at the same page budget — and halves decode
+    #: attention DMA bytes; dequant runs inside the ragged kernel. Requires
+    #: the combined layout (all served families). See ops/kv_cache.py.
+    kv_quant: str = "none"
+    kv_k_amax: float = 16.0
+    kv_v_amax: float = 16.0
+
     #: explicit decode-bucket lattice (sorted ascending, last must equal
     #: max_batch_size). None -> power-of-2 lattice. Fewer buckets = fewer
     #: compiles (important when startup time is budgeted, e.g. benches) at
@@ -222,6 +231,22 @@ class ModelWorker:
         combined = combined_kv_supported(head_dim, bb.num_kv_heads, bb.dtype)
         if os.environ.get("VOX_KV_COMBINED", "") in ("0", "false"):
             combined = False  # escape hatch / legacy-layout A-B testing
+        kv_quant = cfg.kv_quant
+        if kv_quant != "none":
+            # quantized pools need the combined layout AND the 1-byte tile
+            # packing to divide the combined-head axis
+            import jax.numpy as _jnp
+
+            q_dtype = (_jnp.int8 if kv_quant == "int8"
+                       else _jnp.float8_e4m3fn)
+            if not (combined
+                    and combined_kv_supported(head_dim, bb.num_kv_heads,
+                                              q_dtype)):
+                self.logger.warning(
+                    "kv_quant=%s unsupported for head_dim %d / KH %d; "
+                    "serving full-precision KV", kv_quant, head_dim,
+                    bb.num_kv_heads)
+                kv_quant = "none"
         from ..ops.pallas_attention import CHUNK_TOKENS, decode_fold
 
         fold = decode_fold(head_dim)
@@ -256,7 +281,11 @@ class ModelWorker:
             head_dim=bb.resolved_head_dim,
             dtype=bb.dtype,
             combined=combined,
+            quant=kv_quant,
+            k_amax=cfg.kv_k_amax,
+            v_amax=cfg.kv_v_amax,
         )
+        model.kv_quant_scales = self.kv_config.kv_scales
         # device set: explicit (DP replica pinning) or the process default
         self._devices = (list(cfg.devices) if cfg.devices is not None
                          else jax.devices())
@@ -402,8 +431,10 @@ class ModelWorker:
             "persistent HBM: params %.2fG + KV pool %.2fG (%s layout) + "
             "slot caches %.2fG = %.2fG", param_bytes / 2**30,
             kv_bytes / 2**30,
-            "combined token-major" if self.kv_config.combined
-            else "head-major pair",
+            ("combined token-major" if self.kv_config.combined
+             else "head-major pair")
+            + (f", {self.kv_config.quant} quantized"
+               if self.kv_config.quant != "none" else ""),
             cache_bytes / 2**30, total / 2**30)
         if total > 12 * 2**30 and self.lm_device is self.detokenizer_device:
             self.logger.warning(
