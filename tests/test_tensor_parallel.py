@@ -58,14 +58,33 @@ def test_tp4_matches_tp1_greedy():
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_tp_kv_pool_is_sharded():
+    """The combined token-major pool (L, P, page, 2KH, D) must shard its
+    combined-head axis (axis 3) across tp — a replicated pool would silently
+    forfeit the whole point of TP for KV memory scaling."""
+    tp = 4
     model = GLMVoiceLM(dtype=jnp.float32, debug_backbone=SMALL,
                        debug_flow=FLOW, debug_hift=HIFT)
     wcfg = WorkerConfig(max_batch_size=2, num_pages=64, page_size=16,
-                        prefill_token_buckets=(512,), warmup=False, tp_size=4)
+                        prefill_token_buckets=(512,), warmup=False,
+                        tp_size=tp)
     worker = ModelWorker(model, wcfg)
-    sh = worker.k_pages.sharding
-    # kv-head axis (axis 1) split 4 ways
-    assert sh.shard_shape(worker.k_pages.shape)[1] == SMALL.num_kv_heads // 4
+    assert worker.kv_config.combined, "GLM dev config should use combined"
+    assert worker.v_pages is None
+    pool = worker.k_pages
+    shard = pool.sharding.shard_shape(pool.shape)
+    # combined K/V head axis split tp ways; K(even)/V(odd) of one head stay
+    # adjacent, so per-shard width must be an even number of combined heads
+    assert shard[3] == 2 * SMALL.num_kv_heads // tp
+    assert shard[3] % 2 == 0
+    # all other axes replicated
+    assert shard[:3] == pool.shape[:3] and shard[4] == pool.shape[4]
+    # memory actually scales: per-device bytes == total/tp
+    per_dev = {d: s.data.nbytes for s, d in
+               zip(pool.addressable_shards,
+                   [s.device for s in pool.addressable_shards])}
+    total = pool.dtype.itemsize * int(np.prod(pool.shape))
+    assert sum(per_dev.values()) == total
+    assert all(b == total // tp for b in per_dev.values())
 
 
 def test_layer_norm_model_shardings_match_param_structure():

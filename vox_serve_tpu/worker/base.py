@@ -120,6 +120,13 @@ class WorkerConfig:
     kv_k_amax: float = 16.0
     kv_v_amax: float = 16.0
 
+    #: int8 weight-only quantization of the backbone matmuls (per-output-
+    #: channel symmetric scales, dequant inside the matmul fusion). Halves
+    #: the per-step weight streaming of decode — the binding resource for
+    #: large weight-bound families (Orpheus-3B: fused round is ~6x its
+    #: weight-streaming floor at bf16). "none" or "int8".
+    weight_quant: str = "none"
+
     #: explicit decode-bucket lattice (sorted ascending, last must equal
     #: max_batch_size). None -> power-of-2 lattice. Fewer buckets = fewer
     #: compiles (important when startup time is budgeted, e.g. benches) at
@@ -286,6 +293,16 @@ class ModelWorker:
             v_amax=cfg.kv_v_amax,
         )
         model.kv_quant_scales = self.kv_config.kv_scales
+        if cfg.weight_quant == "int8":
+            from ..models.backbone import quantize_backbone_params
+
+            model.params = dict(model.params)
+            model.params["backbone"] = jax.jit(quantize_backbone_params)(
+                model.params["backbone"])
+            self.logger.info("backbone weights quantized to int8 "
+                             "(per-output-channel scales)")
+        elif cfg.weight_quant != "none":
+            raise ValueError(f"unknown weight_quant {cfg.weight_quant!r}")
         # device set: explicit (DP replica pinning) or the process default
         self._devices = (list(cfg.devices) if cfg.devices is not None
                          else jax.devices())
@@ -301,12 +318,24 @@ class ModelWorker:
             self.mesh = make_mesh(dp=1, tp=cfg.tp_size,
                                   devices=self._devices)
             # shard the kv-head axis: axis 1 of the legacy (L, KH, P, page,
-            # D) pair, axis 3 of the combined (L, P, page, 2KH, D) pool
-            # (K/V of one head stay adjacent, so 2KH % (2*tp) == 0 keeps
-            # pairs on one shard)
+            # D) pair, axis 3 of the combined (L, P, page, 2KH, D) pool.
+            # K/V of one head must stay ADJACENT on one shard (K even / V
+            # odd), so the per-shard width 2KH/tp must be even — i.e.
+            # KH % tp == 0. GLM-9B (KH=2) at tp=4 fails this: splitting
+            # the size-4 axis 4-ways puts head 0's K and V on different
+            # chips and the kernel's even/odd convention silently reads
+            # the wrong rows. Fall back to a replicated pool (few-KV-head
+            # models have small pools: GLM-9B's is ~0.7 MB/page-group).
             if combined:
-                kv_sharding = NamedSharding(
-                    self.mesh, P(None, None, None, "tp"))
+                if bb.num_kv_heads % cfg.tp_size == 0:
+                    kv_sharding = NamedSharding(
+                        self.mesh, P(None, None, None, "tp"))
+                else:
+                    self.logger.warning(
+                        "KV heads (%d) not divisible by tp (%d); "
+                        "replicating the KV pool across the TP mesh",
+                        bb.num_kv_heads, cfg.tp_size)
+                    kv_sharding = NamedSharding(self.mesh, P())
             else:
                 kv_sharding = NamedSharding(self.mesh, P(None, "tp"))
             bb_sh = backbone_param_shardings(self.mesh,
@@ -334,19 +363,30 @@ class ModelWorker:
         # the floor must cover any first-chunk stream (longest prompt + the
         # fused-k / ramp frames) so the cold-start chain always fits the
         # smallest (single warmed) width
+        floor = cdiv(
+            cdiv(max(cfg.prefill_token_buckets)
+                 + 2 * max(model.detokenize_interval,
+                           cfg.fused_decode_steps) + 8,
+                 cfg.page_size) + 1,
+            chunk_pages) * chunk_pages
+        floor = min(floor, self.max_pages_per_seq)
         if cfg.table_width_buckets is not None:
             widths = tuple(w for w in cfg.table_width_buckets if w > 0)
-            self.table_width_buckets = tuple(sorted(
+            buckets = sorted(
                 set(min(cdiv(w, chunk_pages) * chunk_pages,
-                        self.max_pages_per_seq) for w in widths))) or (
-                self.max_pages_per_seq,)
+                        self.max_pages_per_seq) for w in widths)) or [
+                self.max_pages_per_seq]
+            # the smallest bucket must cover any first-chunk stream: the
+            # cold chain and first-chunk fused decode force buckets[0], and
+            # a too-small width would raise mid-serve and kill the step
+            if buckets[0] < floor:
+                self.logger.warning(
+                    "table_width_buckets smallest width %d is below the "
+                    "first-chunk floor %d pages; raising it", buckets[0],
+                    floor)
+                buckets = sorted({max(b, floor) for b in buckets})
+            self.table_width_buckets = tuple(buckets)
         else:
-            floor = cdiv(
-                cdiv(max(cfg.prefill_token_buckets)
-                     + 2 * max(model.detokenize_interval,
-                               cfg.fused_decode_steps) + 8,
-                     cfg.page_size) + 1,
-                chunk_pages) * chunk_pages
             w, widths = floor, []
             while w < self.max_pages_per_seq:
                 widths.append(w)
