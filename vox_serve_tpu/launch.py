@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV: expected |K| absmax (scale = amax/127)")
     p.add_argument("--kv-v-amax", type=float, default=None,
                    help="int8 KV: expected |V| absmax (scale = amax/127)")
+    p.add_argument("--weight-quant", default=None,
+                   choices=["none", "int8"],
+                   help="int8 weight-only quantization of the backbone "
+                        "matmuls (halves decode weight streaming; for "
+                        "weight-bound families like Orpheus-3B)")
     p.add_argument("--table-width-buckets", default=None,
                    help="comma list of block-table width buckets (pages); "
                         "attention cost tracks the static width, so steps "
@@ -178,6 +183,10 @@ def main(argv=None) -> None:
         "prefill_buckets": args.prefill_buckets,
         "max_prefill_requests": args.max_prefill_requests,
         "kv_reserve_fraction": args.kv_reserve_fraction,
+        "kv_quant": args.kv_quant,
+        "kv_k_amax": args.kv_k_amax,
+        "kv_v_amax": args.kv_v_amax,
+        "weight_quant": args.weight_quant,
         "table_width_buckets": args.table_width_buckets,
         "log_level": args.log_level,
     }

@@ -74,6 +74,14 @@ def _run_scheduler_daemon(args) -> None:
            if args.max_prefill_requests is not None else {}),
         **({"kv_reserve_fraction": args.kv_reserve_fraction}
            if args.kv_reserve_fraction is not None else {}),
+        **({"kv_quant": args.kv_quant}
+           if args.kv_quant is not None else {}),
+        **({"kv_k_amax": args.kv_k_amax}
+           if args.kv_k_amax is not None else {}),
+        **({"kv_v_amax": args.kv_v_amax}
+           if args.kv_v_amax is not None else {}),
+        **({"weight_quant": args.weight_quant}
+           if args.weight_quant is not None else {}),
         table_width_buckets=_parse_buckets(args.table_width_buckets),
     )
     worker = ModelWorker(model, wcfg, rank=args.rank)
@@ -145,6 +153,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list of prefill token buckets")
     p.add_argument("--max-prefill-requests", type=int, default=None)
     p.add_argument("--kv-reserve-fraction", type=float, default=None)
+    p.add_argument("--kv-quant", default=None,
+                   choices=["none", "f8_e4m3", "int8"],
+                   help="quantized KV pool storage")
+    p.add_argument("--kv-k-amax", type=float, default=None)
+    p.add_argument("--kv-v-amax", type=float, default=None)
+    p.add_argument("--weight-quant", default=None,
+                   choices=["none", "int8"])
     p.add_argument("--table-width-buckets", default=None,
                    help="comma list of block-table width buckets (pages)")
     p.add_argument("--log-level", default="info")
