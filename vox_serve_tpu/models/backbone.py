@@ -81,10 +81,45 @@ def _init_linear(key, d_in, d_out, dtype, bias=False):
 
 
 def linear(p, x):
-    y = x @ p["w"]
+    if "w_q" in p:
+        # int8 weight-only quantization: weights stream from HBM at one
+        # byte/element and convert to the compute dtype inside the matmul
+        # fusion (weight-bound decode families — Orpheus-3B runs ~6x off
+        # its weight-streaming roofline at bf16, artifacts/orpheus_bench_r4)
+        y = (x @ p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def quantize_linear_params(p: dict) -> dict:
+    """Symmetric per-output-channel int8 quantization of a linear leaf
+    {"w": (..., d_in, d_out)} -> {"w_q": int8, "w_s": f32 (..., d_out)}.
+    Works on stacked (L, d_in, d_out) layer params too."""
+    w = p["w"].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / s[..., None, :]), -127, 127).astype(jnp.int8)
+    out = {"w_q": q, "w_s": s}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_backbone_params(params: dict) -> dict:
+    """int8-quantize every matmul weight in the backbone pytree (q/k/v/o,
+    gate/up/down); norms and biases stay full precision. The result feeds
+    the same `backbone_forward` — `linear` dispatches on the leaf keys."""
+    out = {k: v for k, v in params.items()}
+    layers = {k: v for k, v in params["layers"].items()}
+    layers["attn"] = {
+        k: (quantize_linear_params(v) if k in ("q", "k", "v", "o") else v)
+        for k, v in params["layers"]["attn"].items()}
+    layers["mlp"] = {k: quantize_linear_params(v)
+                     for k, v in params["layers"]["mlp"].items()}
+    out["layers"] = layers
+    return out
 
 
 def init_backbone_params(cfg: BackboneConfig, key: jax.Array) -> dict:

@@ -20,32 +20,37 @@ def backbone_param_shardings(mesh: Mesh, params: dict) -> dict:
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
-    def attn_shardings(attn: dict) -> dict:
+    def linear_shardings(p: dict, col_parallel: bool) -> dict:
+        """Sharding for one linear leaf, full-precision ({"w"}) or int8
+        weight-quantized ({"w_q", "w_s"} — backbone.quantize_linear_params).
+        col_parallel: output-dim over 'tp' (q/k/v/gate/up); else input-dim
+        (o/down) with per-output scales/biases replicated."""
+        w_spec = ns(None, None, "tp") if col_parallel else ns(None, "tp", None)
         out = {}
-        for name in ("q", "k", "v"):
-            out[name] = {"w": ns(None, None, "tp")}
-            if "b" in attn[name]:
-                out[name]["b"] = ns(None, "tp")
-        out["o"] = {"w": ns(None, "tp", None)}
-        if "b" in attn["o"]:
-            out["o"]["b"] = ns(None)
+        if "w_q" in p:
+            out["w_q"] = w_spec
+            out["w_s"] = ns(None, "tp") if col_parallel else ns(None)
+        else:
+            out["w"] = w_spec
+        if "b" in p:
+            out["b"] = ns(None, "tp") if col_parallel else ns(None)
+        return out
+
+    def attn_shardings(attn: dict) -> dict:
+        out = {name: linear_shardings(attn[name], col_parallel=True)
+               for name in ("q", "k", "v")}
+        out["o"] = linear_shardings(attn["o"], col_parallel=False)
         if "q_norm" in attn:
             out["q_norm"] = ns(None)
             out["k_norm"] = ns(None)
         return out
 
     def mlp_shardings(mlp: dict) -> dict:
-        out = {
-            "gate": {"w": ns(None, None, "tp")},
-            "up": {"w": ns(None, None, "tp")},
-            "down": {"w": ns(None, "tp", None)},
+        return {
+            "gate": linear_shardings(mlp["gate"], col_parallel=True),
+            "up": linear_shardings(mlp["up"], col_parallel=True),
+            "down": linear_shardings(mlp["down"], col_parallel=False),
         }
-        for name in ("gate", "up"):
-            if "b" in mlp[name]:
-                out[name]["b"] = ns(None, "tp")
-        if "b" in mlp["down"]:
-            out["down"]["b"] = ns(None)
-        return out
 
     shardings = {
         "layers": {
