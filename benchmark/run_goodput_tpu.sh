@@ -12,8 +12,8 @@
 set -u
 cd "$(dirname "$0")/.."
 PORT=${PORT:-8791}
-RATES=${*:-"1.0 2.0"}
-OUT=${OUT:-artifacts/goodput_tpu_r4.json}
+RATES=${*:-"1.0 2.0 4.0 8.0"}
+OUT=${OUT:-artifacts/goodput_tpu_r5.json}
 # Generation cap: random-weight models never sample a stop token, so every
 # request runs to max_tokens. 250 frames = 20 s of audio, the long end of
 # real TTS sentences; the model default (2048 = 164 s per request) would
@@ -48,3 +48,17 @@ echo "[goodput] driving rates: $RATES"
 python benchmark/goodput.py --port "$PORT" --num-requests 48 \
     --request-rate $RATES | tee "$OUT"
 echo "[goodput] wrote $OUT"
+
+echo "[goodput] server-side lifecycle breakdown (from scheduler log):"
+python - <<'PYEOF'
+import re
+import numpy as np
+lines = open("/tmp/goodput_tpu_server.log").read()
+q = [float(m) for m in re.findall(r"queue_ms=([0-9.]+)", lines)]
+t = [float(m) for m in re.findall(r"ttfa_server_ms=([0-9.]+)", lines)]
+for name, v in (("queue_ms", q), ("ttfa_server_ms", t)):
+    if v:
+        a = np.array(v)
+        print(f"  {name}: n={len(a)} p50={np.percentile(a,50):.1f} "
+              f"p90={np.percentile(a,90):.1f} max={a.max():.1f}")
+PYEOF

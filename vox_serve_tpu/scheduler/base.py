@@ -125,10 +125,33 @@ class Scheduler:
         self._prepare_requests()
         detok = self._select_detokenize_requests()
         lm = self._select_lm_requests()
+        admission = bool(lm) and not lm[0].done_lm_prefill
 
         # per-batch error isolation: a failing request must not kill the rank
         # (the reference daemon dies on any model/worker exception) — fail the
         # offending batch with error completions and keep serving
+
+        # admission-priority dispatch: a new stream's prefill (or cold
+        # chain) goes to the device queue BEFORE this round's detokenize
+        # batch — a wide detok dispatch ahead of the prefill added its full
+        # device time to HTTP TTFA (measured ~110 ms at the B=80 bucket)
+        dec: list[Request] = []
+        if admission:
+            now = time.monotonic()
+            for r in lm:
+                r.lifecycle.setdefault("prefill_dispatch", now)
+            try:
+                if not self._maybe_cold_start(lm):
+                    self.model_worker.run_lm_prefill(lm)
+                    # prefill must not starve decode: the round's fixed
+                    # dispatch cost dwarfs the prefill executable, so
+                    # the in-flight streams' decode batch runs in the
+                    # SAME round (under churn, admission rounds were
+                    # half of all rounds and ran no decode at all)
+                    dec = self._select_decode_after_prefill(lm)
+            except Exception as e:
+                self._fail_requests(lm, e, "lm step")
+
         try:
             emitted = self.model_worker.run_detokenize(detok)
         except Exception as e:
@@ -136,27 +159,16 @@ class Scheduler:
             emitted = []
         self._send_responses(emitted)
 
-        if lm:
-            dec: list[Request] = []
+        if lm and not admission:
             try:
-                if not lm[0].done_lm_prefill:
-                    if not self._maybe_cold_start(lm):
-                        self.model_worker.run_lm_prefill(lm)
-                        # prefill must not starve decode: the round's fixed
-                        # dispatch cost dwarfs the prefill executable, so
-                        # the in-flight streams' decode batch runs in the
-                        # SAME round (under churn, admission rounds were
-                        # half of all rounds and ran no decode at all)
-                        dec = self._select_decode_after_prefill(lm)
-                else:
-                    self._run_decode(lm)
+                self._run_decode(lm)
             except Exception as e:
                 self._fail_requests(lm, e, "lm step")
-            if dec:
-                try:
-                    self._run_decode(dec)
-                except Exception as e:
-                    self._fail_requests(dec, e, "lm step")
+        elif dec:
+            try:
+                self._run_decode(dec)
+            except Exception as e:
+                self._fail_requests(dec, e, "lm step")
         if len(self.active_requests) <= 2 and hasattr(self.model_worker,
                                                       "sync"):
             # light load: the readback pipeline only adds first-chunk latency
@@ -285,6 +297,7 @@ class Scheduler:
         point used by tests and the offline engine)."""
         self.logger.debug("request %s joined (streaming=%s)",
                           req.request_id, req.is_streaming)
+        req.lifecycle.setdefault("recv", time.monotonic())
         self.active_requests.append(req)
 
     def _handle_request_payload(self, payload: bytes) -> Optional[Request]:
@@ -389,6 +402,7 @@ class Scheduler:
         for req in detok_requests:
             while not req.output_audio.empty():
                 chunk = req.output_audio.get()
+                req.lifecycle.setdefault("first_audio", time.monotonic())
                 if req.is_streaming:
                     req.chunk_send_timestamps.append(time.time())
                     req.chunk_durations.append(
@@ -407,6 +421,20 @@ class Scheduler:
         self.model_worker.free_kv_cache(req)
         msg = {"status": "completed",
                "reason": req.finish_reason or "unknown"}
+        lc = req.lifecycle
+        if "recv" in lc:
+            timing = {}
+            if "prefill_dispatch" in lc:
+                timing["queue_ms"] = (lc["prefill_dispatch"]
+                                      - lc["recv"]) * 1e3
+            if "first_audio" in lc:
+                timing["ttfa_server_ms"] = (lc["first_audio"]
+                                            - lc["recv"]) * 1e3
+            if timing:
+                msg["timing"] = {k: round(v, 1) for k, v in timing.items()}
+                self.logger.info(
+                    "lifecycle %s %s", req.request_id[:8],
+                    " ".join(f"{k}={v:.1f}" for k, v in timing.items()))
         self._send(req.request_id.encode() + b"|COMPLETION|"
                    + json.dumps(msg).encode())
         req.extras["completion_sent"] = True

@@ -10,6 +10,7 @@ chunk windows to one request.
 
 from __future__ import annotations
 
+import os
 import time
 
 from ..requests import Request
@@ -22,6 +23,11 @@ class OnlineScheduler(Scheduler):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.detokenize_max_batch_size = self.max_batch_size
+        # cold-chain load gate (see _maybe_cold_start); None = auto
+        # (max_batch_size // 2). VOX_COLD_START_MAX_DECODING overrides
+        # for serving A/Bs without a relaunch-time profile edit.
+        env = os.environ.get("VOX_COLD_START_MAX_DECODING")
+        self._cold_start_max_decoding = int(env) if env else None
         # burst smoothing: with synchronized streams, window boundaries
         # align and a step's detok batch can spike far past the per-step
         # average (max_batch / interval), overflowing into a much wider
@@ -64,7 +70,15 @@ class OnlineScheduler(Scheduler):
             return False
         decoding = sum(1 for r in self.active_requests
                        if r.done_lm_prefill and not r.done_all and r is not req)
-        if decoding > 2:
+        # load gate: a B=1 cold chain spends ~40 ms of device time that the
+        # shared batch doesn't get. Up to ~half the serving batch the duty
+        # cycle absorbs it and TTFA drops from ~3 dispatch rounds to one
+        # chained dispatch; near saturation the packed-prefill path wins
+        # (throughput) — measured HTTP A/B in artifacts/goodput_tpu_r5.json.
+        limit = self._cold_start_max_decoding
+        if limit is None:
+            limit = max(2, self.max_batch_size // 2)
+        if decoding > limit:
             return False
         self.model_worker.run_cold_start(req)
         return True
