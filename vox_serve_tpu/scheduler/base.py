@@ -169,11 +169,19 @@ class Scheduler:
                 self._run_decode(dec)
             except Exception as e:
                 self._fail_requests(dec, e, "lm step")
-        if len(self.active_requests) <= 2 and hasattr(self.model_worker,
-                                                      "sync"):
+        if ((len(self.active_requests) <= 2
+             or self._first_chunk_in_flight())
+                and hasattr(self.model_worker, "sync")):
             # light load: the readback pipeline only adds first-chunk latency
             # (host token visibility lags pipeline_depth steps); resolve
-            # eagerly so TTFA doesn't pay it. Under load the pipeline stays.
+            # eagerly so TTFA doesn't pay it. Under load the pipeline stays —
+            # EXCEPT in the round where a churned admission's first-chunk
+            # frames were just dispatched: without the eager resolve those
+            # frames stay host-invisible for pipeline_depth more rounds and
+            # the mini-detok waits further detok-pipeline rounds (measured
+            # churned-TTFA p50 1.29 s at saturation, BENCH_r04 — ~6 round
+            # times for a 2-round dispatch chain). The sync costs one
+            # host-planning bubble (~30 ms) at most once per admission.
             self.model_worker.sync()
             # eager detokenize: windows completed by THIS step's LM run
             # would otherwise wait a scheduler round to be selected and a
@@ -195,6 +203,24 @@ class Scheduler:
                     emitted.append(r)
             self._send_responses(emitted)
         return bool(lm or detok)
+
+    def _first_chunk_in_flight(self) -> bool:
+        """True when a streaming request that has not produced audio yet has
+        enough frames dispatched (host-visible + in-flight) to complete its
+        first chunk — the trigger for the eager resolve above."""
+        w = self.model_worker
+        F = getattr(w, "first_chunk_frames", 0)
+        if not F:
+            return False
+        for r in self.active_requests:
+            if (r.is_streaming and r.done_lm_prefill and not r.done_all
+                    and "first_audio" not in r.lifecycle):
+                have = (len(r.lm_output_audio_tokens)
+                        + r.extras.get("inflight", 0))
+                size = r.extras.get("ramp_size", F)
+                if have >= r.extras.get("ramp_next", 0) + size:
+                    return True
+        return False
 
     def _run_decode(self, lm: list[Request]) -> None:
         """Dispatch the decode batch (fused multi-step when eligible)."""
