@@ -44,11 +44,12 @@ from vox_serve_tpu.worker import ModelWorker, WorkerConfig
 #: benches Chatterbox (1B t3 backbone, same flow+HiFT decoder stack, perth
 #: watermark, D=64 heads); VOX_BENCH_MODEL=zonos benches Zonos-v0.1
 #: (9-codebook delay pattern, 86 Hz DAC frames — the highest frame-rate
-#: family). Each mode feeds its profiles.py entry.
+#: family); VOX_BENCH_MODEL=step benches Step-Audio-2 (Whisper-adaptor
+#: encoder + DiT flow decoder). Each mode feeds its profiles.py entry.
 BENCH_MODEL = os.environ.get("VOX_BENCH_MODEL", "qwen3")
 _DEFAULT_BATCH = {"qwen3": "144", "csm": "64", "orpheus": "64",
                   "cosyvoice2": "32", "chatterbox": "32",
-                  "zonos": "32"}.get(BENCH_MODEL, "144")
+                  "zonos": "32", "step": "32"}.get(BENCH_MODEL, "144")
 BATCH = int(os.environ.get("VOX_BENCH_BATCH", _DEFAULT_BATCH))
 #: KV pool: orpheus's 3B backbone (6.3 GB bf16 params, 112 KB/token KV)
 #: leaves less HBM for pages than the 1-2B families
@@ -141,6 +142,10 @@ def main():
         from vox_serve_tpu.models.zonos import ZonosLM
 
         model = ZonosLM(dtype=jnp.bfloat16)
+    elif BENCH_MODEL == "step":
+        from vox_serve_tpu.models.step_audio_2 import StepAudio2LM
+
+        model = StepAudio2LM(dtype=jnp.bfloat16)
     else:
         interval = int(os.environ.get("VOX_BENCH_DETOK_INTERVAL", "10"))
         model = Qwen3TTSLM(dtype=jnp.bfloat16,
