@@ -223,6 +223,14 @@ def main():
         # cost over k frames per stream.
         fused_decode_steps=int(os.environ.get("VOX_BENCH_FUSED_K", "5")),
         fused_decode_buckets=((1, BATCH) if FUSED_FULL else (1,)),
+        # int8 KV halves pool HBM (5.25->2.62G at 3072 pages) and is
+        # measured FASTER at long context (artifacts/kv_quant_r5.json:
+        # 66.2->58.9 ms/step at seq 1200, B=144) — capacity-bench lever
+        # for batch > 144
+        kv_quant=os.environ.get("VOX_BENCH_KV_QUANT", "none"),
+        # int8 weight-only quant: halves the weight-streaming floor for
+        # the weight-bound families (orpheus 3B)
+        weight_quant=os.environ.get("VOX_BENCH_WEIGHT_QUANT", "none"),
     )
     worker = ModelWorker(model, wcfg)
     sched = OnlineScheduler(worker, max_batch_size=BATCH, connect=False)

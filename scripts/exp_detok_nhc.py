@@ -63,8 +63,20 @@ def main():
         results[mode] = ms
         print(f"{mode}: {ms:7.2f} ms/window (B={B}, {FRAMES} frames; "
               f"compile {compile_s:.0f}s)", flush=True)
-    print(f"speedup nhc vs nch: {results['nch'] / results['nhc']:.3f}x",
-          flush=True)
+    speedup = results["nch"] / results["nhc"]
+    print(f"speedup nhc vs nch: {speedup:.3f}x", flush=True)
+    import json
+
+    out = {"batch": B, "frames": FRAMES,
+           "nch_ms": round(results["nch"], 2),
+           "nhc_ms": round(results["nhc"], 2),
+           "speedup_nhc": round(speedup, 3),
+           "device": str(jax.devices()[0])}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "detok_nhc_r5.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
     print("rc=0")
 
 
