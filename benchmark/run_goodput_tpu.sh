@@ -36,7 +36,10 @@ trap 'kill $(cat /tmp/goodput_tpu_server.pid) 2>/dev/null' EXIT
 # wait for warmup: /health turns healthy only once the scheduler is live
 # (cold-cache warmup of the full flagship lattice can take ~15 min through
 # the tunneled backend; warm compilation cache brings it to a few minutes)
-for i in $(seq 1 240); do
+# 45 min ceiling: a fully cold lattice compile through the tunneled
+# backend exceeded the previous 20 min bound (r5: killed at 20:00 with
+# warmup still progressing)
+for i in $(seq 1 540); do
     if curl -sf "http://127.0.0.1:$PORT/health" >/dev/null 2>&1; then
         break
     fi

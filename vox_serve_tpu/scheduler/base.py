@@ -24,6 +24,7 @@ analogue, scheduler/base.py:168-215).
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Optional
 
@@ -141,7 +142,16 @@ class Scheduler:
             for r in lm:
                 r.lifecycle.setdefault("prefill_dispatch", now)
             try:
-                if not self._maybe_cold_start(lm):
+                if self._maybe_cold_start(lm):
+                    # the cold chain serves only the new stream; the
+                    # in-flight batch must still decode this round.
+                    # Skipping it cost every live stream a full round per
+                    # admission and collapsed rate-1 HTTP all-chunks
+                    # viability 95.8% -> 22% (artifacts/goodput_tpu_r5_run1.json)
+                    # once the cold gate widened to B/2.
+                    dec = self._select_decode_after_prefill(
+                        lm, exclude=lm)
+                else:
                     self.model_worker.run_lm_prefill(lm)
                     # prefill must not starve decode: the round's fixed
                     # dispatch cost dwarfs the prefill executable, so
@@ -207,7 +217,14 @@ class Scheduler:
     def _first_chunk_in_flight(self) -> bool:
         """True when a streaming request that has not produced audio yet has
         enough frames dispatched (host-visible + in-flight) to complete its
-        first chunk — the trigger for the eager resolve above."""
+        first chunk — the trigger for the eager resolve above. Capped at 2
+        sync rounds per request: the trigger can stay true for several
+        rounds (frames in flight but the detok window resolving a round
+        later), and each sync drains the whole dispatch pipeline — an
+        unbounded version degraded every live stream's cadence under load
+        (VOX_EAGER_FIRST_CHUNK=0 disables the under-load trigger for A/Bs)."""
+        if os.environ.get("VOX_EAGER_FIRST_CHUNK", "1") == "0":
+            return False
         w = self.model_worker
         F = getattr(w, "first_chunk_frames", 0)
         if not F:
@@ -219,7 +236,10 @@ class Scheduler:
                         + r.extras.get("inflight", 0))
                 size = r.extras.get("ramp_size", F)
                 if have >= r.extras.get("ramp_next", 0) + size:
-                    return True
+                    n = r.extras.get("eager_syncs", 0)
+                    if n < 2:
+                        r.extras["eager_syncs"] = n + 1
+                        return True
         return False
 
     def _run_decode(self, lm: list[Request]) -> None:
@@ -231,14 +251,17 @@ class Scheduler:
         else:
             self.model_worker.run_lm_decode(lm)
 
-    def _select_decode_after_prefill(self, prefilled: list[Request]
+    def _select_decode_after_prefill(self, prefilled: list[Request],
+                                     exclude: tuple | list = (),
                                      ) -> list[Request]:
         """The decode batch to co-dispatch with a prefill round. Re-runs
         the scheduler's LM selection with not-yet-prefilled requests hidden
         (the just-prefilled batch IS decode-eligible — its sampled feedback
-        token is device-resident)."""
+        token is device-resident). ``exclude`` additionally hides requests
+        already served this round by the cold chain."""
         saved = self.active_requests
-        self.active_requests = [r for r in saved if r.done_lm_prefill]
+        self.active_requests = [r for r in saved
+                                if r.done_lm_prefill and r not in exclude]
         try:
             dec = self._select_lm_requests()
         finally:
