@@ -229,3 +229,81 @@ def test_duplicate_request_id_does_not_crash_selection():
             break
     assert r1.done_all and r2.done_all
     assert r1 != r2  # identity semantics
+
+
+def test_under_load_audio_resolves_without_full_sync():
+    """Under load (>2 active streams) the scheduler must NOT drain the
+    dispatch pipeline for first chunks (the r5 eager-sync variant stalled
+    every live stream once per admission — HTTP all-chunks viability
+    95.8% -> 22-32% at rate 1, artifacts/goodput_tpu_r5_run1.json). A
+    churned admission's audio surfaces through the non-blocking
+    poll_resolved path instead, within a few rounds of dispatch."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.sampling import SamplingConfig
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    def mk(i, n=40):
+        return Request(request_id=f"p{i}", prompt="warm stream",
+                       is_streaming=True, is_pressing=True,
+                       sampling_config=SamplingConfig(
+                           greedy=True, max_tokens=n))
+
+    m = DummyLM(max_tokens=64)
+    m.sampling_config = SamplingConfig(greedy=True, max_tokens=64)
+    w = ModelWorker(m, WorkerConfig(
+        max_batch_size=8, num_pages=128, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4,
+        warmup=False, first_chunk_frames=2, pipeline_depth=2,
+        fused_decode_steps=2, fused_decode_buckets=(1, 8)))
+    s = OnlineScheduler(model_worker=w, max_batch_size=8, connect=False)
+    syncs = []
+    orig_sync = w.sync
+    w.sync = lambda: (syncs.append(1), orig_sync())[1]
+
+    for i in range(4):
+        s.enqueue_request(mk(i))
+    for _ in range(8):  # all four live and decoding
+        s._step()
+    assert sum(1 for r in s.active_requests if r.done_lm_prefill) >= 3
+    syncs.clear()
+    late = mk(99, n=30)
+    s.enqueue_request(late)
+    steps_to_audio = None
+    for i in range(20):
+        s._step()
+        if "first_audio" in late.lifecycle:
+            steps_to_audio = i
+            break
+    assert steps_to_audio is not None, "admission never produced audio"
+    # CPU jax computes eagerly, so the poll path must surface the chunk
+    # within the dispatch-pipeline depth worth of rounds
+    assert steps_to_audio <= 6
+    assert not syncs, "full pipeline sync ran despite >2 active streams"
+
+
+def test_poll_resolved_empties_pipeline_in_order():
+    """poll_resolved resolves front-first and leaves host token state
+    identical to a blocking sync."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.sampling import SamplingConfig
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    m = DummyLM(max_tokens=32)
+    m.sampling_config = SamplingConfig(greedy=True, max_tokens=32)
+    w = ModelWorker(m, WorkerConfig(
+        max_batch_size=2, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=2,
+        warmup=False, pipeline_depth=3))
+    req = Request(request_id="pr", prompt="poll me",
+                  sampling_config=SamplingConfig(greedy=True, max_tokens=32))
+    w.run_lm_prefill([req])
+    for _ in range(3):
+        w.run_lm_decode([req])
+    assert w._pending  # pipeline holds in-flight steps
+    for _ in range(50):
+        w.poll_resolved()
+        if not w._pending:
+            break
+    assert not w._pending, "poll_resolved never drained a completed pipeline"
+    n_polled = len(req.lm_output_tokens)
+    assert n_polled >= 3  # prefill + 3 decode steps resolved, minus pipeline

@@ -179,19 +179,17 @@ class Scheduler:
                 self._run_decode(dec)
             except Exception as e:
                 self._fail_requests(dec, e, "lm step")
-        if ((len(self.active_requests) <= 2
-             or self._first_chunk_in_flight())
+        if (len(self.active_requests) <= 2
                 and hasattr(self.model_worker, "sync")):
             # light load: the readback pipeline only adds first-chunk latency
             # (host token visibility lags pipeline_depth steps); resolve
-            # eagerly so TTFA doesn't pay it. Under load the pipeline stays —
-            # EXCEPT in the round where a churned admission's first-chunk
-            # frames were just dispatched: without the eager resolve those
-            # frames stay host-invisible for pipeline_depth more rounds and
-            # the mini-detok waits further detok-pipeline rounds (measured
-            # churned-TTFA p50 1.29 s at saturation, BENCH_r04 — ~6 round
-            # times for a 2-round dispatch chain). The sync costs one
-            # host-planning bubble (~30 ms) at most once per admission.
+            # eagerly so TTFA doesn't pay it. Under load the pipeline stays
+            # and already-computed results surface through the non-blocking
+            # poll below — the r5 eager-sync variant (full pipeline drain
+            # whenever an admission's first chunk was in flight) stalled
+            # every live stream once per admission and collapsed HTTP
+            # all-chunks viability 95.8% -> 22-32% at rate 1
+            # (artifacts/goodput_tpu_r5_run1.json vs _ab_r4sched.json).
             self.model_worker.sync()
             # eager detokenize: windows completed by THIS step's LM run
             # would otherwise wait a scheduler round to be selected and a
@@ -212,35 +210,21 @@ class Scheduler:
                 if r not in emitted and not r.output_audio.empty():
                     emitted.append(r)
             self._send_responses(emitted)
+        else:
+            # under load: surface any ALREADY-computed pipeline results
+            # (cold-chain first chunks, pipelined detok audio) without
+            # blocking — jax.Array.is_ready front-first polling. First PCM
+            # leaves the step after its device work completes instead of
+            # pipeline_depth rounds later, at zero cost to cadence.
+            poll = getattr(self.model_worker, "poll_resolved", None)
+            if poll is not None:
+                touched = poll()
+                for r in self.active_requests:
+                    if r not in touched and not r.output_audio.empty():
+                        touched.append(r)
+                if touched:
+                    self._send_responses(touched)
         return bool(lm or detok)
-
-    def _first_chunk_in_flight(self) -> bool:
-        """True when a streaming request that has not produced audio yet has
-        enough frames dispatched (host-visible + in-flight) to complete its
-        first chunk — the trigger for the eager resolve above. Capped at 2
-        sync rounds per request: the trigger can stay true for several
-        rounds (frames in flight but the detok window resolving a round
-        later), and each sync drains the whole dispatch pipeline — an
-        unbounded version degraded every live stream's cadence under load
-        (VOX_EAGER_FIRST_CHUNK=0 disables the under-load trigger for A/Bs)."""
-        if os.environ.get("VOX_EAGER_FIRST_CHUNK", "1") == "0":
-            return False
-        w = self.model_worker
-        F = getattr(w, "first_chunk_frames", 0)
-        if not F:
-            return False
-        for r in self.active_requests:
-            if (r.is_streaming and r.done_lm_prefill and not r.done_all
-                    and "first_audio" not in r.lifecycle):
-                have = (len(r.lm_output_audio_tokens)
-                        + r.extras.get("inflight", 0))
-                size = r.extras.get("ramp_size", F)
-                if have >= r.extras.get("ramp_next", 0) + size:
-                    n = r.extras.get("eager_syncs", 0)
-                    if n < 2:
-                        r.extras["eager_syncs"] = n + 1
-                        return True
-        return False
 
     def _run_decode(self, lm: list[Request]) -> None:
         """Dispatch the decode batch (fused multi-step when eligible)."""
