@@ -307,3 +307,92 @@ def test_poll_resolved_empties_pipeline_in_order():
     assert not w._pending, "poll_resolved never drained a completed pipeline"
     n_polled = len(req.lm_output_tokens)
     assert n_polled >= 3  # prefill + 3 decode steps resolved, minus pipeline
+
+
+def test_fused_min_batch_regime_boundary():
+    """Below fused_min_batch the scheduler dispatches single-step rounds
+    (fine granularity for early-chunk deadlines); at/above it fuses k."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    w = ModelWorker(DummyLM(max_tokens=16), WorkerConfig(
+        max_batch_size=8, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4, warmup=False,
+        fused_decode_steps=4, fused_decode_buckets=(1, 8),
+        fused_min_batch=3))
+    s = OnlineScheduler(model_worker=w, max_batch_size=8, connect=False)
+    reqs = [Request(request_id=f"m{i}", prompt="x") for i in range(4)]
+    assert s._fused_decode_steps(reqs[:2]) == 1  # latency regime
+    assert s._fused_decode_steps(reqs[:3]) == 4  # throughput regime
+    assert s._fused_decode_steps(reqs) == 4
+
+
+def test_loaded_admission_first_chunk_is_full_window():
+    """At/above fused_min_batch, a new stream skips the mini ramp: its
+    first chunk is a FULL detokenize window, so the client playback clock
+    starts with interval frames of buffer (the tiny ramped first chunk
+    under load made chunk 2 structurally miss its deadline — rate-1 HTTP
+    all-chunks viability 22-32%, artifacts/goodput_tpu_r5_run1.json)."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.sampling import SamplingConfig
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    m = DummyLM(max_tokens=48)
+    m.sampling_config = SamplingConfig(greedy=True, max_tokens=48)
+    w = ModelWorker(m, WorkerConfig(
+        max_batch_size=8, num_pages=128, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4,
+        warmup=False, first_chunk_frames=2,
+        fused_decode_steps=2, fused_decode_buckets=(1, 8),
+        fused_min_batch=2))
+    s = OnlineScheduler(model_worker=w, max_batch_size=8, connect=False)
+    warm = [Request(request_id=f"w{i}", prompt="warm",
+                    is_streaming=True, is_pressing=True,
+                    sampling_config=SamplingConfig(greedy=True,
+                                                   max_tokens=40))
+            for i in range(3)]
+    for r in warm:
+        s.enqueue_request(r)
+    for _ in range(6):
+        s._step()
+    assert sum(1 for r in s.active_requests if r.done_lm_prefill) >= 2
+    late = Request(request_id="late", prompt="under load",
+                   is_streaming=True, is_pressing=True,
+                   sampling_config=SamplingConfig(greedy=True,
+                                                  max_tokens=30))
+    s.enqueue_request(late)
+    for _ in range(40):
+        s._step()
+        if late.chunk_send_timestamps:
+            break
+    msgs = [m_ for m_ in s._inproc_results
+            if m_.startswith(b"late|AUDIO")]
+    assert msgs, "loaded admission never produced audio"
+    first = msgs[0].split(b"|", 2)[2]
+    interval = m.detokenize_interval
+    # full window, not the 2-frame mini
+    assert len(first) == interval * m.SAMPLES_PER_TOKEN * 2, (
+        len(first), interval * m.SAMPLES_PER_TOKEN * 2)
+    # light-load control: with only one live stream the ramp stays
+    w2 = ModelWorker(DummyLM(max_tokens=48), WorkerConfig(
+        max_batch_size=8, num_pages=128, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4,
+        warmup=False, first_chunk_frames=2,
+        fused_decode_steps=2, fused_decode_buckets=(1, 8),
+        fused_min_batch=2))
+    w2.model.sampling_config = SamplingConfig(greedy=True, max_tokens=48)
+    s2 = OnlineScheduler(model_worker=w2, max_batch_size=8, connect=False)
+    solo = Request(request_id="solo", prompt="light load",
+                   is_streaming=True, is_pressing=True,
+                   sampling_config=SamplingConfig(greedy=True,
+                                                  max_tokens=30))
+    s2.enqueue_request(solo)
+    for _ in range(40):
+        s2._step()
+        if solo.chunk_send_timestamps:
+            break
+    msgs2 = [m_ for m_ in s2._inproc_results
+             if m_.startswith(b"solo|AUDIO")]
+    assert msgs2
+    first2 = msgs2[0].split(b"|", 2)[2]
+    assert len(first2) == 2 * w2.model.SAMPLES_PER_TOKEN * 2

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list of batch buckets served by the fused "
                         "k-step decode executable (include max-batch-size "
                         "to fuse the full decode batch)")
+    p.add_argument("--fused-min-batch", type=int, default=None,
+                   help="latency/throughput regime boundary: decode batches "
+                        "below N run single-step rounds with cold chains + "
+                        "mini-chunk ramp; at/above N rounds fuse k steps and "
+                        "new streams' first chunk is a full window (0: "
+                        "always fuse when eligible)")
     p.add_argument("--detok-pipeline-depth", type=int, default=None,
                    help="in-flight detokenize batches with deferred audio "
                         "readback (>=2 overlaps codec readback with wide "
@@ -173,6 +179,7 @@ def main(argv=None) -> None:
         "ramp_frames": args.ramp_frames,
         "fused_decode_steps": args.fused_decode_steps,
         "fused_decode_buckets": args.fused_decode_buckets,
+        "fused_min_batch": args.fused_min_batch,
         "detok_pipeline_depth": args.detok_pipeline_depth,
         "enable_profiling": args.enable_profiling,
         "detokenize_interval": args.detokenize_interval,

@@ -23,6 +23,7 @@ DEFAULT_PROFILE: dict[str, Any] = {
     "ramp_frames": 0,
     "fused_decode_steps": 0,
     "fused_decode_buckets": None,
+    "fused_min_batch": None,
     "detok_pipeline_depth": 1,
     "codec_dtype": None,
     "decode_buckets": None,
@@ -58,6 +59,13 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         # (artifacts/goodput_tpu_r4.json, first run). B=32/96 rounds cost
         # ~3x less, cutting both admission wait and viability pressure.
         "fused_decode_buckets": "1,32,96,144",
+        # latency/throughput regime boundary: below 33 live streams the
+        # batch fits the 32 bucket, where single-step rounds (~21 ms) give
+        # fine step granularity for early-chunk deadlines + cold-chain TTFA;
+        # at/above it fused k=5 throughput mode with full-window first
+        # chunks (see WorkerConfig.fused_min_batch; measured in
+        # artifacts/goodput_tpu_r5.json progression)
+        "fused_min_batch": 33,
         "detok_pipeline_depth": 2,
         "codec_dtype": "bfloat16",
         "decode_buckets": "1,32,96,144",

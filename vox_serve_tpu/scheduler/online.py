@@ -77,7 +77,16 @@ class OnlineScheduler(Scheduler):
         # (throughput) — measured HTTP A/B in artifacts/goodput_tpu_r5.json.
         limit = self._cold_start_max_decoding
         if limit is None:
-            limit = max(2, self.max_batch_size // 2)
+            cfg = getattr(self.model_worker, "config", None)
+            fmin = getattr(cfg, "fused_min_batch", None) if cfg else None
+            if fmin:
+                # latency/throughput regime boundary: past it, a B=1 chain
+                # spends ~40-145 ms of device time per admission that the
+                # shared batch doesn't get (~36% of the chip at 4 req/s),
+                # and packed prefills amortize admissions instead
+                limit = fmin - 1
+            else:
+                limit = max(2, self.max_batch_size // 2)
         if decoding > limit:
             return False
         self.model_worker.run_cold_start(req)

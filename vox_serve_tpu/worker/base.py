@@ -177,6 +177,22 @@ class WorkerConfig:
     #: (bucket, k) pair is one more warmup compile) — fused decode targets
     #: cold/lightly-loaded streams, so the lattice stays tiny.
     fused_decode_buckets: tuple[int, ...] = (1,)
+    #: latency/throughput regime boundary (live decode batch size). Below
+    #: it the scheduler dispatches SINGLE-step decode rounds (~3-5x finer
+    #: step granularity: a fused k=5 round at the 32 bucket is ~105 ms of
+    #: device time vs ~21 ms single-step) so early-chunk playback deadlines
+    #: are hit, keeps the cold-start chain enabled, and runs the mini-chunk
+    #: TTFA ramp. At or above it the scheduler switches to throughput mode:
+    #: fused k-step rounds, no cold chains (a per-admission B=1 chain costs
+    #: ~40-145 ms of device time the shared batch doesn't get), and new
+    #: streams skip the ramp — their first chunk is a full detokenize
+    #: window, so the client playback clock starts with interval/frame_rate
+    #: seconds of buffer and later chunks meet their deadlines at fused
+    #: round granularity (HTTP rate-1 all-chunks viability was 22-32% with
+    #: tiny first chunks under load vs 97.6% without —
+    #: artifacts/goodput_tpu_r5_run1.json / _ab_r4sched.json).
+    #: None/0 -> no regime split (always fuse when eligible; legacy).
+    fused_min_batch: Optional[int] = None
 
     @property
     def decode_buckets(self) -> tuple[int, ...]:
