@@ -223,6 +223,13 @@ def main():
         # cost over k frames per stream.
         fused_decode_steps=int(os.environ.get("VOX_BENCH_FUSED_K", "5")),
         fused_decode_buckets=((1, BATCH) if FUSED_FULL else (1,)),
+        # latency/throughput regime boundary, mirroring the qwen3 serving
+        # profile (profiles.py): below 33 live streams single-step rounds +
+        # cold chains + mini ramp; at/above, fused k rounds with full-window
+        # first chunks (bounds churned-admission chunk deadlines)
+        fused_min_batch=(int(os.environ.get(
+            "VOX_BENCH_FUSED_MIN", "33" if BENCH_MODEL == "qwen3" else "0"))
+            or None),
         # int8 KV halves pool HBM (5.25->2.62G at 3072 pages) and is
         # measured FASTER at long context (artifacts/kv_quant_r5.json:
         # 66.2->58.9 ms/step at seq 1200, B=144) — capacity-bench lever
