@@ -396,3 +396,28 @@ def test_loaded_admission_first_chunk_is_full_window():
     assert msgs2
     first2 = msgs2[0].split(b"|", 2)[2]
     assert len(first2) == 2 * w2.model.SAMPLES_PER_TOKEN * 2
+
+
+def test_regime_hysteresis_latch():
+    """The latency/throughput regime flips up at fused_min_batch and down
+    at 2/3 of it — load hovering at the boundary must not flap (the rate-2/4
+    viability dip in artifacts/goodput_tpu_r5_run4.json)."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    w = ModelWorker(DummyLM(max_tokens=16), WorkerConfig(
+        max_batch_size=8, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4, warmup=False,
+        fused_decode_steps=4, fused_decode_buckets=(1, 8),
+        fused_min_batch=6))
+    s = OnlineScheduler(model_worker=w, max_batch_size=8, connect=False)
+    assert not s._throughput_regime(5, 6)
+    assert s._throughput_regime(6, 6)        # flip up at fmin
+    assert s._throughput_regime(5, 6)        # stays fused at fmin-1
+    assert s._throughput_regime(4, 6)        # 2/3 of 6 = 4: still fused
+    assert not s._throughput_regime(3, 6)    # below 2/3: flip down
+    assert not s._throughput_regime(5, 6)    # stays latency until fmin
+    reqs = [Request(request_id=f"h{i}", prompt="x") for i in range(6)]
+    assert s._fused_decode_steps(reqs[:5]) == 1
+    assert s._fused_decode_steps(reqs) == 4
+    assert s._fused_decode_steps(reqs[:5]) == 4  # latched

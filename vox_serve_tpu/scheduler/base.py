@@ -60,6 +60,8 @@ class Scheduler:
         self.async_scheduling = async_scheduling
         self.active_requests: list[Request] = []
         self.logger = RankLogger(get_logger("scheduler"), rank)
+        # latency/throughput regime latch (see _throughput_regime)
+        self._regime_fused = False
 
         model = model_worker.model
         self.sample_rate = model.sample_rate
@@ -227,6 +229,25 @@ class Scheduler:
                     self._send_responses(touched)
         return bool(lm or detok)
 
+    def _throughput_regime(self, n_decoding: int, fmin: int) -> bool:
+        """Hysteresis latch between the latency regime (single-step rounds,
+        cold chains, mini-chunk ramp) and the throughput regime (fused k
+        rounds, full-window first chunks). Without it, load hovering around
+        fused_min_batch flapped the regime every few rounds and streams
+        admitted with a mini ramp were then served at fused-round
+        granularity (~300 ms), structurally missing their early-chunk
+        playback deadlines — measured as the rate-2/4 all-chunks viability
+        dip (62/60%) between healthy rate-1 (95.1%) and rate-8/10 (93-96%)
+        in artifacts/goodput_tpu_r5_run4.json. Flip up at fused_min_batch,
+        down at 2/3 of it, so a transition happens once per load shift and
+        at most ~one admission-burst of ramping streams is ever caught."""
+        if self._regime_fused:
+            if n_decoding < max(1, (2 * fmin) // 3):
+                self._regime_fused = False
+        elif n_decoding >= fmin:
+            self._regime_fused = True
+        return self._regime_fused
+
     def _apply_admission_ramp_policy(self, admitted: list[Request]) -> None:
         """Under load, newly admitted streams SKIP the mini-chunk TTFA ramp.
 
@@ -247,7 +268,7 @@ class Scheduler:
         decoding = sum(1 for r in self.active_requests
                        if r.done_lm_prefill and not r.done_all
                        and r not in admitted)
-        if decoding < fmin:
+        if not self._throughput_regime(decoding, fmin):
             return
         interval = self.model_worker.detokenize_interval
         ramp_end = getattr(self.model_worker, "ramp_frames",
@@ -304,7 +325,7 @@ class Scheduler:
         if not k:
             return 1
         fmin = getattr(cfg, "fused_min_batch", None) if cfg else None
-        if fmin and len(lm) < fmin:
+        if fmin and not self._throughput_regime(len(lm), fmin):
             # latency regime: single-step rounds keep step granularity
             # ~3-5x finer than a fused round, so early-chunk playback
             # deadlines (which quantize to whole rounds through select ->

@@ -80,11 +80,14 @@ class OnlineScheduler(Scheduler):
             cfg = getattr(self.model_worker, "config", None)
             fmin = getattr(cfg, "fused_min_batch", None) if cfg else None
             if fmin:
-                # latency/throughput regime boundary: past it, a B=1 chain
+                # latency regime only (hysteresis latch shared with the
+                # fused-round and ramp decisions): past it, a B=1 chain
                 # spends ~40-145 ms of device time per admission that the
                 # shared batch doesn't get (~36% of the chip at 4 req/s),
                 # and packed prefills amortize admissions instead
-                limit = fmin - 1
+                if self._throughput_regime(decoding, fmin):
+                    return False
+                limit = self.max_batch_size
             else:
                 limit = max(2, self.max_batch_size // 2)
         if decoding > limit:
