@@ -83,7 +83,8 @@ def load_prompts(data_source: str) -> list[str]:
         return list(PROMPTS)
 
 
-async def one_request(session, base, text, args, results, save_idx=None):
+async def one_request(session, base, text, args, results, save_idx=None,
+                      seq=None):
     start = time.perf_counter()
     chunk_times, chunk_durs, save_buf = [], [], []
     try:
@@ -137,6 +138,7 @@ async def one_request(session, base, text, args, results, save_idx=None):
         latency = chunk_times[i] - chunk_times[0]
         viable.append(played > latency)
     results.append({
+        "seq": seq,
         "ttfa": ttfa,
         "viability": float(np.mean(viable)) if viable else 1.0,
         "all_viable": bool(all(viable)) if viable else True,
@@ -163,7 +165,7 @@ async def run_one_rate(args, prompts, rate) -> dict:
             text = prompts[rng.randrange(len(prompts))]
             tasks.append(asyncio.create_task(one_request(
                 session, base, text, args, results,
-                save_idx=i if args.save_audio else None)))
+                save_idx=i if args.save_audio else None, seq=i)))
             i += 1
             # Poisson (exponential) or Gamma inter-arrival
             if args.burstiness == 1.0:
@@ -198,6 +200,12 @@ async def run_one_rate(args, prompts, rate) -> dict:
         "viability_all_chunks": round(
             float(np.mean([r["all_viable"] for r in ok])) * 100, 1),
         "total_audio_s": round(sum(r["audio_s"] for r in ok), 1),
+        # per-request detail in arrival order: which phase of the run
+        # (regime transitions, saturation onset) produced late chunks
+        "per_request": [
+            {"seq": r.get("seq"), "ttfa_ms": round(r["ttfa"] * 1000, 1),
+             "viab": round(r["viability"], 3)}
+            for r in sorted(ok, key=lambda r: (r.get("seq") or 0))],
     }
 
 

@@ -28,6 +28,12 @@ if "host_platform_device_count" not in _flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# JAX_PLATFORMS env alone is not enough under the axon sitecustomize (it
+# registers the TPU backend at interpreter start); force CPU the way
+# tests/conftest.py does or the 19 GiB init lands on the 16 GiB TPU
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,7 +83,9 @@ def main() -> None:
     t0 = time.monotonic()
     wcfg = WorkerConfig(
         max_batch_size=2, num_pages=128, page_size=16,
-        prefill_token_buckets=(128,), max_prefill_requests=2,
+        # GLM's prompt template (system prompt + audio placeholder) is ~270
+        # dev-tokenizer tokens for even a short text — 128 failed the run
+        prefill_token_buckets=(512,), max_prefill_requests=2,
         warmup=False, tp_size=TP, devices=tuple(devices[:TP]))
     worker = ModelWorker(model, wcfg)
     shard_s = time.monotonic() - t0

@@ -244,8 +244,12 @@ class Scheduler:
         if self._regime_fused:
             if n_decoding < max(1, (2 * fmin) // 3):
                 self._regime_fused = False
+                self.logger.info("regime -> latency (decoding=%d)",
+                                 n_decoding)
         elif n_decoding >= fmin:
             self._regime_fused = True
+            self.logger.info("regime -> throughput (decoding=%d)",
+                             n_decoding)
         return self._regime_fused
 
     def _apply_admission_ramp_policy(self, admitted: list[Request]) -> None:
