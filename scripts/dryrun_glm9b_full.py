@@ -23,8 +23,15 @@ import time
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=4").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=4").strip()
+if "collective_call_terminate" not in _flags:
+    # on a single host core, one virtual device's multi-TFLOP prefill GEMM
+    # thunk can hold the core past XLA-CPU's default 40 s collective
+    # rendezvous termination while its TP peers wait at an all-gather
+    # (observed: rendezvous.cc "Termination timeout ... exceeded" crash)
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = _flags
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax

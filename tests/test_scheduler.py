@@ -183,6 +183,60 @@ def test_online_background_detok_when_no_pressing():
     assert len(a.next_audio_decode_idx) >= 1
 
 
+def test_online_detok_gate_defers_until_deadline_near():
+    """Latency-regime deadline-driven detok batching: streams with >margin
+    of buffered playback defer their windows (small detok dispatches cost
+    45-70 ms of round time against ~20 ms decode steps); a stream within
+    margin of underrun makes the whole ready set dispatch at once. First
+    chunks, finished streams, and non-streaming requests never defer."""
+    import time as _time
+
+    s = _sched(OnlineScheduler)
+    now = _time.time()
+
+    def stream(rid, buffered_s):
+        r = Request(request_id=rid, done_lm_prefill=True, is_streaming=True,
+                    is_pressing=True)
+        r.lm_output_audio_tokens = [np.array([1], np.int32)] * 20
+        # one chunk already sent whose playback ends `buffered_s` from now
+        r.chunk_send_timestamps = [now]
+        r.chunk_durations = [buffered_s]
+        r.next_audio_decode_idx = [0]
+        r.audio_decode_idx = [0]
+        return r
+
+    # all streams comfortably buffered (5 s > 0.6 s margin): defer
+    a, b = stream("a", 5.0), stream("b", 5.0)
+    s.active_requests = [a, b]
+    assert s._select_detokenize_requests() == []
+    assert s._detok_defer_rounds == 1
+
+    # one stream near underrun: everyone's ready windows dispatch together
+    c = stream("c", 0.3)
+    s.active_requests = [a, b, c]
+    sel = s._select_detokenize_requests()
+    assert set(x.request_id for x in sel) == {"a", "b", "c"}
+    assert s._detok_defer_rounds == 0
+
+    # throughput regime: gate is off (fused-round cap logic owns batching)
+    s.active_requests = [stream("d", 5.0)]
+    s._regime_fused = True
+    assert len(s._select_detokenize_requests()) == 1
+
+    # finished stream (tail flush frees KV): never deferred
+    s._regime_fused = False
+    e = stream("e", 5.0)
+    e.done_lm_generation = True
+    s.active_requests = [stream("f", 5.0), e]
+    assert len(s._select_detokenize_requests()) == 2
+
+    # gate disabled by env knob
+    s2 = _sched(OnlineScheduler)
+    s2._detok_gate_margin_s = 0.0
+    s2.active_requests = [stream("g", 5.0)]
+    assert len(s2._select_detokenize_requests()) == 1
+
+
 def test_offline_defers_detok_until_lm_done():
     s = _sched(OfflineScheduler)
     a = Request(request_id="a", done_lm_prefill=True)

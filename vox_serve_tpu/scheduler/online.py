@@ -35,6 +35,18 @@ class OnlineScheduler(Scheduler):
         # detok bucket covering steady-state demand — pressing priority
         # and proportional allocation decide WHO fills it, and deferred
         # windows drain over the following (underfull) steps.
+        # light-load detok gating (latency regime): a small detokenize
+        # dispatch costs 45-70 ms of round time against ~20 ms single-step
+        # decode rounds, so dispatching every round whenever ANY window is
+        # ready roughly triples round time and stalls token production for
+        # every live stream (measured as the rate-2/4 all-chunks viability
+        # dip in artifacts/goodput_tpu_r5_run4.json). Instead, defer
+        # non-urgent windows until a playback deadline approaches (any
+        # stream within margin_s of underrun), then serve ALL ready windows
+        # in one amortized batch. 0 disables the gate (A/B knob).
+        self._detok_defer_rounds = 0
+        self._detok_gate_margin_s = float(
+            os.environ.get("VOX_DETOK_GATE_MARGIN_S", "0.6"))
         worker_cfg = getattr(self.model_worker, "config", None)
         interval = getattr(self.model_worker, "detokenize_interval", 0)
         overlap = getattr(self.model_worker, "detokenize_overlap", 0)
@@ -196,6 +208,31 @@ class OnlineScheduler(Scheduler):
                 candidates.append(req)
         if not candidates:
             return mini_sel
+
+        # latency-regime deadline-driven batching (see __init__): defer the
+        # whole detok dispatch while no stream is near underrun. First
+        # chunks (no send timestamp yet), finished streams (tail flush
+        # frees KV/slots), and non-streaming requests (whole-utterance
+        # latency) always dispatch. The defer-round cap is a safety net
+        # against clock anomalies, not a tuning knob.
+        if (not self._regime_fused and not mini_sel
+                and self._detok_gate_margin_s > 0):
+            now = time.time()
+            urgent = False
+            for r in candidates:
+                if (r.done_lm_generation or not r.is_streaming
+                        or not r.chunk_send_timestamps):
+                    urgent = True
+                    break
+                underrun_at = (r.chunk_send_timestamps[0]
+                               + sum(r.chunk_durations))
+                if now >= underrun_at - self._detok_gate_margin_s:
+                    urgent = True
+                    break
+            if not urgent and self._detok_defer_rounds < 200:
+                self._detok_defer_rounds += 1
+                return []
+        self._detok_defer_rounds = 0
 
         critical = [r for r in candidates if r.is_pressing]
         background = [r for r in candidates if not r.is_pressing]
