@@ -223,12 +223,16 @@ def main():
         # cost over k frames per stream.
         fused_decode_steps=int(os.environ.get("VOX_BENCH_FUSED_K", "5")),
         fused_decode_buckets=((1, BATCH) if FUSED_FULL else (1,)),
-        # latency/throughput regime boundary, mirroring the qwen3 serving
-        # profile (profiles.py): below 33 live streams single-step rounds +
-        # cold chains + mini ramp; at/above, fused k rounds with full-window
-        # first chunks (bounds churned-admission chunk deadlines)
+        # per-bucket granularity schedule (comma list, one k per bucket
+        # above) — mirror of the serving profile's fused_k_schedule; empty
+        # -> every bucket at VOX_BENCH_FUSED_K
+        fused_k_schedule=(tuple(
+            int(x) for x in os.environ.get(
+                "VOX_BENCH_FUSED_K_SCHEDULE", "").split(",") if x) or None),
+        # regime boundary (cold chains + admission ramp), mirroring the
+        # qwen3 serving profile (profiles.py)
         fused_min_batch=(int(os.environ.get(
-            "VOX_BENCH_FUSED_MIN", "33" if BENCH_MODEL == "qwen3" else "0"))
+            "VOX_BENCH_FUSED_MIN", "97" if BENCH_MODEL == "qwen3" else "0"))
             or None),
         # int8 KV halves pool HBM (5.25->2.62G at 3072 pages) and is
         # measured FASTER at long context (artifacts/kv_quant_r5.json:

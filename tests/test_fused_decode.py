@@ -215,3 +215,73 @@ def test_cold_start_sampled_tokens_match_across_paths():
         if fused:
             assert any(k[0] == "cold_chain" for k in w._lm_fns)
     assert toks[0] == toks[2], (toks[0], toks[2])
+
+
+def test_fused_k_schedule_selects_per_bucket_k():
+    """The granularity schedule (WorkerConfig.fused_k_schedule) maps a
+    decode batch to its bucket's step count, and the scheduler dispatches
+    that k (not the global fused_decode_steps)."""
+    w = ModelWorker(_greedy_model(), WorkerConfig(
+        max_batch_size=8, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4, warmup=False,
+        fused_decode_steps=4, fused_decode_buckets=(1, 4, 8),
+        fused_k_schedule=(4, 2, 4)))
+    assert w.fused_k_for(1) == 4
+    assert w.fused_k_for(2) == 2
+    assert w.fused_k_for(4) == 2
+    assert w.fused_k_for(5) == 4
+    assert w.fused_k_for(9) == 1  # no covering bucket
+
+    def reqs(n):
+        out = []
+        for i in range(n):
+            r = Request(request_id=f"k{i}", done_lm_prefill=True)
+            r.lm_output_tokens.append(np.array([1], np.int32))
+            r.kv_token_len = 4
+            r.kv_pages = [0]
+            out.append(r)
+        return out
+
+    s = Scheduler(model_worker=w, max_batch_size=8, connect=False)
+    assert s._fused_decode_steps(reqs(1)) == 4
+    assert s._fused_decode_steps(reqs(3)) == 2
+    # only the bucket's scheduled k is warmed for the plain multi path
+    assert w.can_decode_multi(reqs(3), 2)
+    assert not w.can_decode_multi(reqs(3), 4)
+    # first-chunk chains (bucket, first_chunk_frames) are warmed separately
+    assert w.can_decode_multi(reqs(1)[:1], 3, first_chunk=True)
+
+
+def test_fused_k_schedule_token_parity():
+    """k=2-scheduled buckets produce the same greedy tokens as single-step
+    and as the global-k path."""
+    base_cfg = dict(max_batch_size=4, num_pages=64, page_size=8,
+                    prefill_token_buckets=(64,), max_prefill_requests=4,
+                    warmup=False)
+    tokens = {}
+    for name, extra in (
+            ("single", dict(fused_decode_steps=0)),
+            ("sched", dict(fused_decode_steps=4,
+                           fused_decode_buckets=(1, 2),
+                           fused_k_schedule=(4, 2)))):
+        w = ModelWorker(_greedy_model(), WorkerConfig(**base_cfg, **extra))
+        s = Scheduler(model_worker=w, max_batch_size=4, connect=False)
+        a = Request(request_id="pa", prompt="hello schedule world")
+        b = Request(request_id="pb", prompt="hello schedule world")
+        _drive(s, [a, b])
+        assert a.done_all and b.done_all
+        tokens[name] = [int(t[0]) for t in a.lm_output_tokens]
+    assert tokens["single"] == tokens["sched"]
+
+
+def test_fused_k_schedule_validation():
+    base = dict(max_batch_size=4, num_pages=64, page_size=8,
+                prefill_token_buckets=(64,), max_prefill_requests=4,
+                warmup=False, fused_decode_steps=3,
+                fused_decode_buckets=(1, 4))
+    with pytest.raises(ValueError, match="one .*k per fused bucket"):
+        ModelWorker(_greedy_model(), WorkerConfig(
+            **base, fused_k_schedule=(3,)))
+    with pytest.raises(ValueError, match="fused_k_schedule entries"):
+        ModelWorker(_greedy_model(), WorkerConfig(
+            **base, fused_k_schedule=(3, 5)))

@@ -192,6 +192,7 @@ def test_online_detok_gate_defers_until_deadline_near():
     import time as _time
 
     s = _sched(OnlineScheduler)
+    s._detok_gate_margin_s = 0.6  # opt-in knob (default off)
     now = _time.time()
 
     def stream(rid, buffered_s):

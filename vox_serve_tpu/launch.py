@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list of batch buckets served by the fused "
                         "k-step decode executable (include max-batch-size "
                         "to fuse the full decode batch)")
+    p.add_argument("--fused-k-schedule", default=None,
+                   help="comma list: fused step count per fused-decode "
+                        "bucket (e.g. 5,3,3,5 — granularity schedule; "
+                        "values <= fused-decode-steps)")
     p.add_argument("--fused-min-batch", type=int, default=None,
                    help="latency/throughput regime boundary: decode batches "
                         "below N run single-step rounds with cold chains + "
@@ -179,6 +183,7 @@ def main(argv=None) -> None:
         "ramp_frames": args.ramp_frames,
         "fused_decode_steps": args.fused_decode_steps,
         "fused_decode_buckets": args.fused_decode_buckets,
+        "fused_k_schedule": args.fused_k_schedule,
         "fused_min_batch": args.fused_min_batch,
         "detok_pipeline_depth": args.detok_pipeline_depth,
         "enable_profiling": args.enable_profiling,

@@ -23,6 +23,7 @@ DEFAULT_PROFILE: dict[str, Any] = {
     "ramp_frames": 0,
     "fused_decode_steps": 0,
     "fused_decode_buckets": None,
+    "fused_k_schedule": None,
     "fused_min_batch": None,
     "detok_pipeline_depth": 1,
     "codec_dtype": None,
@@ -59,13 +60,20 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         # (artifacts/goodput_tpu_r4.json, first run). B=32/96 rounds cost
         # ~3x less, cutting both admission wait and viability pressure.
         "fused_decode_buckets": "1,32,96,144",
-        # latency/throughput regime boundary: below 33 live streams the
-        # batch fits the 32 bucket, where single-step rounds (~21 ms) give
-        # fine step granularity for early-chunk deadlines + cold-chain TTFA;
-        # at/above it fused k=5 throughput mode with full-window first
-        # chunks (see WorkerConfig.fused_min_batch; measured in
-        # artifacts/goodput_tpu_r5.json progression)
-        "fused_min_batch": 33,
+        # granularity schedule: k=5 for a near-idle stream (dispatch
+        # amortization; chunks fly regardless), k=3 through the 32/96
+        # buckets (~60-100 ms rounds — fine enough for the mini-chunk
+        # ramp's 0.25 s early-chunk deadlines at 3x single-step round
+        # amortization), k=5 at the full batch (throughput). Replaces the
+        # k=1->5 regime cliff that produced the rate-2/4 all-chunks
+        # viability dip (62/60% vs 95%+ on either side,
+        # artifacts/goodput_tpu_r5_run4.json)
+        "fused_k_schedule": "5,3,3,5",
+        # regime boundary (cold chains + admission ramp policy only, with
+        # the granularity schedule above): ramped admissions are viable at
+        # k=3 granularity through the 96 bucket, so full-window first
+        # chunks start only at the top (k=5) bucket
+        "fused_min_batch": 97,
         "detok_pipeline_depth": 2,
         "codec_dtype": "bfloat16",
         "decode_buckets": "1,32,96,144",
@@ -152,7 +160,7 @@ def resolve_profile(model_name: str) -> dict[str, Any]:
 #: WorkerConfig's bucket invariants (decode_buckets[-1] == max_batch_size)
 #: and crash the scheduler daemon at startup.
 _BATCH_SCALED_KEYS = ("decode_buckets", "detok_buckets",
-                      "fused_decode_buckets")
+                      "fused_decode_buckets", "fused_k_schedule")
 
 
 def apply_profile(args, logger=None) -> None:

@@ -328,14 +328,27 @@ class Scheduler:
         k = getattr(cfg, "fused_decode_steps", 0) if cfg else 0
         if not k:
             return 1
-        fmin = getattr(cfg, "fused_min_batch", None) if cfg else None
-        if fmin and not self._throughput_regime(len(lm), fmin):
-            # latency regime: single-step rounds keep step granularity
-            # ~3-5x finer than a fused round, so early-chunk playback
-            # deadlines (which quantize to whole rounds through select ->
-            # dispatch -> poll) are reachable. The small batch has ample
-            # RTF headroom without fusing (see WorkerConfig.fused_min_batch).
-            return 1
+        if getattr(cfg, "fused_k_schedule", None) \
+                and hasattr(w, "fused_k_for"):
+            # per-bucket granularity schedule: the schedule itself encodes
+            # the latency/throughput trade (small k at mid buckets keeps
+            # rounds fine-grained for early-chunk deadlines, full k at the
+            # top bucket maximizes throughput) — no binary regime cliff.
+            # The regime latch still governs cold chains and the admission
+            # ramp (see _maybe_cold_start / _apply_admission_ramp_policy).
+            k = w.fused_k_for(len(lm))
+            if k < 2:
+                return 1
+        else:
+            fmin = getattr(cfg, "fused_min_batch", None) if cfg else None
+            if fmin and not self._throughput_regime(len(lm), fmin):
+                # latency regime: single-step rounds keep step granularity
+                # ~3-5x finer than a fused round, so early-chunk playback
+                # deadlines (which quantize to whole rounds through select ->
+                # dispatch -> poll) are reachable. The small batch has ample
+                # RTF headroom without fusing (see
+                # WorkerConfig.fused_min_batch).
+                return 1
         buckets = getattr(cfg, "fused_decode_buckets", ())
         if len(lm) > max(buckets, default=0):
             return 1

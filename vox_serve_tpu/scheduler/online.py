@@ -35,18 +35,19 @@ class OnlineScheduler(Scheduler):
         # detok bucket covering steady-state demand — pressing priority
         # and proportional allocation decide WHO fills it, and deferred
         # windows drain over the following (underfull) steps.
-        # light-load detok gating (latency regime): a small detokenize
-        # dispatch costs 45-70 ms of round time against ~20 ms single-step
-        # decode rounds, so dispatching every round whenever ANY window is
-        # ready roughly triples round time and stalls token production for
-        # every live stream (measured as the rate-2/4 all-chunks viability
-        # dip in artifacts/goodput_tpu_r5_run4.json). Instead, defer
-        # non-urgent windows until a playback deadline approaches (any
-        # stream within margin_s of underrun), then serve ALL ready windows
-        # in one amortized batch. 0 disables the gate (A/B knob).
+        # deadline-driven detok deferral (A/B knob, default OFF): defer
+        # non-urgent windows until a stream is within margin_s of underrun,
+        # then serve all ready windows in one amortized batch. Measured
+        # NEGATIVE at margin 0.6 s over HTTP (rate-1 all-chunks viability
+        # 95.1 -> 69.2, artifacts/goodput_tpu_r5_run4.json vs run6 in git
+        # history): batching near the deadline leaves no slack for detok
+        # device time + dispatch queueing + the ZMQ/HTTP hop, and the
+        # fused-k granularity schedule (WorkerConfig.fused_k_schedule)
+        # amortizes rounds without touching delivery slack. Kept as an
+        # opt-in experiment: VOX_DETOK_GATE_MARGIN_S=<seconds>.
         self._detok_defer_rounds = 0
         self._detok_gate_margin_s = float(
-            os.environ.get("VOX_DETOK_GATE_MARGIN_S", "0.6"))
+            os.environ.get("VOX_DETOK_GATE_MARGIN_S", "0"))
         worker_cfg = getattr(self.model_worker, "config", None)
         interval = getattr(self.model_worker, "detokenize_interval", 0)
         overlap = getattr(self.model_worker, "detokenize_overlap", 0)
@@ -99,7 +100,15 @@ class OnlineScheduler(Scheduler):
                 # and packed prefills amortize admissions instead
                 if self._throughput_regime(decoding, fmin):
                     return False
-                limit = self.max_batch_size
+                if getattr(cfg, "fused_k_schedule", None):
+                    # with a granularity schedule the latency regime spans
+                    # most of the batch range; past ~fmin/3 live streams
+                    # the packed-prefill + scheduled-k path already gives
+                    # ~0.3 s TTFA and a B=1 chain's ~40 ms device time per
+                    # admission is pure tax on the shared batch
+                    limit = max(2, fmin // 3)
+                else:
+                    limit = self.max_batch_size
             else:
                 limit = max(2, self.max_batch_size // 2)
         if decoding > limit:

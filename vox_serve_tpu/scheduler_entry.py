@@ -60,6 +60,7 @@ def _run_scheduler_daemon(args) -> None:
         fused_decode_steps=args.fused_decode_steps,
         fused_decode_buckets=(
             _parse_buckets(args.fused_decode_buckets) or (1,)),
+        fused_k_schedule=_parse_buckets(args.fused_k_schedule) or None,
         fused_min_batch=args.fused_min_batch or None,
         detok_pipeline_depth=args.detok_pipeline_depth,
         enable_profiling=args.enable_profiling,
@@ -121,6 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--first-chunk-frames", type=int, default=0)
     p.add_argument("--ramp-frames", type=int, default=0)
     p.add_argument("--fused-decode-steps", type=int, default=0)
+    p.add_argument("--fused-k-schedule", default="")
     p.add_argument("--fused-min-batch", type=int, default=0)
     p.add_argument("--fused-decode-buckets", default=None,
                    help="comma list of batch buckets served by the fused "

@@ -177,6 +177,19 @@ class WorkerConfig:
     #: (bucket, k) pair is one more warmup compile) — fused decode targets
     #: cold/lightly-loaded streams, so the lattice stays tiny.
     fused_decode_buckets: tuple[int, ...] = (1,)
+    #: per-bucket fused step count: one k per entry of fused_decode_buckets
+    #: (each value must be <= fused_decode_steps, which sizes scratch
+    #: pages; 1 = that bucket dispatches single-step rounds). This replaces
+    #: the binary single-step/fused-k regime cliff with a granularity
+    #: SCHEDULE: e.g. (5, 3, 3, 5) over buckets (1, 32, 96, 144) gives an
+    #: idle stream maximal dispatch amortization, mid loads ~60-100 ms
+    #: rounds (fine enough for the mini-chunk ramp's 0.25 s early-chunk
+    #: deadlines at 3x single-step throughput), and the full batch k=5
+    #: throughput rounds. Motivated by the measured rate-2/4 HTTP
+    #: viability cliff at the old k=1->5 boundary
+    #: (artifacts/goodput_tpu_r5_run4.json 62/60% all-chunks vs 95%+ on
+    #: either side). None -> every bucket uses fused_decode_steps.
+    fused_k_schedule: Optional[tuple[int, ...]] = None
     #: latency/throughput regime boundary (live decode batch size). Below
     #: it the scheduler dispatches SINGLE-step decode rounds (~3-5x finer
     #: step granularity: a fused k=5 round at the 32 bucket is ~105 ms of
@@ -295,6 +308,19 @@ class ModelWorker:
                     "Pallas ragged prefill kernel: buckets >= 512 must be "
                     "multiples of 256 (or pass --disable-pallas)")
         model.use_pallas_attention = use_pallas
+
+        if cfg.fused_k_schedule is not None:
+            if len(cfg.fused_k_schedule) != len(cfg.fused_decode_buckets):
+                raise ValueError(
+                    f"fused_k_schedule {cfg.fused_k_schedule} must have one "
+                    f"k per fused bucket {cfg.fused_decode_buckets}")
+            if any(k < 1 or k > max(1, cfg.fused_decode_steps)
+                   for k in cfg.fused_k_schedule):
+                raise ValueError(
+                    f"fused_k_schedule entries must be in [1, "
+                    f"fused_decode_steps={cfg.fused_decode_steps}] "
+                    f"(got {cfg.fused_k_schedule}); fused_decode_steps "
+                    "sizes the per-request scratch-page reserve")
 
         self.kv_config = KVCacheConfig(
             num_layers=bb.num_layers,
@@ -1513,12 +1539,33 @@ class ModelWorker:
                 return b
         return None
 
-    def can_decode_multi(self, requests: list[Request], n_steps: int) -> bool:
+    def fused_k_for(self, n: int) -> int:
+        """Scheduled fused step count for a decode batch of n requests
+        (see WorkerConfig.fused_k_schedule). 1 = single-step rounds."""
+        cfg = self.config
+        if not cfg.fused_decode_steps:
+            return 1
+        b = self._fused_bucket(n)
+        if b is None:
+            return 1
+        if cfg.fused_k_schedule:
+            return cfg.fused_k_schedule[cfg.fused_decode_buckets.index(b)]
+        return cfg.fused_decode_steps
+
+    def can_decode_multi(self, requests: list[Request], n_steps: int,
+                         first_chunk: bool = False) -> bool:
         """True iff every request can take n_steps KV tokens without
-        crossing its block-table limit, and the batch fits a fused bucket."""
+        crossing its block-table limit, the batch fits a fused bucket, and
+        (under a fused-k schedule) n_steps is the bucket's warmed step
+        count. First-chunk calls are exempt from the schedule check — their
+        (bucket, first_chunk_frames) chain executables are warmed
+        separately."""
         if not self.config.fused_decode_steps or n_steps < 2:
             return False
         if self._fused_bucket(len(requests)) is None:
+            return False
+        if (self.config.fused_k_schedule and not first_chunk
+                and n_steps != self.fused_k_for(len(requests))):
             return False
         limit = self.max_pages_per_seq * self.config.page_size
         return all(r.kv_token_len + n_steps <= limit for r in requests)
@@ -1687,7 +1734,7 @@ class ModelWorker:
         parr = self._prefill_host_arrays(admitted)
         K = self.first_chunk_frames
         B = self._fused_bucket(1)
-        if not self.can_decode_multi([req], K):
+        if not self.can_decode_multi([req], K, first_chunk=True):
             self._dispatch_prefill(admitted, parr)
             return
         if parr["T"] != min(self.config.prefill_token_buckets):
@@ -1697,7 +1744,7 @@ class ModelWorker:
             # prompts take the 2-dispatch path: prefill, then the warmed
             # fused decode+detok chain.
             self._dispatch_prefill(admitted, parr)
-            if self.can_decode_multi([req], K):
+            if self.can_decode_multi([req], K, first_chunk=True):
                 self.run_lm_decode_multi([req], K, first_chunk=True)
             return
         # prefill bookkeeping BEFORE fused planning: positions/gen_idx of
@@ -2252,13 +2299,18 @@ class ModelWorker:
                     "warmup: decode bucket B=%d W=%d compiled "
                     "(%.2f ms/step)", B, W, ms)
 
-        # fused multi-step decode buckets x widths
+        # fused multi-step decode buckets x widths (each bucket at its
+        # scheduled k — see WorkerConfig.fused_k_schedule)
         K = cfg.fused_decode_steps
         if K >= 2:
-            for B in cfg.fused_decode_buckets:
+            for Bi, B in enumerate(cfg.fused_decode_buckets):
+                KB = (cfg.fused_k_schedule[Bi]
+                      if cfg.fused_k_schedule else K)
+                if KB < 2:
+                    continue
                 for W in self.table_width_buckets:
-                    fn = self._get_lm_fn("decode_multi", (B, K))
-                    dpack = jnp.asarray(multi_warm_pack(K, B, W))
+                    fn = self._get_lm_fn("decode_multi", (B, KB))
+                    dpack = jnp.asarray(multi_warm_pack(KB, B, W))
 
                     def call_multi(fn=fn, dpack=dpack):
                         out = fn(model.params, dpack,
@@ -2273,7 +2325,7 @@ class ModelWorker:
                     ms = probe(call_multi, out)
                     self.logger.info(
                         "warmup: fused decode bucket B=%d k=%d W=%d compiled "
-                        "(%.2f ms/call)", B, K, W, ms)
+                        "(%.2f ms/call)", B, KB, W, ms)
 
         # chained cold-start executable (fused decode + first-chunk detok).
         # Only the bucket serving batch 1: run_cold_start handles single
