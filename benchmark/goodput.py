@@ -133,10 +133,14 @@ async def one_request(session, base, text, args, results, save_idx=None,
     import itertools
 
     prefix = list(itertools.accumulate(chunk_durs))
+    late = []  # (chunk idx, ms past its playback deadline)
     for i in range(1, len(chunk_times)):
         played = prefix[i - 1]
         latency = chunk_times[i] - chunk_times[0]
         viable.append(played > latency)
+        if latency >= played:
+            late.append((i, round((latency - played) * 1000, 1)))
+    late.sort(key=lambda x: -x[1])
     results.append({
         "seq": seq,
         "ttfa": ttfa,
@@ -144,6 +148,7 @@ async def one_request(session, base, text, args, results, save_idx=None,
         "all_viable": bool(all(viable)) if viable else True,
         "chunks": len(chunk_times),
         "audio_s": sum(chunk_durs),
+        "late": late[:3],
     })
 
 
@@ -204,7 +209,7 @@ async def run_one_rate(args, prompts, rate) -> dict:
         # (regime transitions, saturation onset) produced late chunks
         "per_request": [
             {"seq": r.get("seq"), "ttfa_ms": round(r["ttfa"] * 1000, 1),
-             "viab": round(r["viability"], 3)}
+             "viab": round(r["viability"], 3), "late": r.get("late", [])}
             for r in sorted(ok, key=lambda r: (r.get("seq") or 0))],
     }
 

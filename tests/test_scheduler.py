@@ -476,3 +476,44 @@ def test_regime_hysteresis_latch():
     assert s._fused_decode_steps(reqs[:5]) == 1
     assert s._fused_decode_steps(reqs) == 4
     assert s._fused_decode_steps(reqs[:5]) == 4  # latched
+
+
+def test_admission_backlog_counts_as_regime_load():
+    """A saturation wave (live decode 0, many queued admissions) must NOT
+    take the mini ramp: the backlog will be decoding within a few rounds,
+    and ramped first chunks would then face fused-round granularity
+    (measured as the rate-6/10 per-chunk viability collapse, goodput run7
+    vs run4). Backlog feeds the regime latch via _load_pressure."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.sampling import SamplingConfig
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    m = DummyLM(max_tokens=48)
+    m.sampling_config = SamplingConfig(greedy=True, max_tokens=48)
+    w = ModelWorker(m, WorkerConfig(
+        max_batch_size=8, num_pages=128, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4,
+        warmup=False, first_chunk_frames=2,
+        fused_decode_steps=2, fused_decode_buckets=(1, 8),
+        fused_min_batch=3))
+    s = OnlineScheduler(model_worker=w, max_batch_size=8, connect=False)
+    wave = [Request(request_id=f"wave{i}", prompt="burst",
+                    is_streaming=True, is_pressing=True,
+                    sampling_config=SamplingConfig(greedy=True,
+                                                   max_tokens=40))
+            for i in range(6)]
+    for r in wave:
+        s.enqueue_request(r)
+    for _ in range(50):
+        s._step()
+        if wave[0].chunk_send_timestamps:
+            break
+    msgs = [m_ for m_ in s._inproc_results
+            if m_.startswith(b"wave0|AUDIO")]
+    assert msgs, "wave admission never produced audio"
+    first = msgs[0].split(b"|", 2)[2]
+    interval = m.detokenize_interval
+    # full window first chunk (ramp skipped), despite decoding==0 at the
+    # moment the wave admitted
+    assert len(first) == interval * m.SAMPLES_PER_TOKEN * 2, (
+        len(first), interval * m.SAMPLES_PER_TOKEN * 2)

@@ -269,9 +269,16 @@ class Scheduler:
         fmin = getattr(cfg, "fused_min_batch", None) if cfg else None
         if not fmin:
             return
-        decoding = sum(1 for r in self.active_requests
-                       if r.done_lm_prefill and not r.done_all
-                       and r not in admitted)
+        # admission backlog counts as load (see OnlineScheduler.
+        # _prepare_requests): a saturation-wave's queued admissions must
+        # NOT take the mini ramp just because live decode momentarily hit
+        # 0 — the wave itself (including this admitted batch) will be
+        # decoding together within a few rounds, at fused-round granularity
+        decoding = max(
+            sum(1 for r in self.active_requests
+                if r.done_lm_prefill and not r.done_all
+                and r not in admitted),
+            getattr(self, "_load_pressure", 0))
         if not self._throughput_regime(decoding, fmin):
             return
         interval = self.model_worker.detokenize_interval

@@ -81,8 +81,10 @@ class OnlineScheduler(Scheduler):
         ccs = getattr(self.model_worker, "can_cold_start", None)
         if ccs is None or not ccs(req):
             return False
-        decoding = sum(1 for r in self.active_requests
-                       if r.done_lm_prefill and not r.done_all and r is not req)
+        decoding = max(
+            sum(1 for r in self.active_requests
+                if r.done_lm_prefill and not r.done_all and r is not req),
+            getattr(self, "_load_pressure", 0) - 1)
         # load gate: a B=1 cold chain spends ~40 ms of device time that the
         # shared batch doesn't get. Up to ~half the serving batch the duty
         # cycle absorbs it and TTFA drops from ~3 dispatch rounds to one
@@ -120,6 +122,20 @@ class OnlineScheduler(Scheduler):
     def _prepare_requests(self) -> None:
         super()._prepare_requests()
         self._update_pressing_status()
+        # load pressure for the regime latch: live decode PLUS the
+        # admission backlog. Under saturation, streams complete in waves
+        # (max_tokens-synchronized admissions), live decode briefly hits 0,
+        # and the latch flipped to the latency regime exactly as the queued
+        # backlog admitted — those streams took mini-ramp first chunks and
+        # were then caught by the next throughput flip at fused-round
+        # granularity, structurally missing early deadlines (measured as
+        # the rate-6/10 per-chunk viability collapse, run7 in git history
+        # vs artifacts/goodput_tpu_r5_run4.json). Backlog counts as load
+        # because it will be decoding within a few admission rounds.
+        self._load_pressure = sum(
+            1 for r in self.active_requests
+            if not r.done_all and (r.done_lm_prefill
+                                   or not r.waiting_for_text))
 
     def _update_pressing_status(self) -> None:
         now = time.time()
