@@ -355,10 +355,12 @@ def test_poll_resolved_empties_pipeline_in_order():
     for _ in range(3):
         w.run_lm_decode([req])
     assert w._pending  # pipeline holds in-flight steps
+    import time as _t
     for _ in range(50):
         w.poll_resolved()
         if not w._pending:
             break
+        _t.sleep(0.01)  # let the async dispatch thread run (1-core host)
     assert not w._pending, "poll_resolved never drained a completed pipeline"
     n_polled = len(req.lm_output_tokens)
     assert n_polled >= 3  # prefill + 3 decode steps resolved, minus pipeline

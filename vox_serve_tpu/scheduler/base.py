@@ -126,6 +126,22 @@ class Scheduler:
 
     def _step(self) -> bool:
         self._prepare_requests()
+        # top-of-round poll: surface results that finished on device during
+        # the previous round's host-side tail BEFORE this round's detok
+        # selection runs. Without it, a ramp mini whose tokens resolved
+        # late in round t was only selected at round t+2's top — one full
+        # round (~50-100 ms at fused-k granularity) of pure latency on the
+        # chunk-2 playback deadline, measured as the systematic ~25-75 ms
+        # chunk-idx-1 misses at rates 1-2 (goodput run8 late-chunk
+        # telemetry). Non-blocking; costs two is_ready checks when idle.
+        poll = getattr(self.model_worker, "poll_resolved", None)
+        if poll is not None:
+            touched = poll()
+            for r in self.active_requests:
+                if r not in touched and not r.output_audio.empty():
+                    touched.append(r)
+            if touched:
+                self._send_responses(touched)
         detok = self._select_detokenize_requests()
         lm = self._select_lm_requests()
         admission = bool(lm) and not lm[0].done_lm_prefill
