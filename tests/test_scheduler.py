@@ -519,3 +519,42 @@ def test_admission_backlog_counts_as_regime_load():
     # moment the wave admitted
     assert len(first) == interval * m.SAMPLES_PER_TOKEN * 2, (
         len(first), interval * m.SAMPLES_PER_TOKEN * 2)
+
+
+def test_upflip_graduates_ramping_streams():
+    """When the regime latch flips to throughput, mid-ramp streams hand
+    off to regular full windows from their current ramp position (no
+    re-decoded frames, no further minis), and not-yet-started streams get
+    ramp-skip semantics — a flip must never leave a stream serving 3-frame
+    chunks at fused-round granularity (rate-8 all-chunks 54.6% in goodput
+    run9)."""
+    from vox_serve_tpu.models.dummy import DummyLM
+    from vox_serve_tpu.sampling import SamplingConfig
+    from vox_serve_tpu.worker import ModelWorker, WorkerConfig
+
+    m = DummyLM(max_tokens=48)
+    m.sampling_config = SamplingConfig(greedy=True, max_tokens=48)
+    w = ModelWorker(m, WorkerConfig(
+        max_batch_size=8, num_pages=128, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4,
+        warmup=False, first_chunk_frames=2,
+        fused_decode_steps=2, fused_decode_buckets=(1, 8),
+        fused_min_batch=4))
+    s = OnlineScheduler(model_worker=w, max_batch_size=8, connect=False)
+    interval = m.detokenize_interval
+    step = interval - m.detokenize_overlap
+
+    mid = Request(request_id="mid", prompt="x", is_streaming=True)
+    mid.extras["ramp_next"] = 2  # one 2-frame mini already sent
+    fresh = Request(request_id="fresh", prompt="x", is_streaming=True)
+    pending = Request(request_id="pend", prompt="x", is_streaming=True)
+    pending.extras["ramp_next"] = 2
+    pending.extras["mini_chunk"] = True  # selected this round: untouched
+    s.active_requests = [mid, fresh, pending]
+
+    assert s._throughput_regime(5, 4)  # up-flip
+    assert mid.extras["ramp_next"] == (w.ramp_frames or interval)
+    assert mid.next_audio_decode_idx == [2 - step]  # next window at frame 2
+    assert fresh.extras["ramp_next"] == (w.ramp_frames or interval)
+    assert not fresh.next_audio_decode_idx  # full first window from 0
+    assert pending.extras["ramp_next"] == 2  # pending mini untouched

@@ -61,14 +61,16 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         # ~3x less, cutting both admission wait and viability pressure.
         "fused_decode_buckets": "1,32,96,144",
         # granularity schedule: k=5 for a near-idle stream (dispatch
-        # amortization; chunks fly regardless), k=3 through the 32/96
-        # buckets (~60-100 ms rounds — fine enough for the mini-chunk
-        # ramp's 0.25 s early-chunk deadlines at 3x single-step round
-        # amortization), k=5 at the full batch (throughput). Replaces the
-        # k=1->5 regime cliff that produced the rate-2/4 all-chunks
-        # viability dip (62/60% vs 95%+ on either side,
-        # artifacts/goodput_tpu_r5_run4.json)
-        "fused_k_schedule": "5,3,3,5",
+        # amortization; chunks fly regardless), k=2 through the 32/96
+        # buckets (~55-120 ms rounds; chunk 2 of the mini ramp rides TWO
+        # rounds of the pipeline, so round time is the early-chunk deadline
+        # budget — k=3 left it ~20-40 ms late, run9 late-chunk telemetry),
+        # k=5 at the full batch (throughput). Replaces the k=1->5 regime
+        # cliff that produced the rate-2/4 all-chunks viability dip (62/60%
+        # vs 95%+ on either side, artifacts/goodput_tpu_r5_run4.json);
+        # decode headroom at k=2: B=96 rounds ~95 ms produce ~2000
+        # frames/s vs ~1150 demanded at full 96-bucket load
+        "fused_k_schedule": "5,2,2,5",
         # regime boundary (cold chains + admission ramp policy only, with
         # the granularity schedule above): ramped admissions are viable at
         # k=3 granularity through the 96 bucket, so full-window first

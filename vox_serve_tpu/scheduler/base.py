@@ -266,7 +266,44 @@ class Scheduler:
             self._regime_fused = True
             self.logger.info("regime -> throughput (decoding=%d)",
                              n_decoding)
+            self._graduate_ramping_streams()
         return self._regime_fused
+
+    def _graduate_ramping_streams(self) -> None:
+        """On the latch's up-flip, end the mini-chunk ramp for every stream
+        still in it: 3-frame chunks due every 0.25 s are structurally late
+        at fused-round granularity (~330 ms at the full bucket), and a
+        rate-8 ramp-up catches up to ~fmin ramping streams in one flip
+        (goodput run9: rate-8 all-chunks 54.6% vs 92.7% with ramps skipped
+        throughout). Streams that already sent minis hand off to regular
+        full windows from their current ramp position (same bookkeeping as
+        the worker's ramp-completion handoff); streams with no chunk yet
+        get ramp-skip semantics (first chunk = one full window)."""
+        w = self.model_worker
+        interval = getattr(w, "detokenize_interval", 0)
+        if not interval or not getattr(w, "first_chunk_frames", 0):
+            return
+        ramp_end = getattr(w, "ramp_frames", interval) or interval
+        step = interval - getattr(w, "detokenize_overlap", 0)
+        for r in self.active_requests:
+            if not r.is_streaming or r.done_all:
+                continue
+            if r.extras.get("mini_chunk"):
+                # selected for a mini THIS round but not yet dispatched:
+                # the pending mini reads ramp_next — graduate next round
+                continue
+            pos = r.extras.get("ramp_next", None)
+            if pos is not None and pos >= ramp_end:
+                continue  # ramp already complete
+            if r.audio_decode_idx or r.next_audio_decode_idx:
+                continue  # already on regular windows
+            if not pos:
+                # no mini sent yet: plain ramp-skip (full first window)
+                r.extras["ramp_next"] = ramp_end
+                continue
+            r.extras["ramp_next"] = ramp_end
+            r.audio_decode_idx = [pos - step]
+            r.next_audio_decode_idx = [pos - step]
 
     def _apply_admission_ramp_policy(self, admitted: list[Request]) -> None:
         """Under load, newly admitted streams SKIP the mini-chunk TTFA ramp.
