@@ -245,11 +245,26 @@ def test_fused_k_schedule_selects_per_bucket_k():
     s = Scheduler(model_worker=w, max_batch_size=8, connect=False)
     assert s._fused_decode_steps(reqs(1)) == 4
     assert s._fused_decode_steps(reqs(3)) == 2
-    # only the bucket's scheduled k is warmed for the plain multi path
+    # the bucket's scheduled k AND the full fused_decode_steps are both
+    # warmed (latency-regime granularity + throughput-regime catch-up);
+    # any other k would lazily compile mid-serving
     assert w.can_decode_multi(reqs(3), 2)
-    assert not w.can_decode_multi(reqs(3), 4)
+    assert w.can_decode_multi(reqs(3), 4)
+    assert not w.can_decode_multi(reqs(3), 3)
     # first-chunk chains (bucket, first_chunk_frames) are warmed separately
     assert w.can_decode_multi(reqs(1)[:1], 3, first_chunk=True)
+
+    # throughput regime (latched via load pressure): mid buckets run the
+    # FULL k — post-wave catch-up must not crawl at granularity k
+    w2 = ModelWorker(_greedy_model(), WorkerConfig(
+        max_batch_size=8, num_pages=64, page_size=8,
+        prefill_token_buckets=(64,), max_prefill_requests=4, warmup=False,
+        fused_decode_steps=4, fused_decode_buckets=(1, 4, 8),
+        fused_k_schedule=(4, 2, 4), fused_min_batch=5))
+    s2 = Scheduler(model_worker=w2, max_batch_size=8, connect=False)
+    assert s2._fused_decode_steps(reqs(3)) == 2  # latency regime
+    s2._load_pressure = 6  # backlog pushes past fmin -> latch up
+    assert s2._fused_decode_steps(reqs(3)) == 4  # full k at the mid bucket
 
 
 def test_fused_k_schedule_token_parity():

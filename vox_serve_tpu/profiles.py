@@ -71,11 +71,14 @@ SERVING_PROFILES: dict[str, dict[str, Any]] = {
         # decode headroom at k=2: B=96 rounds ~95 ms produce ~2000
         # frames/s vs ~1150 demanded at full 96-bucket load
         "fused_k_schedule": "5,2,2,5",
-        # regime boundary (cold chains + admission ramp policy only, with
-        # the granularity schedule above): ramped admissions are viable at
-        # k=3 granularity through the 96 bucket, so full-window first
-        # chunks start only at the top (k=5) bucket
-        "fused_min_batch": 97,
+        # regime boundary: 65 = where k=2 rounds stop covering demand (the
+        # detok co-tenant jumps to the 80-bucket ~70 streams, and 96-bucket
+        # k=2 decode+detok rounds fall under the frame demand). Below it:
+        # latency regime (mini ramp, cold chains, scheduled k). At/above:
+        # throughput regime (full-window first chunks, max-k rounds).
+        # Measured: rates 1-2 (loads <=42) hit p50 165 ms / 95%+ all-chunks
+        # in the latency zone (goodput run10), rates 4+ need max-k rounds
+        "fused_min_batch": 65,
         "detok_pipeline_depth": 2,
         "codec_dtype": "bfloat16",
         "decode_buckets": "1,32,96,144",

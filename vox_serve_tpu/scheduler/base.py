@@ -390,13 +390,21 @@ class Scheduler:
             return 1
         if getattr(cfg, "fused_k_schedule", None) \
                 and hasattr(w, "fused_k_for"):
-            # per-bucket granularity schedule: the schedule itself encodes
-            # the latency/throughput trade (small k at mid buckets keeps
-            # rounds fine-grained for early-chunk deadlines, full k at the
-            # top bucket maximizes throughput) — no binary regime cliff.
-            # The regime latch still governs cold chains and the admission
-            # ramp (see _maybe_cold_start / _apply_admission_ramp_policy).
-            k = w.fused_k_for(len(lm))
+            # per-bucket granularity schedule, applied in the LATENCY
+            # regime only: small k at mid buckets keeps rounds fine-grained
+            # for ramping streams' early-chunk deadlines (chunk 2 rides two
+            # pipeline rounds against a 0.25 s budget). In the throughput
+            # regime every live stream holds a full-window playback buffer,
+            # granularity is irrelevant, and mid-size batches (post-wave
+            # catch-up at saturation) must run at max k — k=2 catch-up
+            # measured 24.4% per-chunk viability at rate 8 (goodput run10)
+            # vs 85.8%+ at full k.
+            fmin = getattr(cfg, "fused_min_batch", None)
+            load = max(len(lm), getattr(self, "_load_pressure", 0))
+            if fmin and self._throughput_regime(load, fmin):
+                k = cfg.fused_decode_steps
+            else:
+                k = w.fused_k_for(len(lm))
             if k < 2:
                 return 1
         else:

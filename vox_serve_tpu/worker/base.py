@@ -1565,7 +1565,8 @@ class ModelWorker:
         if self._fused_bucket(len(requests)) is None:
             return False
         if (self.config.fused_k_schedule and not first_chunk
-                and n_steps != self.fused_k_for(len(requests))):
+                and n_steps not in (self.fused_k_for(len(requests)),
+                                    self.config.fused_decode_steps)):
             return False
         limit = self.max_pages_per_seq * self.config.page_size
         return all(r.kv_token_len + n_steps <= limit for r in requests)
@@ -2299,33 +2300,37 @@ class ModelWorker:
                     "warmup: decode bucket B=%d W=%d compiled "
                     "(%.2f ms/step)", B, W, ms)
 
-        # fused multi-step decode buckets x widths (each bucket at its
-        # scheduled k — see WorkerConfig.fused_k_schedule)
+        # fused multi-step decode buckets x widths. Under a fused-k
+        # schedule each bucket warms BOTH its latency-regime k (fine
+        # granularity for ramping streams) and the full fused_decode_steps
+        # (throughput-regime rounds + post-wave catch-up at max speed —
+        # see Scheduler._fused_decode_steps)
         K = cfg.fused_decode_steps
         if K >= 2:
             for Bi, B in enumerate(cfg.fused_decode_buckets):
                 KB = (cfg.fused_k_schedule[Bi]
                       if cfg.fused_k_schedule else K)
-                if KB < 2:
-                    continue
-                for W in self.table_width_buckets:
-                    fn = self._get_lm_fn("decode_multi", (B, KB))
-                    dpack = jnp.asarray(multi_warm_pack(KB, B, W))
+                ks = sorted({k for k in (KB, K) if k >= 2})
+                for KB in ks:
+                    for W in self.table_width_buckets:
+                        fn = self._get_lm_fn("decode_multi", (B, KB))
+                        dpack = jnp.asarray(multi_warm_pack(KB, B, W))
 
-                    def call_multi(fn=fn, dpack=dpack):
-                        out = fn(model.params, dpack,
-                                 self.k_pages, self.v_pages, self.rep_cache,
-                                 self.feedback, self.last_tokens,
-                                 self._base_key, jnp.int32(0))
-                        (_, self.k_pages, self.v_pages, self.rep_cache,
-                         self.feedback, self.last_tokens) = out
-                        return self.last_tokens
+                        def call_multi(fn=fn, dpack=dpack):
+                            out = fn(model.params, dpack,
+                                     self.k_pages, self.v_pages,
+                                     self.rep_cache, self.feedback,
+                                     self.last_tokens,
+                                     self._base_key, jnp.int32(0))
+                            (_, self.k_pages, self.v_pages, self.rep_cache,
+                             self.feedback, self.last_tokens) = out
+                            return self.last_tokens
 
-                    out = call_multi()
-                    ms = probe(call_multi, out)
-                    self.logger.info(
-                        "warmup: fused decode bucket B=%d k=%d W=%d compiled "
-                        "(%.2f ms/call)", B, KB, W, ms)
+                        out = call_multi()
+                        ms = probe(call_multi, out)
+                        self.logger.info(
+                            "warmup: fused decode bucket B=%d k=%d W=%d "
+                            "compiled (%.2f ms/call)", B, KB, W, ms)
 
         # chained cold-start executable (fused decode + first-chunk detok).
         # Only the bucket serving batch 1: run_cold_start handles single
