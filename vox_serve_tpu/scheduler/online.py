@@ -132,10 +132,14 @@ class OnlineScheduler(Scheduler):
         # the rate-6/10 per-chunk viability collapse, run7 in git history
         # vs artifacts/goodput_tpu_r5_run4.json). Backlog counts as load
         # because it will be decoding within a few admission rounds.
+        # finished-but-unflushed streams are detok load, not decode
+        # demand: counting them inflated pressure past the boundary at
+        # light load (churned completions awaiting flush) and flapped the
+        # latch at rates 1-2
         self._load_pressure = sum(
             1 for r in self.active_requests
-            if not r.done_all and (r.done_lm_prefill
-                                   or not r.waiting_for_text))
+            if not r.done_all and not r.done_lm_generation
+            and (r.done_lm_prefill or not r.waiting_for_text))
 
     def _update_pressing_status(self) -> None:
         now = time.time()
