@@ -232,7 +232,7 @@ def main():
         # regime boundary (cold chains + admission ramp), mirroring the
         # qwen3 serving profile (profiles.py)
         fused_min_batch=(int(os.environ.get(
-            "VOX_BENCH_FUSED_MIN", "97" if BENCH_MODEL == "qwen3" else "0"))
+            "VOX_BENCH_FUSED_MIN", "65" if BENCH_MODEL == "qwen3" else "0"))
             or None),
         # int8 KV halves pool HBM (5.25->2.62G at 3072 pages) and is
         # measured FASTER at long context (artifacts/kv_quant_r5.json:
